@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's five derived views (`create_views.sql`, SURVEY.md §1.2),
+  * re-expressed Spark-first on the driver `events` table (events ≈ messages,
+  * user_id ≈ conversation_id, event_type ≈ sender, ts ≈ created_at,
+  * props ≈ metadata JSON).
+  *
+  * Scale notes: every view is a single shuffle on its grouping/partition key
+  * (`user_id` or `(event_type, date)`), no joins against the fact table, and
+  * only the needed columns are selected before the shuffle so the parquet
+  * scan prunes. Timestamps are emitted as strings (or integral epoch-second
+  * diffs) so results are engine-portable for the DuckDB oracle.
+  */
+object Views {
+
+  /** `message_pairs` (`create_views.sql:1-25`): the reference numbers
+    * messages per conversation and self-joins on `order+1` to pair
+    * human→assistant messages. Idiomatic Spark form is a single window
+    * `lead()` pass — one shuffle on `user_id`, no join (SURVEY §2.3 J2 /
+    * §2.5 W2). Here: consecutive-event pairing per user filtered to
+    * view→click adjacency, with the integer response gap in seconds.
+    */
+  def eventPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("next_id", lead("event_id", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .where(col("event_type") === "view" && col("next_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("view_event_id"),
+        col("next_id").as("click_event_id"),
+        (unix_timestamp(col("next_ts")) - unix_timestamp(col("ts"))).as("gap_s"))
+  }
+
+  /** `conversation_summary` (`create_views.sql:27-43`): per-conversation
+    * counts, conditional per-sender counts, first/last activity and duration
+    * in minutes (julianday arithmetic → integral epoch-second difference).
+    * One hash aggregation keyed on `user_id`; conditional counts are
+    * map-side-combinable `sum(when(...))` (SURVEY §2.4 A4).
+    */
+  def userSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("view_count"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("click_count"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase_count"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        ((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 60.0)
+          .as("duration_min"))
+
+  /** `message_length_stats` (`create_views.sql:45-56`): LENGTH() statistics
+    * per (conversation, sender) → (user_id, event_type) over the JSON props
+    * payload. Single aggregation, integral inputs so avg is deterministic.
+    */
+  def lengthStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), length(col("props")).as("len"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("len")).as("avg_len"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+
+  /** `time_activity` (`create_views.sql:58-71`): daily activity per platform
+    * → per event_type: event count and distinct active users per date.
+    * The reference's buggy correlated subquery for `started_conversations`
+    * is replicated by *intent* (SURVEY §1.2): distinct users seen that day.
+    */
+  def timeActivity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("date"), col("user_id"))
+      .groupBy("event_type", "date")
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("active_users"))
+
+  /** `model_usage` (`fix_model_usage_view.sql:5-16`): usage stats per model
+    * → per event_type: count, distinct conversations (users), average
+    * payload value. Non-empty filter kept from the reference (F5).
+    */
+  def typeUsage(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_type", "user_id", "value")
+      .where(col("event_type").isNotNull && col("event_type") =!= "")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("use_count"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(sum(col("value")), 2).as("sum_value"))
+}

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate.
+
+Reads the parquet dumps written by `graft.Verify` plus `oracle_sql.json`,
+runs each oracle SQL in DuckDB against the same testdata parquet tables,
+and compares: row count, column names (sorted), and values (exact for
+ints/strings, tolerant-then-exact hashing for floats).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp-ish columns to strings for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if scols != dcols:
+        return [f"columns differ: spark={scols} duck={dcols}"]
+    if len(spark_df) != len(duck_df):
+        return [f"row count differs: spark={len(spark_df)} duck={len(duck_df)}"]
+    a, b = canon(spark_df), canon(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                import numpy as np
+                aa, bb = av.astype(float).to_numpy(), bv.astype(float).to_numpy()
+                nan_match = (pd.isna(aa) == pd.isna(bb)).all()
+                close = nan_match and np.allclose(aa[~pd.isna(aa)], bb[~pd.isna(bb)], rtol=0, atol=0)
+                if not close:
+                    close_tol = nan_match and np.allclose(aa[~pd.isna(aa)], bb[~pd.isna(bb)], rtol=1e-9, atol=1e-9)
+                    bad = abs(pd.Series(aa) - pd.Series(bb)).idxmax()
+                    problems.append(
+                        f"col {c}: float mismatch (exact) tol_ok={close_tol} "
+                        f"worst row {bad}: {aa[bad]!r} vs {bb[bad]!r}")
+            else:
+                eq = (av.fillna("\x00nul") == bv.fillna("\x00nul"))
+                if not eq.all():
+                    i = eq.idxmin()
+                    problems.append(f"col {c}: value mismatch at row {i}: {av[i]!r} vs {bv[i]!r}")
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"col {c}: compare error {e}")
+    return problems
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_ok = 0
+    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    for name in names:
+        spark_df = pd.read_parquet(Path(out_dir) / name)
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            continue
+        problems = compare(name, spark_df, duck_df)
+        if problems:
+            print(f"[FAIL] {name}:")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            n_ok += 1
+            print(f"[ok] {name}: {len(spark_df)} rows")
+    missing = sorted(set(oracle) - set(names))
+    for m in missing:
+        print(f"[FAIL] {m}: oracle present but no spark output")
+    print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked ok, "
+          f"{len([n for n in names if n not in oracle])} rows-only ==")
+
+
+if __name__ == "__main__":
+    main()
