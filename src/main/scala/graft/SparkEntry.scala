@@ -1,12 +1,13 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 is exposed as a named query
   * over the driver test tables, with a DuckDB-equivalent oracle SQL where the
-  * semantics are SQL-expressible.
+  * semantics are SQL-expressible (omitted → driver runs a rows-only check).
   */
 object SparkEntry {
 
@@ -18,12 +19,57 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §1.2 derived views
     "v1_event_pairs"   -> (Views.eventPairs _),
     "v2_user_summary"  -> (Views.userSummary _),
     "v3_length_stats"  -> (Views.lengthStats _),
     "v4_time_activity" -> (Views.timeActivity _),
     "v5_type_usage"    -> (Views.typeUsage _),
+    // §2.3/§2.4/§2.6 relational pack (TPC-H-ish shapes)
+    "r1_pricing_summary"    -> (Relational.pricingSummary _),
+    "r2_top_revenue_orders" -> (Relational.topRevenueOrders _),
+    "r3_region_revenue"     -> (Relational.regionRevenue _),
+    "r4_order_status_pivot" -> (Relational.orderStatusPivot _),
+    "r5_customers_no_orders" -> (Relational.customersWithoutOrders _),
+    "r6_customers_with_orders" -> (Relational.customersWithOrders _),
+    "r7_customer_order_stats"  -> (Relational.customerOrderStats _),
+    "r8_top_parts_per_brand"   -> (Relational.topPartsPerBrand _),
+    "r9_monthly_revenue"       -> (Relational.monthlyRevenue _),
+    "r10_supplier_nation_stats" -> (Relational.supplierNationStats _),
+    "r11_value_histogram"      -> (Relational.valueHistogram _),
+    "r12_type_value_share"     -> (Relational.typeValueShare _),
+    // event-sequence operators
+    "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
+    "e2_error_context"       -> ((s: SparkSession, d: String) => EventOps.errorContext(s, d)),
+    "e3_purchase_error_users" -> (EventOps.purchaseErrorUsers _),
+    "e4_user_type_concat"    -> (EventOps.userTypeConcat _),
+    // document / search operators
+    "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
+    "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
+    "d3_boolean_search"   -> (DocOps.booleanSearch _),
+    "d4_date_range_stats" -> (DocOps.dateRangeStats _),
+    "d5_hits_hydrate"     -> (DocOps.hitsHydrate _),
+    "d6_topic_buckets"    -> (DocOps.topicBuckets _),
+    "d7_topic_cooccurrence" -> (DocOps.topicCooccurrence _),
+    "d8_vocab_overlap"    -> (DocOps.vocabOverlap _),
+    "d9_vocab_unique"     -> (DocOps.vocabUnique _),
+    "d10_doc_stats"       -> (DocOps.docStats _),
+    "d11_sentiment"       -> (DocOps.sentimentCounts _),
+    "d12_random_sample"   -> ((s: SparkSession, d: String) => DocOps.randomSample(s, d)),
   )
+
+  // ---- oracle SQL helpers (DuckDB dialect) ----
+
+  /** Tokenizer as a DuckDB snippet: the same `\b[a-z]{3,}\b` regex and
+    * stopword list as [[TextFns.tokens]].
+    */
+  private val stopwordsSql: String = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+  private def toksSql(src: String): String =
+    s"""SELECT unnest(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b')) AS word
+       |FROM $src""".stripMargin
+
+  private def topicPredSql(kws: Seq[String]): String =
+    kws.map(k => s"lower(text) LIKE '%$k%'").mkString("(", " OR ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +110,198 @@ object SparkEntry {
         |       round(avg(value), 6) AS avg_value, round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type IS NOT NULL AND event_type <> ''
         |GROUP BY event_type""".stripMargin,
+
+    "r1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "r2_top_revenue_orders" ->
+      """SELECT o.o_orderkey,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "r3_region_revenue" ->
+      """SELECT r_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "r4_order_status_pivot" ->
+      """SELECT o_orderpriority,
+        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_orders,
+        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_orders,
+        |       count(*) AS total_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "r5_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+    "r6_customers_with_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "r7_customer_order_stats" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_totalprice) AS n_orders,
+        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name""".stripMargin,
+    "r8_top_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rk FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3""".stripMargin,
+    "r9_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "r10_supplier_nation_stats" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       round(sum(s_acctbal), 2) AS total_balance,
+        |       round(avg(s_acctbal), 6) AS avg_balance
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "r11_value_histogram" ->
+      """SELECT event_type,
+        |       CASE WHEN value < 50 THEN '00-50' WHEN value < 100 THEN '050-100'
+        |            WHEN value < 200 THEN '100-200' WHEN value < 500 THEN '200-500'
+        |            ELSE '500+' END AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "r12_type_value_share" ->
+      """WITH a AS (SELECT event_type, round(sum(value), 2) AS type_value
+        |           FROM events GROUP BY 1)
+        |SELECT event_type, type_value,
+        |       round(type_value * 100.0 / sum(type_value) OVER (), 6) AS pct
+        |FROM a""".stripMargin,
+
+    "e1_activity_heatmap" ->
+      """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e2_error_context" ->
+      """WITH numbered AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |hits AS (SELECT user_id, event_id AS hit_event_id, rn AS hit_rn
+        |         FROM numbered WHERE event_type = 'error')
+        |SELECT h.hit_event_id, n.event_id AS ctx_event_id,
+        |       n.event_type AS ctx_event_type, n.rn - h.hit_rn AS ctx_offset
+        |FROM numbered n JOIN hits h
+        |  ON n.user_id = h.user_id AND n.rn BETWEEN h.hit_rn - 2 AND h.hit_rn + 2""".stripMargin,
+    "e3_purchase_error_users" ->
+      """SELECT user_id,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |FROM events GROUP BY user_id
+        |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+        |   AND sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0""".stripMargin,
+    "e4_user_type_concat" ->
+      """SELECT user_id,
+        |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "d1_word_frequency" ->
+      s"""WITH toks AS (${toksSql("documents")})
+         |SELECT word, count(*) AS n FROM toks
+         |WHERE word NOT IN ($stopwordsSql)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "d2_keyword_search" ->
+      """SELECT doc_id, lang, n_chars,
+        |       substr(text, greatest(strpos(lower(text), 'window') - 30, 1), 80) AS snippet
+        |FROM documents WHERE lower(text) LIKE '%window%'
+        |ORDER BY n_chars DESC, doc_id LIMIT 100""".stripMargin,
+    "d3_boolean_search" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (lower(text) LIKE '%join%' AND lower(text) LIKE '%stream%')
+        |   OR (lower(text) LIKE '%sort%' AND lower(text) NOT LIKE '%slow%')""".stripMargin,
+    "d4_date_range_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY event_type""".stripMargin,
+    "d5_hits_hydrate" ->
+      """WITH hits AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS hit_rank
+        |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10)
+        |SELECT h.hit_rank, d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
+    "d6_topic_buckets" -> {
+      val cols = DocOps.Topics.map { case (name, kws) =>
+        s"sum(CASE WHEN ${topicPredSql(kws)} THEN 1 ELSE 0 END) AS ${name}_docs"
+      }.mkString(",\n       ")
+      s"""SELECT lang, $cols,
+         |       count(*) AS total_docs
+         |FROM documents GROUP BY lang""".stripMargin
+    },
+    "d7_topic_cooccurrence" -> {
+      val flagCols = DocOps.Topics.map { case (name, kws) =>
+        s"CASE WHEN ${topicPredSql(kws)} THEN 1 ELSE 0 END AS $name" }.mkString(", ")
+      val pairs = for {
+        i <- DocOps.Topics.indices; j <- DocOps.Topics.indices if i < j
+      } yield (DocOps.Topics(i)._1, DocOps.Topics(j)._1)
+      val selects = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS topic_a, '$b' AS topic_b, sum($a * $b) AS n_docs FROM flags"
+      }.mkString("\nUNION ALL\n")
+      s"WITH flags AS (SELECT $flagCols FROM documents)\n$selects"
+    },
+    "d8_vocab_overlap" ->
+      s"""WITH en AS (
+         |  SELECT word, count(*) AS en_n FROM (${toksSql("documents WHERE lang = 'en'")})
+         |  WHERE word NOT IN ($stopwordsSql) GROUP BY word HAVING count(*) > 5),
+         |fr AS (
+         |  SELECT word, count(*) AS fr_n FROM (${toksSql("documents WHERE lang = 'fr'")})
+         |  WHERE word NOT IN ($stopwordsSql) GROUP BY word HAVING count(*) > 2)
+         |SELECT en.word, en_n, fr_n FROM en JOIN fr USING (word)""".stripMargin,
+    "d9_vocab_unique" ->
+      s"""WITH en AS (
+         |  SELECT word, count(*) AS n FROM (${toksSql("documents WHERE lang = 'en'")})
+         |  WHERE word NOT IN ($stopwordsSql) GROUP BY word HAVING count(*) > 5),
+         |fr AS (
+         |  SELECT word, count(*) AS n FROM (${toksSql("documents WHERE lang = 'fr'")})
+         |  WHERE word NOT IN ($stopwordsSql) GROUP BY word HAVING count(*) > 2)
+         |SELECT en.word, en.n FROM en
+         |WHERE NOT EXISTS (SELECT 1 FROM fr WHERE fr.word = en.word)""".stripMargin,
+    "d10_doc_stats" ->
+      """SELECT doc_id, n_sentences, n_words,
+        |       CASE WHEN n_sentences > 0
+        |            THEN round(n_words * 1.0 / n_sentences, 2) ELSE 0.0 END
+        |         AS words_per_sentence
+        |FROM (SELECT doc_id,
+        |             length(text) - length(replace(text, '.', '')) AS n_sentences,
+        |             length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        |      FROM documents)""".stripMargin,
+    "d11_sentiment" -> {
+      val cnt = (lex: Seq[String]) => {
+        val pred = lex.map(k => s"w = '$k'").mkString("(", " OR ", ")")
+        s"len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'), w -> $pred))"
+      }
+      s"""WITH per_doc AS (
+         |  SELECT lang, ${cnt(Seq("fast", "small"))} AS p, ${cnt(Seq("slow", "big"))} AS n,
+         |         len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+         |             w -> w NOT IN ($stopwordsSql))) AS t
+         |  FROM documents)
+         |SELECT lang, sum(p) AS pos_hits, sum(n) AS neg_hits,
+         |       round(sum(p) * 100.0 / sum(t), 6) AS pos_pct,
+         |       round(sum(n) * 100.0 / sum(t), 6) AS neg_pct
+         |FROM per_doc GROUP BY lang""".stripMargin
+    },
+    // d12_random_sample: engine RNGs differ — rows-only check by design.
   )
 }

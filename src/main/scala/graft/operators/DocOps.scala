@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document corpus operators: word statistics, keyword/boolean search with
+  * snippets, topic bucketing and co-occurrence, vocabulary set ops
+  * (SURVEY.md §2.2 F1–F9, §2.4 A14–A17, §2.6 T1, §2.7 U1–U2, §2.8 X2/X8)
+  * on the `documents` table (≈ message content corpus).
+  */
+object DocOps {
+
+  /** Topic keyword lists for the bucket/co-occurrence operators — the
+    * reference hard-codes 8 topic keyword lists (`exper_sql.py:2144-2280`);
+    * these four cover the synthetic corpus vocabulary.
+    */
+  val Topics: Seq[(String, Seq[String])] = Seq(
+    "joins"     -> Seq("join", "merge", "hash"),
+    "scans"     -> Seq("scan", "filter", "column"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "sorting"   -> Seq("sort", "order", "key"))
+
+  private def containsAny(text: Column, kws: Seq[String]): Column =
+    kws.map(k => text.contains(lit(k))).reduce(_ || _)
+
+  /** Word-frequency top-k (A14, `content_analysis.py:75-102`): tokenize,
+    * stopword-filter, count, top 50 — partial aggregation makes the shuffle
+    * carry only (word, count) pairs; top-k is TakeOrderedAndProject.
+    * Deterministic tie-break on the word itself.
+    */
+  def wordFrequency(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(k)
+
+  /** Keyword substring search with snippet (F1 + X8,
+    * `sql_search.py:188-284`): case-insensitive LIKE, a ±30-char snippet
+    * around the first match, ordered by document size desc, LIMIT 100.
+    */
+  def keywordSearch(spark: SparkSession, sfDir: String, kw: String = "window"): DataFrame = {
+    val pos = locate(kw, lower(col("text")))
+    Tables.documents(spark, sfDir)
+      .where(lower(col("text")).contains(kw))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), greatest(pos - 30, lit(1)), lit(80)).as("snippet"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+      .limit(100)
+  }
+
+  /** Boolean keyword search (F2, `sql_search.py:286-392`): the parsed
+    * `a AND b OR (c NOT d)` predicate as Column algebra.
+    */
+  def booleanSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lower(col("text"))
+    Tables.documents(spark, sfDir)
+      .where((t.contains("join") && t.contains("stream")) ||
+             (t.contains("sort") && !t.contains("slow")))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Date-range search (F4, `sql_search.py:516-621`) on events. */
+  def dateRangeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .where(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Ranked-hits hydration (F9, `sql_search.py:464-481`): a small ranked hit
+    * list joined back against the corpus, preserving rank — the semantic
+    * search post-join. The hits side is 10 rows, so the join broadcasts.
+    */
+  def hitsHydrate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val hits = docs.select("doc_id", "n_chars")
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(10)
+      .withColumn("hit_rank", row_number().over(
+        Window.orderBy(desc("n_chars"), asc("doc_id"))).cast("long"))
+      .select("doc_id", "hit_rank")
+    docs.join(broadcast(hits), "doc_id")
+      .select("hit_rank", "doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Random sample (F10, `sql_search.py:1194-1202`): seeded ORDER BY
+    * RANDOM() LIMIT n. No oracle (RNGs differ across engines) — rows-only.
+    */
+  def randomSample(spark: SparkSession, sfDir: String, n: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir).orderBy(rand(42)).limit(n)
+
+  /** Topic CASE-bucket aggregation (A16): per language, the number of
+    * documents mentioning each topic (substring semantics like the
+    * reference's LIKE chains) plus totals.
+    */
+  def topicBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lower(col("text"))
+    val aggs = Topics.map { case (name, kws) =>
+      sum(when(containsAny(t, kws), 1).otherwise(0)).as(s"${name}_docs")
+    } :+ count(lit(1)).as("total_docs")
+    Tables.documents(spark, sfDir).groupBy("lang").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Topic co-occurrence matrix (A17, `exper_sql.py:2495-2574`): for each
+    * topic pair, how many documents mention both. One aggregation computing
+    * per-doc boolean flags, then 6 flag-product sums unpivoted to long form
+    * — not the reference's per-pair correlated subqueries.
+    */
+  def topicCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = lower(col("text"))
+    val flagged = Tables.documents(spark, sfDir).select(
+      Topics.map { case (name, kws) =>
+        when(containsAny(t, kws), 1).otherwise(0).as(name) }: _*)
+    val pairs = for {
+      i <- Topics.indices; j <- Topics.indices if i < j
+    } yield (Topics(i)._1, Topics(j)._1)
+    val agged = flagged.agg(
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"${a}__$b") }.head,
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"${a}__$b") }.tail: _*)
+    val stackExpr = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (topic_a, topic_b, n_docs)")
+    agged.selectExpr(stackExpr)
+  }
+
+  /** Vocabulary intersection across languages (U1,
+    * `content_analysis.py:107-108`): words frequent (>5) in English docs
+    * that are also frequent (>2) in French docs, with both counts.
+    */
+  def vocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    def freq(lang: String, minN: Long) =
+      Tables.documents(spark, sfDir)
+        .where(col("lang") === lang)
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(s"${lang}_n"))
+        .where(col(s"${lang}_n") > minN)
+    freq("en", 5).join(freq("fr", 2), "word")
+  }
+
+  /** Vocabulary difference (U2, `content_analysis.py:110-114`): frequent
+    * English words absent (or rare) in French — left-anti join.
+    */
+  def vocabUnique(spark: SparkSession, sfDir: String): DataFrame = {
+    def freq(lang: String, minN: Long) =
+      Tables.documents(spark, sfDir)
+        .where(col("lang") === lang)
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .where(col("n") > minN)
+    freq("en", 5).join(freq("fr", 2).select("word"), Seq("word"), "left_anti")
+  }
+
+  /** Character-count text statistics via the REPLACE trick (X2,
+    * `exper_sql.py:988-1005`): sentence count = dots removed, word count =
+    * spaces + 1, with the reference's zero-guard CASE.
+    */
+  def docStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val nSent = length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))
+    val nWords = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nSent.cast("long").as("n_sentences"),
+      nWords.cast("long").as("n_words"),
+      when(nSent > 0, round(nWords.cast("double") / nSent, 2)).otherwise(0.0)
+        .as("words_per_sentence"))
+  }
+
+  /** Sentiment lexicon counting (A15, `exper_sql.py:889-984`): occurrences
+    * of fixed positive/negative token lexicons per language with pos/neg
+    * percentage of all tokens.
+    */
+  def sentimentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Seq("fast", "small"); val neg = Seq("slow", "big")
+    val toks = TextFns.tokens(col("text"))
+    val cnt = (lex: Seq[String]) =>
+      size(filter(toks, w => array_contains(lit(lex.toArray), w)))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), cnt(pos).as("p"), cnt(neg).as("n"), size(toks).as("t"))
+      .groupBy("lang")
+      .agg(sum(col("p")).as("pos_hits"), sum(col("n")).as("neg_hits"),
+           round(sum(col("p")).cast("double") * 100 / sum(col("t")), 6).as("pos_pct"),
+           round(sum(col("n")).cast("double") * 100 / sum(col("t")), 6).as("neg_pct"))
+  }
+}

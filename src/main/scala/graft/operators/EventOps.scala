@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence operators: the reference's conversation/message analytics
+  * that need ordering within a conversation (SURVEY.md §2.3 J5, §2.4 A10,
+  * §2.5 W3, §2.2 F8, §2.4 A6), expressed on `events` (user_id ≈
+  * conversation).
+  */
+object EventOps {
+
+  /** Day-of-week × hour activity heatmap (A10, `exper_sql.py:362-406`).
+    * dow follows Spark `dayofweek`: 1=Sunday … 7=Saturday (the reference's
+    * `strftime('%w')` is 0=Sunday — offset by one).
+    */
+  def activityHeatmap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+              hour(col("ts")).cast("long").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"))
+
+  /** Context window around matches (J5/W3, `sql_search.py:906-1027`): for
+    * every `error` event, the surrounding ±2 events of the same user. The
+    * reference issues one SQL query per hit (N+1); here it is a single
+    * window numbering pass plus one equi-band self-join on the row number —
+    * at cluster scale both sides partition on user_id so the join is
+    * co-located after one shuffle.
+    */
+  def errorContext(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val numbered = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("rn", row_number().over(w))
+    val hits = numbered.where(col("event_type") === "error")
+      .select(col("user_id").as("h_user_id"), col("event_id").as("hit_event_id"),
+              col("rn").as("hit_rn"))
+    numbered.join(hits,
+        numbered("user_id") === hits("h_user_id") &&
+          numbered("rn").between(hits("hit_rn") - k, hits("hit_rn") + k))
+      .select(
+        col("hit_event_id"),
+        col("event_id").as("ctx_event_id"),
+        col("event_type").as("ctx_event_type"),
+        (col("rn") - col("hit_rn")).cast("long").as("ctx_offset"))
+  }
+
+  /** Users with both a purchase and an error event (F8 — the reference's
+    * correlated pair-count subqueries, folded into one flags aggregation).
+    */
+  def purchaseErrorUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"))
+      .where(col("purchases") > 0 && col("errors") > 0)
+
+  /** GROUP_CONCAT(DISTINCT …) analog (A6, `sql_search.py:717`): sorted
+    * distinct event types per user as one comma string.
+    */
+  def userTypeConcat(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics pack: every distinct SQL shape of the reference's
+  * query surface (SURVEY.md §2.2–§2.8) exercised on the TPC-H-ish driver
+  * tables at controlled scale. Join/agg shapes mirror the reference's
+  * `conversations ⋈ messages` workloads (J1–J7, A1–A13, T1–T4, W-absent
+  * top-k-per-group) but are written Spark-first: broadcast hints on the
+  * small dimensions, map-side-combinable conditional sums, window functions
+  * instead of self-joins, and rounding pinned where float aggregation order
+  * would otherwise make results engine-dependent.
+  *
+  * Float determinism: money columns carry exactly 2 decimals and discounts 2,
+  * so sums rounded to 2 (or products to 4) decimals recover the exact decimal
+  * value on any summation order; averages are rounded to 6.
+  */
+object Relational {
+
+  /** Pricing summary (A1/A3/A4 shapes; classic scan→agg). Filter is pushed
+    * to the parquet scan; single shuffle on the 6-value grouping key.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Top-10 revenue orders for one market segment (J1 chain + T1 top-k).
+    * Catalyst/AQE broadcasts the filtered customer side; top-k runs as
+    * TakeOrderedAndProject, no global sort materialization. Tie-broken on
+    * o_orderkey so the result set is deterministic across engines.
+    */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           date_format(first(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Revenue per customer region (J1 ×4 with broadcast dims — the deep join
+    * chain shape). region/nation are tiny and broadcast explicitly; the
+    * orders⋈lineitem join shuffles once on the order key.
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, sfDir))
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** Manual pivot via conditional aggregation (A4): order counts per
+    * priority broken out by status column — the reference's
+    * `SUM(CASE WHEN sender=… THEN 1 END)` shape.
+    */
+  def orderStatusPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("open_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("filled_orders"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("pending_orders"),
+        count(lit(1)).as("total_orders"))
+
+  /** Customers with no large order (U2/anti-join shape; reference never
+    * needs it but the engine exposes it): the anti side is filtered before
+    * the join so the predicate pushes to the orders scan.
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_totalprice") > 300000).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+  }
+
+  /** Customers with at least one order — EXISTS semi-join (F7/J4). */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Left-outer join keeping order-less customers (J3) + HAVING (A5):
+    * per-customer order stats, empty customers kept with zero counts.
+    */
+  def customerOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val o = Tables.orders(spark, sfDir).select("o_custkey", "o_totalprice")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_totalprice")).as("n_orders"),
+           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+  }
+
+  /** Top-3 parts per brand by retail price — top-k-per-group via window
+    * row_number (T2; the reference does this in pandas `head(3)`).
+    * Deterministic tie-break on p_partkey.
+    */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), asc("p_partkey"))
+    Tables.part(spark, sfDir)
+      .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+  }
+
+  /** Monthly revenue time series (A9 time-bucketed aggregation). */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("revenue"))
+
+  /** Supplier account stats per nation (J1 + A3 with broadcast dim). */
+  def supplierNationStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val n = broadcast(Tables.nation(spark, sfDir))
+    s.join(n, s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+           round(sum(col("s_acctbal")), 2).as("total_balance"),
+           round(avg(col("s_acctbal")), 6).as("avg_balance"))
+  }
+
+  /** Histogram / bucketized counts (A11): fixed value buckets over
+    * events.value, mirroring the reference's duration-bucket `pd.cut`.
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value")
+    val bucket = when(v < 50, "00-50").when(v < 100, "050-100")
+      .when(v < 200, "100-200").when(v < 500, "200-500").otherwise("500+")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group percentage via window over aggregate (A12): each event
+    * type's share of total value. The window runs over the 5-row aggregate,
+    * not the fact table — no second full-data shuffle.
+    */
+  def typeValueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val agged = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(round(sum(col("value")), 2).as("type_value"))
+    agged.withColumn("pct",
+        round(col("type_value") * 100.0 / sum(col("type_value")).over(Window.partitionBy()), 6))
+  }
+}

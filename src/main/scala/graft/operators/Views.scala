@@ -71,8 +71,8 @@ object Views {
       .agg(
         count(lit(1)).as("n"),
         avg(col("len")).as("avg_len"),
-        min(col("len")).as("min_len"),
-        max(col("len")).as("max_len"),
+        min(col("len")).cast("long").as("min_len"),
+        max(col("len")).cast("long").as("max_len"),
         sum(col("len")).as("sum_len"))
 
   /** `time_activity` (`create_views.sql:58-71`): daily activity per platform
