@@ -56,6 +56,40 @@ object SparkEntry {
     "d10_doc_stats"       -> (DocOps.docStats _),
     "d11_sentiment"       -> (DocOps.sentimentCounts _),
     "d12_random_sample"   -> ((s: SparkSession, d: String) => DocOps.randomSample(s, d)),
+    // §2.9 NLP pipeline pack
+    "n1_tf"           -> (Relevance.qTf _),
+    "n2_idf"          -> (Relevance.qIdf _),
+    "n3_tfidf_top"    -> (Relevance.qTfidfTop _),
+    "n4_relevance"    -> (Relevance.qRelevance _),
+    "n5_rank"         -> (Relevance.qRank _),
+    "n6_dup_pairs"    -> (Duplicates.qDupPairs _),
+    "n7_near_dups"    -> (Duplicates.qNearDups _),
+    "n8_priority"     -> (Priority.qClassify _),
+    "n9_priority_distribution" -> (Priority.qDistribution _),
+    "n10_components"  -> (Duplicates.qComponents _),
+    "n11_unique_docs" -> (Duplicates.qUniqueDocs _),
+    "s1_summaries"    -> (Summarizer.qSummaries _),
+    "p1_pipeline"     -> (Pipeline.qPipeline _),
+    "p2_pipeline_stats" -> (Pipeline.qPipelineStats _),
+    // training-data pipeline pack (beyond-reference)
+    "x1_exact_digest"  -> (Dedup.qExactDups _),
+    "x2_jaccard_pairs" -> (Dedup.qJaccardPairs _),
+    "x3_minhash_lsh"   -> (Dedup.qMinhashLsh _),
+    "x4_simhash_pairs" -> (Dedup.qSimhashPairs _),
+    "x5_ann_topk"      -> (VectorSearch.qAnnTopK _),
+    "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
+    "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
+    "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
+    "x9_lang_id"       -> (TextQuality.qLangId _),
+    "x10_quality"      -> (TextQuality.qQuality _),
+    "x11_token_counts" -> (TextQuality.qTokenCounts _),
+    "x12_fingerprints" -> (TextQuality.qFingerprints _),
+    // multimodal plumbing
+    "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
+    "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
+    "m3_frames"        -> (Multimodal.qFrames _),
+    // streaming (batch-equivalent entry; streaming form tested via memory sink)
+    "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -303,5 +337,32 @@ object SparkEntry {
          |FROM per_doc GROUP BY lang""".stripMargin
     },
     // d12_random_sample: engine RNGs differ — rows-only check by design.
+
+    "n1_tf"        -> graft.oracles.NlpSql.tfSql,
+    "n2_idf"       -> graft.oracles.NlpSql.idfSql,
+    "n3_tfidf_top" -> graft.oracles.NlpSql.tfidfTopSql,
+    "n4_relevance" -> graft.oracles.NlpSql.relevanceQuerySql,
+    "n5_rank"      -> graft.oracles.NlpSql.rankQuerySql,
+    "n6_dup_pairs" -> graft.oracles.NlpSql.dupPairsSql(),
+    "n7_near_dups" -> graft.oracles.NlpSql.nearDupsSql(),
+    "n8_priority"  -> graft.oracles.NlpSql.prioritySql,
+    "n9_priority_distribution" -> graft.oracles.NlpSql.priorityDistributionSql,
+    // n10_components / n11_unique_docs: iterative connected components —
+    // not single-statement SQL; driver records rows-only checks.
+    // s1/p1/p2: contain TextRank summaries (not SQL-expressible) — rows-only.
+
+    "x1_exact_digest"  -> graft.oracles.TrainSql.exactDigestSql,
+    "x2_jaccard_pairs" -> graft.oracles.TrainSql.jaccardPairsSql,
+    // x3/x4/x7: xxhash64-based signatures — no DuckDB equivalent, rows-only.
+    "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
+    "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,
+    "x8_centroid_norms" -> graft.oracles.TrainSql.centroidNormsSql,
+    "x9_lang_id"       -> graft.oracles.TrainSql.langIdSql,
+    "x10_quality"      -> graft.oracles.TrainSql.qualitySql,
+    "x11_token_counts" -> graft.oracles.TrainSql.tokenCountsSql,
+    "x12_fingerprints" -> graft.oracles.TrainSql.fingerprintsSql,
+    "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
+    // m2/m3: stub decoder via mapPartitions — rows-only by design.
+    "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cosine-similarity duplicate detection and clustering (SURVEY.md §2.9
+  * N3, N17, N19–N22), following `pipeline/duplicate_detector.py`:
+  * sum-normalized TF vectors (`:57-72`), sparse cosine over shared terms
+  * (`:74-107`), all-pairs ≥ θ (default 0.8, `:127-167`), single-linkage
+  * clusters = connected components (`:216-264`), unique docs = min id per
+  * cluster plus standalones (`:266-299`).
+  *
+  * The reference's O(n²) Python loop becomes an inverted-index self-join:
+  * only documents sharing a term ever meet, partial-aggregated on the pair
+  * key. At 100 TB an ultra-common term would make one join key explode, so
+  * [[pairSimilarities]] takes a document-frequency cap that drops terms
+  * occurring in more than `dfCapFraction` of documents from the *candidate*
+  * join (exact mode `dfCapFraction = 1.0` keeps oracle parity; capped mode
+  * is the scale path — a term in >½ the corpus contributes little to
+  * distinguishing near-duplicates but dominates join fan-out; MinHash-LSH in
+  * [[Dedup]] is the fully sub-quadratic alternative).
+  *
+  * Thresholding happens on the 6-decimal-rounded similarity so the ≥ θ cut
+  * is reproducible across engines regardless of float summation order.
+  */
+object Duplicates {
+
+  /** N3: sum-normalized TF vectors in long form (doc_id, token, tf). */
+  def tfSum(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    Relevance.termCounts(docs)
+      .withColumn("tf", col("cnt").cast("double") / sum("cnt").over(w))
+      .select("doc_id", "token", "tf")
+  }
+
+  /** Per-document L2 norm of the TF vector. */
+  def norms(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+
+  /** N19: all document pairs with cosine similarity ≥ threshold.
+    * Output: (id1, id2, sim) with id1 < id2, sim rounded to 6.
+    */
+  def pairSimilarities(docs: DataFrame, threshold: Double = 0.8,
+                       dfCapFraction: Double = 1.0): DataFrame = {
+    val tf = tfSum(docs)
+    val joinTf =
+      if (dfCapFraction >= 1.0) tf
+      else {
+        val n = docs.agg(count(lit(1)).as("corpus_n"))
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .where(col("df") <= col("corpus_n") * dfCapFraction)
+          .select("token")
+        tf.join(broadcast(df), "token")
+      }
+    val a = joinTf.select(col("doc_id").as("id1"), col("token"), col("tf").as("tf1"))
+    val b = joinTf.select(col("doc_id").as("id2"), col("token"), col("tf").as("tf2"))
+    val dots = a.join(b, Seq("token"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(sum(col("tf1") * col("tf2")).as("dot"))
+    val nrm = norms(tf)
+    dots
+      .join(nrm.select(col("doc_id").as("id1"), col("nrm").as("n1")), "id1")
+      .join(nrm.select(col("doc_id").as("id2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** N21: single-linkage clusters = connected components of the ≥ θ
+    * similarity graph.
+    *
+    * Default path: the *edge list* (thresholded pairs) is orders of
+    * magnitude smaller than the corpus — collect it, run union-find on the
+    * driver (O(E α(E))), broadcast the label map back as a join. This is
+    * the right trade at any corpus size where θ keeps the duplicate graph
+    * sparse; for genuinely huge duplicate graphs use
+    * [[componentsIterative]], the distributed min-label-propagation loop.
+    *
+    * Output: (doc_id, component) for every document, where component is the
+    * smallest doc_id reachable through the ≥ θ similarity graph.
+    */
+  def components(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairSimilarities(docs, threshold)
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val labelMap = parent.keys.map(k => k -> find(k)).toMap
+    val labels = labelMap.toSeq.toDF("doc_id", "mapped")
+    docs.select("doc_id")
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("mapped"), col("doc_id")).as("component"))
+  }
+
+  /** Distributed connected components for edge lists too large to collect:
+    * min-label propagation with `localCheckpoint` per iteration. The
+    * checkpoint is load-bearing — `cache()` alone leaves the logical plan
+    * growing exponentially with iterations and planning time explodes.
+    */
+  def componentsIterative(docs: DataFrame, threshold: Double = 0.8,
+                          maxIter: Int = 20): DataFrame = {
+    val pairs = pairSimilarities(docs, threshold).select("id1", "id2").localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id2"), "id2")
+        .groupBy(col("id1").as("doc_id"))
+        .agg(min("component").as("nbr_component"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** N22: unique-document selection — the smallest id of every cluster plus
+    * all standalone documents, i.e. exactly the ids whose component label is
+    * themselves.
+    */
+  def uniqueDocuments(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    components(docs, threshold)
+      .where(col("doc_id") === col("component"))
+      .select("doc_id")
+
+  /** N20: near-duplicates of one target document (one-vs-all cosine ≥ θ). */
+  def nearDuplicatesOf(docs: DataFrame, targetId: Long,
+                       threshold: Double = 0.8): DataFrame = {
+    val tf = tfSum(docs)
+    val target = tf.where(col("doc_id") === targetId)
+      .select(col("token"), col("tf").as("tf_t"))
+    val nrm = norms(tf)
+    val nT = nrm.where(col("doc_id") === targetId)
+      .select(col("nrm").as("n_t"))
+    tf.where(col("doc_id") =!= targetId)
+      .join(broadcast(target), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf_t")).as("dot"))
+      .join(nrm, "doc_id")
+      .crossJoin(broadcast(nT))
+      .select(col("doc_id"), round(col("dot") / (col("nrm") * col("n_t")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  // --- query entries ---
+
+  def qDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairSimilarities(Tables.documents(spark, sfDir))
+
+  def qComponents(spark: SparkSession, sfDir: String): DataFrame =
+    components(Tables.documents(spark, sfDir))
+
+  def qUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
+    uniqueDocuments(Tables.documents(spark, sfDir))
+
+  def qNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    nearDuplicatesOf(Tables.documents(spark, sfDir), targetId = 0L)
+}

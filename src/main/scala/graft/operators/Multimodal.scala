@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines (beyond-reference
+  * pack): image/audio/video assets as opaque `binary` columns with typed
+  * metadata, batch-decoded per partition.
+  *
+  * The real decode step (libjpeg/ffmpeg et al.) is STUBBED — this container
+  * has no media libraries — behind [[FakeDecoder]], a deterministic
+  * byte-inspection fake with the same signature a real decoder would have.
+  * Everything Spark-side is real and tested: the asset schema, the
+  * `Dataset[Asset].mapPartitions` batch shape (decoder initialized once per
+  * partition, exactly how a heavyweight codec handle should be scoped on an
+  * executor), partition sizing by byte budget, and frame-sampling fan-out.
+  */
+object Multimodal {
+
+  case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
+  case class AssetMeta(asset_id: Long, kind: String, n_bytes: Long,
+                       width: Int, height: Int, checksum: Long)
+  case class Frame(asset_id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
+
+  /** STUB decoder — deterministic byte inspection standing in for a codec.
+    * A real deployment replaces `decodeMeta`/`sampleFrames` bodies with
+    * libjpeg/ffmpeg calls; the call sites, batching and schemas stay as-is.
+    */
+  object FakeDecoder {
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Long) = {
+      val w = if (payload.isEmpty) 0 else (payload(0) & 0x3F) + 1
+      val h = if (payload.length < 2) 0 else (payload(1) & 0x3F) + 1
+      var ck = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { ck = ck * 31 + payload(i); i += 1 }
+      (w, h, ck)
+    }
+    def sampleFrames(payload: Array[Byte], every: Int): Iterator[(Int, Long, Array[Byte])] =
+      payload.grouped(every).zipWithIndex.collect {
+        case (chunk, idx) if idx % 4 == 0 => (idx, idx.toLong * every, chunk)
+      }
+  }
+
+  /** Synthesize an assets table from the documents corpus (UTF-8 payloads)
+    * — the container ships no binary media, so tests and queries exercise
+    * the plumbing on deterministic bytes.
+    */
+  def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[Asset]
+  }
+
+  /** Metadata extraction: one decoder per partition, streamed batches —
+    * the canonical executor-side shape for codec-bound work.
+    */
+  def extractMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: val codec = Codec.open() — once per partition
+      it.map { a =>
+        val (w, h, ck) = FakeDecoder.decodeMeta(a.payload)
+        AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, w, h, ck)
+      }
+    }
+  }
+
+  /** Frame sampling fan-out: video assets → every-4th 64-byte frame. */
+  def sampleFrames(assets: Dataset[Asset], frameBytes: Int = 64): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").flatMap { a =>
+      FakeDecoder.sampleFrames(a.payload, frameBytes).map {
+        case (idx, off, bytes) => Frame(a.asset_id, idx, off, bytes)
+      }
+    }
+  }
+
+  // --- query entries ---
+
+  /** Byte/metadata columns expressible relationally (oracle-checkable):
+    * size, sha256, first-byte-derived fake dimensions — the column-level
+    * mirror of [[extractMeta]].
+    */
+  def qAssetMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("sha256"),
+      (ascii(col("text")) % 64 + 1).cast("long").as("fake_width"),
+      (ascii(substring(col("text"), 2, 1)) % 64 + 1).cast("long").as("fake_height"))
+
+  /** The mapPartitions decode path itself (rows-only check — stub decoder
+    * has no SQL equivalent).
+    */
+  def qDecodedMeta(spark: SparkSession, sfDir: String): DataFrame =
+    extractMeta(syntheticAssets(spark, sfDir)).toDF()
+
+  def qFrames(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(syntheticAssets(spark, sfDir)).toDF()
+      .select(col("asset_id"), col("frame_idx"), col("offset"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end content-analysis orchestration (SURVEY.md §2.9 N32 /
+  * §3.3), mirroring `pipeline/pipeline.py:248-323`: fetch → relevance on
+  * the FULL corpus → duplicate detection → unique-document filter →
+  * summaries and priorities computed only for unique documents → compiled
+  * results + statistics, sunk to a results table.
+  *
+  * The dependency structure of the reference is preserved (relevance over
+  * all docs, downstream stages over unique docs only,
+  * `pipeline.py:276-294`), but it is one lazily-composed DAG: the token
+  * scan is shared by relevance and dedup, and the final join assembles all
+  * scores in a single pass.
+  */
+object Pipeline {
+
+  /** Per-document analysis results for the unique (post-dedup) corpus. */
+  def process(docs: DataFrame,
+              keywords: Seq[String] = Relevance.Keywords,
+              dupThreshold: Double = 0.8,
+              summarySentences: Int = 3): DataFrame = {
+    val rel = Relevance.relevanceScores(docs, keywords)
+    val unique = Duplicates.uniqueDocuments(docs, dupThreshold)
+    docs.join(unique, "doc_id")
+      .join(rel, "doc_id")
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, 500).as("text"),
+        col("combined").as("relevance_score"),
+        Summarizer.summarizeUdf(col("text"), lit(summarySentences)).as("summary"))
+      .join(Priority.classify(docs, keywords)
+              .select(col("doc_id"), col("priority_score"), col("priority_level")),
+            "doc_id")
+  }
+
+  /** Corpus-level statistics of a pipeline run
+    * (`pipeline/pipeline.py:325-354`).
+    */
+  def statistics(results: DataFrame): DataFrame =
+    results.agg(
+      count(lit(1)).as("n_documents"),
+      round(avg("relevance_score"), 6).as("avg_relevance"),
+      round(min("relevance_score"), 6).as("min_relevance"),
+      round(max("relevance_score"), 6).as("max_relevance"))
+
+  /** Sink: the reference's `analysis_results` table as partitioned parquet
+    * (`pipeline/pipeline.py:374-429` — message_id/relevance/summary/
+    * priority columns).
+    */
+  def writeResults(results: DataFrame, path: String): Unit =
+    results
+      .withColumn("analyzed_at", lit("1970-01-01 00:00:00")) // deterministic for tests
+      .write.mode("overwrite").parquet(path)
+
+  // --- query entries (rows-only: summary column is TextRank output) ---
+
+  def qPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    process(Tables.documents(spark, sfDir))
+
+  def qPipelineStats(spark: SparkSession, sfDir: String): DataFrame =
+    statistics(process(Tables.documents(spark, sfDir)).drop("summary"))
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF relevance scoring (SURVEY.md §2.9 N1–N10), fully relational — no
+  * UDFs, every step a DataFrame the optimizer can see through.
+  *
+  * Semantics follow `pipeline/relevance_scorer.py`:
+  *  - TF is max-normalized per document (`relevance_scorer.py:62-78`);
+  *  - IDF = ln(N / (1 + df)) over the corpus (`relevance_scorer.py:80-101`),
+  *    missing terms default to ln(N + 1) (`relevance_scorer.py:122`) — moot
+  *    here because TF-IDF is only evaluated on terms present in the doc;
+  *  - keyword density = matched keyword tokens / all tokens
+  *    (`relevance_scorer.py:127-144`) — multiword keywords can never match
+  *    a single token; this quirk is preserved;
+  *  - coverage = fraction of the keyword list present in the token set
+  *    (`relevance_scorer.py:146-160`);
+  *  - tfidf keyword score = sum of strictly-positive keyword TF-IDFs over
+  *    the keyword count (`relevance_scorer.py:162-181`; negative-IDF terms
+  *    are dropped by the `s > 0` filter — preserved);
+  *  - combined = 0.3·density + 0.4·coverage + 0.3·tfidf
+  *    (`relevance_scorer.py:183-224`).
+  *
+  * Scale shape: tokens → (doc, term) counts is one shuffle with map-side
+  * combine; the per-doc max/sum ride a window over the already-partitioned
+  * aggregate; IDF is a tiny per-term table joined back on the term key.
+  * Outputs are rounded to 6 decimals so cross-engine float noise (libm `ln`,
+  * summation order) cannot flip the oracle.
+  */
+object Relevance {
+
+  /** Default keyword list for the corpus-level query entries (single-token,
+    * present in the synthetic vocabulary). The reference's default list is
+    * caller-supplied; tests exercise multiword quirks separately.
+    */
+  val Keywords: Seq[String] = Seq("spark", "query", "join", "stream", "window")
+
+  /** N1: long-form tokens `(doc_id, token)`, duplicates preserved. */
+  def tokensDF(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+
+  /** (doc_id, token, cnt) term counts — the base for TF and IDF. */
+  def termCounts(docs: DataFrame): DataFrame =
+    tokensDF(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+
+  /** N2: max-normalized TF per (doc, term). */
+  def tfMax(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    termCounts(docs).withColumn("tf", col("cnt").cast("double") / max("cnt").over(w))
+  }
+
+  /** N4: corpus IDF per term, ln(N/(1+df)). N is carried via a broadcast
+    * 1-row aggregate so the plan stays lazy (no driver-side count).
+    */
+  def idf(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("corpus_n"))
+    termCounts(docs)
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("df"),
+        log(col("corpus_n").cast("double") / (col("df") + 1)).as("idf"))
+  }
+
+  /** N5: TF-IDF long form (doc_id, token, tfidf). */
+  def tfidf(docs: DataFrame): DataFrame =
+    tfMax(docs).join(idf(docs).select("token", "idf"), "token")
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
+
+  /** N6–N9: per-document relevance scores for a keyword list. Documents
+    * with no tokens (or no matches) score 0 across the board, like the
+    * reference's empty-guard paths.
+    */
+  def relevanceScores(docs: DataFrame, keywords: Seq[String] = Keywords): DataFrame = {
+    val kw = keywords.map(_.toLowerCase)
+    val kwArr = lit(kw.toArray)
+    val toks = tokensDF(docs)
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(array_contains(kwArr, col("token")), 1).otherwise(0)).as("kw_tokens"),
+      countDistinct(when(array_contains(kwArr, col("token")), col("token"))).as("kw_matched"))
+    val tfkw = tfidf(docs)
+      .where(array_contains(kwArr, col("token")) && col("tfidf") > 0)
+      .groupBy("doc_id").agg(sum(col("tfidf")).as("kw_tfidf_sum"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(tfkw, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        round(coalesce(col("kw_tokens") / col("n_tokens"), lit(0.0)), 6).as("density"),
+        round(coalesce(col("kw_matched") / lit(kw.size.toDouble), lit(0.0)), 6).as("coverage"),
+        round(coalesce(col("kw_tfidf_sum") / lit(kw.size.toDouble), lit(0.0)), 6).as("tfidf_score"),
+        round(
+          coalesce(col("kw_tokens") / col("n_tokens"), lit(0.0)) * 0.3 +
+          coalesce(col("kw_matched") / lit(kw.size.toDouble), lit(0.0)) * 0.4 +
+          coalesce(col("kw_tfidf_sum") / lit(kw.size.toDouble), lit(0.0)) * 0.3, 6)
+          .as("combined"))
+  }
+
+  /** N10: ranked corpus, top-k by combined score (tie-broken on doc_id). */
+  def rankDocuments(docs: DataFrame, keywords: Seq[String] = Keywords,
+                    topK: Int = 100): DataFrame =
+    relevanceScores(docs, keywords)
+      .orderBy(desc("combined"), asc("doc_id"))
+      .limit(topK)
+
+  // --- query entries over the documents table ---
+
+  def qTf(spark: SparkSession, sfDir: String): DataFrame =
+    tfMax(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("token"), col("cnt"), round(col("tf"), 6).as("tf"))
+
+  def qIdf(spark: SparkSession, sfDir: String): DataFrame =
+    idf(Tables.documents(spark, sfDir))
+      .select(col("token"), col("df"), round(col("idf"), 6).as("idf"))
+
+  def qTfidfTop(spark: SparkSession, sfDir: String): DataFrame =
+    tfidf(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(desc("tfidf"), asc("doc_id"), asc("token"))
+      .limit(200)
+
+  def qRelevance(spark: SparkSession, sfDir: String): DataFrame =
+    relevanceScores(Tables.documents(spark, sfDir))
+
+  def qRank(spark: SparkSession, sfDir: String): DataFrame =
+    rankDocuments(Tables.documents(spark, sfDir))
+}

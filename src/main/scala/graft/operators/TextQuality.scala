@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (beyond-reference
+  * pack): language identification, quality scoring, token counting, and
+  * document fingerprinting — all pure column algebra, one scan, no UDFs,
+  * so a 100 TB corpus pays exactly one pass.
+  */
+object TextQuality {
+
+  /** Tiny function-word lists per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic: argmax of hit counts with
+    * alphabetical tie-break (de < en < es < fr < zh).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "for", "with", "that", "this"),
+    "es" -> Seq("el", "la", "los", "las", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "que", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "zai", "you", "wo"))
+
+  /** All lowercase word tokens ≥1 char (language ID must see stopwords —
+    * they ARE the signal — so this does not reuse the stopword-filtered
+    * tokenizer).
+    */
+  private def allWords(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Language-ID: hit count per marker list, argmax with alphabetical
+    * tie-break, plus a confidence = hits(best)/words.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val words = allWords(col("text"))
+    val hitCols = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(words, w => array_contains(lit(ms.toArray), w)))
+    }
+    val maxHits = greatest(hitCols.map(_._2): _*)
+    // when-chain in list (alphabetical) order: the first language reaching
+    // the max hit count wins — deterministic tie-break.
+    val detected = hitCols.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang").as("declared_lang"),
+      detected.as("detected_lang"),
+      round(maxHits.cast("double") / greatest(size(words), lit(1)), 6).as("confidence"))
+  }
+
+  /** Quality score ∈ [0,1]: equal-weight blend of length adequacy
+    * (chars/500 capped), word-count adequacy (words/100 capped), low
+    * punctuation-noise ratio, and a stopword-ratio plausibility band
+    * (natural text carries 10–60% stopwords).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text)
+    val words = TextFns.wordCount(text)
+    val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
+    val allW = allWords(text)
+    val stopHits = size(filter(allW, w => array_contains(lit(TextFns.Stopwords.toArray), w)))
+    val stopRatio = stopHits.cast("double") / greatest(size(allW), lit(1))
+    val q =
+      least(nChars.cast("double") / 500.0, lit(1.0)) * 0.25 +
+      least(words.cast("double") / 100.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
+      when(stopRatio >= 0.10 && stopRatio <= 0.60, 1.0).otherwise(0.0) * 0.25
+    docs.select(col("doc_id"),
+      nChars.cast("long").as("n_chars_measured"),
+      words.cast("long").as("n_words"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(q, 6).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation count
+    * (letter runs, digit runs, single non-alnum marks — an upper bound on
+    * subword vocab pieces).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpeish = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    docs.select(col("doc_id"),
+      TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
+      size(bpeish).cast("long").as("bpeish_tokens"),
+      (size(bpeish).cast("double") / greatest(TextFns.wordCount(col("text")), lit(1)))
+        .as("fertility"))
+  }
+
+  /** Document fingerprints: an md5 content digest over the normalized text
+    * (lowercased, whitespace collapsed — robust to formatting) and a
+    * 64-bit rolling polynomial hash over the token stream (order-sensitive,
+    * for chunk-level dedup).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val rolling = aggregate(
+      TextFns.tokens(col("text")), lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
+    docs.select(col("doc_id"),
+      md5(norm.cast("binary")).as("content_md5"),
+      rolling.as("rolling_hash"))
+  }
+
+  // --- query entries ---
+
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame =
+    langId(Tables.documents(spark, sfDir))
+
+  def qQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScore(Tables.documents(spark, sfDir))
+
+  def qTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, sfDir))
+
+  def qFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    fingerprints(Tables.documents(spark, sfDir))
+      .select("doc_id", "content_md5") // rolling hash is xxhash64-based: no oracle
+}

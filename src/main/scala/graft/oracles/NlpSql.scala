@@ -1,0 +1,178 @@
+package graft.oracles
+
+import graft.functions.TextFns
+import graft.operators.{Priority, Relevance}
+
+/** DuckDB oracle SQL builders for the NLP operators — the same tokenizer
+  * regex, stopword list, normalizations, rounding, and thresholds as the
+  * Spark implementations in [[graft.operators.Relevance]],
+  * [[graft.operators.Duplicates]] and [[graft.operators.Priority]], so the
+  * driver's hash compare is reproducible across engines.
+  */
+object NlpSql {
+
+  private val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+  private def kwList(kws: Seq[String]) = kws.map(k => s"'$k'").mkString("(", ", ", ")")
+
+  /** Shared CTE prefix: tokens → stopword-filtered → per-(doc,term) counts. */
+  val baseCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b')) AS token
+       |  FROM documents),
+       |fil AS (SELECT doc_id, token FROM toks WHERE token NOT IN ($stop)),
+       |cnts AS (SELECT doc_id, token, count(*) AS cnt FROM fil GROUP BY doc_id, token)""".stripMargin
+
+  val tfSql: String =
+    s"""WITH $baseCtes
+       |SELECT doc_id, token, cnt,
+       |       round(cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id), 6) AS tf
+       |FROM cnts""".stripMargin
+
+  val idfSql: String =
+    s"""WITH $baseCtes
+       |SELECT token, count(*) AS df,
+       |       round(ln((SELECT count(*) FROM documents) * 1.0 / (1 + count(*))), 6) AS idf
+       |FROM cnts GROUP BY token""".stripMargin
+
+  val tfidfTopSql: String =
+    s"""WITH $baseCtes,
+       |tf AS (SELECT doc_id, token, cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id) AS tf
+       |       FROM cnts),
+       |idf AS (SELECT token,
+       |               ln((SELECT count(*) FROM documents) * 1.0 / (1 + count(*))) AS idf
+       |        FROM cnts GROUP BY token)
+       |SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+       |FROM tf JOIN idf USING (token)
+       |ORDER BY tfidf DESC, doc_id, token LIMIT 200""".stripMargin
+
+  /** Relevance CTE chain for a keyword list; yields per-doc density /
+    * coverage / tfidf_score / combined, all rounded to 6.
+    */
+  def relevanceSql(kws: Seq[String]): String = {
+    val in = kwList(kws.map(_.toLowerCase))
+    val k = kws.size
+    s"""$baseCtes,
+       |tf AS (SELECT doc_id, token, cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id) AS tf
+       |       FROM cnts),
+       |idf AS (SELECT token,
+       |               ln((SELECT count(*) FROM documents) * 1.0 / (1 + count(*))) AS idf
+       |        FROM cnts GROUP BY token),
+       |tfidf AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS tfidf
+       |          FROM tf JOIN idf USING (token)),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         sum(CASE WHEN token IN $in THEN 1 ELSE 0 END) AS kw_tokens,
+       |         count(DISTINCT CASE WHEN token IN $in THEN token END) AS kw_matched
+       |  FROM fil GROUP BY doc_id),
+       |tfkw AS (SELECT doc_id, sum(tfidf) AS kw_tfidf_sum FROM tfidf
+       |         WHERE token IN $in AND tfidf > 0 GROUP BY doc_id),
+       |rel AS (
+       |  SELECT d.doc_id,
+       |         round(coalesce(kw_tokens * 1.0 / n_tokens, 0), 6) AS density,
+       |         round(coalesce(kw_matched * 1.0 / $k, 0), 6) AS coverage,
+       |         round(coalesce(kw_tfidf_sum / $k, 0), 6) AS tfidf_score,
+       |         round(coalesce(kw_tokens * 1.0 / n_tokens, 0) * 0.3 +
+       |               coalesce(kw_matched * 1.0 / $k, 0) * 0.4 +
+       |               coalesce(kw_tfidf_sum / $k, 0) * 0.3, 6) AS combined
+       |  FROM documents d
+       |  LEFT JOIN perdoc USING (doc_id) LEFT JOIN tfkw USING (doc_id))""".stripMargin
+  }
+
+  val relevanceQuerySql: String =
+    s"""WITH ${relevanceSql(Relevance.Keywords)}
+       |SELECT doc_id, density, coverage, tfidf_score, combined FROM rel""".stripMargin
+
+  val rankQuerySql: String =
+    s"""WITH ${relevanceSql(Relevance.Keywords)}
+       |SELECT doc_id, density, coverage, tfidf_score, combined FROM rel
+       |ORDER BY combined DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Sum-normalized TF + inverted-index cosine pairs ≥ θ on rounded sim. */
+  def dupPairsSql(threshold: Double = 0.8): String =
+    s"""WITH $baseCtes,
+       |tf AS (SELECT doc_id, token, cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS tf
+       |       FROM cnts),
+       |norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.tf * b.tf) AS dot
+       |         FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT id1, id2, round(dot / (na.nrm * nb.nrm), 6) AS sim
+       |FROM dots
+       |JOIN norms na ON id1 = na.doc_id
+       |JOIN norms nb ON id2 = nb.doc_id
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
+
+  def nearDupsSql(targetId: Long = 0L, threshold: Double = 0.8): String =
+    s"""WITH $baseCtes,
+       |tf AS (SELECT doc_id, token, cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS tf
+       |       FROM cnts),
+       |norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id, sum(a.tf * t.tf) AS dot
+       |         FROM tf a JOIN tf t ON a.token = t.token
+       |         WHERE t.doc_id = $targetId AND a.doc_id <> $targetId
+       |         GROUP BY 1)
+       |SELECT d.doc_id, round(d.dot / (n.nrm * nt.nrm), 6) AS sim
+       |FROM dots d
+       |JOIN norms n ON d.doc_id = n.doc_id
+       |CROSS JOIN (SELECT nrm AS nrm FROM norms WHERE doc_id = $targetId) nt(nrm)
+       |WHERE round(d.dot / (n.nrm * nt.nrm), 6) >= $threshold""".stripMargin
+
+  /** Priority classification on top of the relevance CTEs. */
+  val prioritySql: String = {
+    val crit = Priority.CriticalKeywords
+      .map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")
+    val high = Priority.HighKeywords
+      .map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")
+    s"""WITH ${relevanceSql(Relevance.Keywords)},
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         rel.combined AS relevance_score,
+       |         CASE WHEN wc < 50 THEN 0.1 WHEN wc < 200 THEN 0.5
+       |              WHEN wc < 500 THEN 0.8 ELSE 1.0 END AS length_score,
+       |         CASE WHEN $crit THEN 1.0 WHEN $high THEN 0.7 ELSE 0.0 END AS keyword_score
+       |  FROM (SELECT doc_id, text,
+       |               len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                   x -> x <> '')) AS wc
+       |        FROM documents) d
+       |  JOIN rel ON d.doc_id = rel.doc_id),
+       |final AS (
+       |  SELECT doc_id, relevance_score, length_score, keyword_score,
+       |         round(relevance_score * 0.4 + length_score * 0.2 +
+       |               keyword_score * 0.3 + 0.5 * 0.1, 6) AS priority_score
+       |  FROM scored)
+       |SELECT doc_id, relevance_score, length_score, keyword_score, priority_score,
+       |       CASE WHEN priority_score >= 0.85 THEN 'CRITICAL'
+       |            WHEN priority_score >= 0.65 THEN 'HIGH'
+       |            WHEN priority_score >= 0.45 THEN 'MEDIUM'
+       |            WHEN priority_score >= 0.25 THEN 'LOW'
+       |            ELSE 'NONE' END AS priority_level,
+       |       concat_ws('|',
+       |         CASE WHEN keyword_score >= 1.0 THEN 'critical keyword match' END,
+       |         CASE WHEN keyword_score = 0.7 THEN 'high-priority keyword match' END,
+       |         CASE WHEN relevance_score >= 0.7 THEN 'high relevance' END,
+       |         CASE WHEN length_score >= 0.8 THEN 'comprehensive content' END) AS reasons
+       |FROM final""".stripMargin
+  }
+
+  val priorityDistributionSql: String =
+    s"""WITH ${relevanceSql(Relevance.Keywords)},
+       |scored AS (
+       |  SELECT round(rel.combined * 0.4 +
+       |               (CASE WHEN wc < 50 THEN 0.1 WHEN wc < 200 THEN 0.5
+       |                     WHEN wc < 500 THEN 0.8 ELSE 1.0 END) * 0.2 +
+       |               (CASE WHEN ${Priority.CriticalKeywords.map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")} THEN 1.0
+       |                     WHEN ${Priority.HighKeywords.map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")} THEN 0.7
+       |                     ELSE 0.0 END) * 0.3 + 0.05, 6) AS priority_score
+       |  FROM (SELECT doc_id, text,
+       |               len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                   x -> x <> '')) AS wc
+       |        FROM documents) d
+       |  JOIN rel ON d.doc_id = rel.doc_id)
+       |SELECT CASE WHEN priority_score >= 0.85 THEN 'CRITICAL'
+       |            WHEN priority_score >= 0.65 THEN 'HIGH'
+       |            WHEN priority_score >= 0.45 THEN 'MEDIUM'
+       |            WHEN priority_score >= 0.25 THEN 'LOW'
+       |            ELSE 'NONE' END AS priority_level,
+       |       count(*) AS n
+       |FROM scored GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,132 @@
+package graft.oracles
+
+import graft.functions.TextFns
+import graft.operators.TextQuality
+
+/** DuckDB oracle SQL for the training-data pipeline operators
+  * ([[graft.operators.Dedup]], [[graft.operators.VectorSearch]],
+  * [[graft.operators.TextQuality]], [[graft.operators.Multimodal]],
+  * [[graft.streaming.EventStream]]).
+  */
+object TrainSql {
+
+  private val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val exactDigestSql: String =
+    """SELECT doc_id, digest,
+      |       count(*) OVER (PARTITION BY digest) AS group_size,
+      |       min(doc_id) OVER (PARTITION BY digest) AS keep_doc,
+      |       doc_id <> min(doc_id) OVER (PARTITION BY digest) AS is_duplicate
+      |FROM (SELECT doc_id, md5(text) AS digest FROM documents)""".stripMargin
+
+  val jaccardPairsSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(len(t) - 2),
+       |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
+       |  FROM toksl),
+       |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+       |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5""".stripMargin
+
+  val annTopKSql: String =
+    """SELECT e.vec_id, e.label,
+      |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+      |FROM embeddings e
+      |CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+      |WHERE e.vec_id <> 0
+      |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  val embNearDupsSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin
+
+  val centroidNormsSql: String =
+    """WITH per AS (
+      |  SELECT label, i.range AS dim, avg(embedding[i.range + 1]::DOUBLE) AS cx
+      |  FROM embeddings, range(0, 64) i GROUP BY 1, 2)
+      |SELECT label, round(sqrt(sum(cx * cx)), 6) AS centroid_norm
+      |FROM per GROUP BY label""".stripMargin
+
+  val langIdSql: String = {
+    val hitCols = TextQuality.LangMarkers.map { case (lang, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(words, x -> x IN ($in))) AS c_$lang"
+    }.mkString(",\n         ")
+    val langs = TextQuality.LangMarkers.map(_._1)
+    val caseChain = langs.map(l => s"WHEN c_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS words
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, len(words) AS nw,
+       |         $hitCols
+       |      FROM w),
+       |g AS (SELECT *, greatest(${langs.map("c_" + _).mkString(", ")}) AS g FROM c)
+       |SELECT doc_id, lang AS declared_lang,
+       |       CASE $caseChain ELSE 'und' END AS detected_lang,
+       |       round(g * 1.0 / greatest(nw, 1), 6) AS confidence
+       |FROM g""".stripMargin
+  }
+
+  val qualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars_measured,
+       |         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words,
+       |         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0
+       |           / greatest(length(text), 1) AS punct_ratio,
+       |         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |             w -> w IN ($stop))) * 1.0
+       |           / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS stop_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_chars_measured, n_words,
+       |       round(punct_ratio, 6) AS punct_ratio,
+       |       round(stop_ratio, 6) AS stopword_ratio,
+       |       round(least(n_chars_measured / 500.0, 1.0) * 0.25 +
+       |             least(n_words / 100.0, 1.0) * 0.25 +
+       |             (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25 +
+       |             (CASE WHEN stop_ratio >= 0.10 AND stop_ratio <= 0.60
+       |                   THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality
+       |FROM m""".stripMargin
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+      |         / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+      |         AS fertility
+      |FROM documents""".stripMargin
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_md5
+      |FROM documents""".stripMargin
+
+  val assetMetaSql: String =
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       sha256(text) AS sha256,
+      |       unicode(text) % 64 + 1 AS fake_width,
+      |       unicode(substr(text, 2, 1)) % 64 + 1 AS fake_height
+      |FROM documents""".stripMargin
+
+  val dailyCountsSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conversation-export ingest (SURVEY.md §2.1 S1–S7, §3.1): raw Claude /
+  * ChatGPT `conversations.json` exports → the normalized `conversations` and
+  * `messages` tables of the reference (`uni_parse.py:22-63`).
+  *
+  * Spark-first shapes:
+  *  - S1 streaming array reader → `spark.read.json` (schema-on-read with an
+  *    explicit StructType, multiLine for one-big-array exports);
+  *  - S3 Claude flatten → `posexplode(chat_messages)` (array position =
+  *    order_index, `uni_parse.py:332`);
+  *  - S4 ChatGPT tree → per-conversation BFS in a typed `flatMap` (the map
+  *    of nodes is genuinely recursive — no relational equivalent; BFS
+  *    traversal position = order_index, `uni_parse.py:502`);
+  *  - S5 timestamp normalization → `to_timestamp` / `from_unixtime`;
+  *  - S6 idempotent upsert → `dropDuplicates("id")` before an overwrite
+  *    partitioned write;
+  *  - S7 validation/repair → PERMISSIVE mode with `_corrupt_record`.
+  */
+object Ingest {
+
+  // --- Claude dialect (uni_parse.py:260-335) ---
+
+  val claudeSchema: StructType = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("name", StringType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("account", StructType(Seq(StructField("uuid", StringType)))),
+    StructField("chat_messages", ArrayType(StructType(Seq(
+      StructField("uuid", StringType),
+      StructField("sender", StringType),
+      StructField("text", StringType),
+      StructField("created_at", StringType)))))))
+
+  /** ISO-8601 (Z → UTC) and epoch-seconds normalization (S5,
+    * `uni_parse.py:510-544`) to the reference's `%Y-%m-%d %H:%M:%S` shape.
+    */
+  private def normTs(c: org.apache.spark.sql.Column) =
+    date_format(coalesce(
+      to_timestamp(regexp_replace(c, "Z$", "+00:00")),
+      to_timestamp(from_unixtime(c.cast("double").cast("long")))),
+      "yyyy-MM-dd HH:mm:ss")
+
+  def readClaude(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(claudeSchema).option("multiLine", "true").json(path)
+
+  /** Claude conversations table (platform literal, account id, original id —
+    * `uni_parse.py:279-295`).
+    */
+  def claudeConversations(raw: DataFrame): DataFrame =
+    raw.select(
+      col("uuid").as("id"),
+      col("name").as("title"),
+      lit("claude").as("platform"),
+      normTs(col("created_at")).as("created_at"),
+      normTs(col("updated_at")).as("updated_at"),
+      col("account.uuid").as("account_id"),
+      col("uuid").as("original_id"))
+      .dropDuplicates("id")
+
+  /** Claude messages: one row per chat_messages element, array position as
+    * order_index (`uni_parse.py:317-335`), content truncated at 100k chars
+    * (`uni_parse.py:497-499`).
+    */
+  def claudeMessages(raw: DataFrame): DataFrame =
+    raw.select(col("uuid").as("conversation_id"),
+        posexplode(col("chat_messages")).as(Seq("order_index", "m")))
+      .select(
+        col("m.uuid").as("id"),
+        col("conversation_id"),
+        lit(null).cast(StringType).as("parent_id"),
+        col("m.sender").as("sender"),
+        col("m.sender").as("role"),
+        substring(col("m.text"), 1, 100000).as("content"),
+        normTs(col("m.created_at")).as("created_at"),
+        lit("claude").as("model"),
+        col("order_index").cast(IntegerType).as("order_index"))
+      .dropDuplicates("id")
+
+  // --- ChatGPT dialect (uni_parse.py:337-508) ---
+
+  case class MessageRow(id: String, conversation_id: String, parent_id: String,
+                        sender: String, role: String, content: String,
+                        created_at: String, model: String, order_index: Int)
+
+  val chatgptSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("create_time", DoubleType),
+    StructField("update_time", DoubleType),
+    StructField("mapping", MapType(StringType, StructType(Seq(
+      StructField("parent", StringType),
+      StructField("children", ArrayType(StringType)),
+      StructField("message", StructType(Seq(
+        StructField("author", StructType(Seq(StructField("role", StringType)))),
+        StructField("content", StructType(Seq(
+          StructField("parts", ArrayType(StringType))))),
+        StructField("create_time", DoubleType),
+        StructField("metadata", StructType(Seq(
+          StructField("model_slug", StringType)))))))))))))
+
+  def readChatgpt(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(chatgptSchema).option("multiLine", "true").json(path)
+
+  private def fmtEpoch(t: Option[Double]): String =
+    t.map { secs =>
+      java.time.LocalDateTime.ofEpochSecond(secs.toLong, 0, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }.orNull
+
+  def chatgptConversations(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"),
+      col("title"),
+      lit("chatgpt").as("platform"),
+      date_format(to_timestamp(from_unixtime(col("create_time").cast("long"))),
+        "yyyy-MM-dd HH:mm:ss").as("created_at"),
+      date_format(to_timestamp(from_unixtime(col("update_time").cast("long"))),
+        "yyyy-MM-dd HH:mm:ss").as("updated_at"),
+      lit(null).cast(StringType).as("account_id"),
+      col("id").as("original_id"))
+      .dropDuplicates("id")
+
+  /** BFS flatten of the ChatGPT message tree (S4): start from the parentless
+    * root, traverse children in order, emit role-bearing nodes with BFS
+    * position as order_index — `uni_parse.py:380-508`. Role normalization
+    * user→human, rest kept (`uni_parse.py:448-452`); content =
+    * `content.parts` head; model = `metadata.model_slug`.
+    */
+  def chatgptMessages(spark: SparkSession, raw: DataFrame): Dataset[MessageRow] = {
+    import spark.implicits._
+    val typed = raw.select(col("id"), col("title"),
+        col("create_time"), col("update_time"),
+        col("mapping").as("rawMapping"))
+      .withColumnRenamed("rawMapping", "mapping")
+      .as[(String, String, Option[Double], Option[Double], Map[String, GptRawNode])]
+    typed.flatMap { case (convId, _, _, _, mapping) =>
+      val roots = mapping.collect { case (k, v) if v.parent == null => k }.toSeq.sorted
+      val queue = scala.collection.mutable.Queue[String](roots: _*)
+      val seen = scala.collection.mutable.Set[String]()
+      val out = scala.collection.mutable.ArrayBuffer[MessageRow]()
+      var order = 0
+      while (queue.nonEmpty) {
+        val nodeId = queue.dequeue()
+        if (!seen.contains(nodeId)) {
+          seen += nodeId
+          mapping.get(nodeId).foreach { node =>
+            Option(node.message).foreach { m =>
+              val role = Option(m.author).map(_.role).orNull
+              if (role != null) {
+                val sender = if (role == "user") "human" else role
+                val content = Option(m.content).flatMap(c => Option(c.parts))
+                  .flatMap(_.headOption).getOrElse("")
+                out += MessageRow(
+                  id = nodeId,
+                  conversation_id = convId,
+                  parent_id = node.parent,
+                  sender = sender,
+                  role = role,
+                  content = content.take(100000),
+                  created_at = fmtEpoch(m.create_time),
+                  model = Option(m.metadata).flatMap(md => Option(md.model_slug)).getOrElse("unknown"),
+                  order_index = order)
+                order += 1
+              }
+            }
+            Option(node.children).getOrElse(Seq.empty).foreach(queue.enqueue(_))
+          }
+        }
+      }
+      out
+    }
+  }
+
+  case class GptRawAuthor(role: String)
+  case class GptRawContent(parts: Seq[String])
+  case class GptRawMeta(model_slug: String)
+  case class GptRawMessage(author: GptRawAuthor, content: GptRawContent,
+                           create_time: Option[Double], metadata: GptRawMeta)
+  case class GptRawNode(parent: String, children: Seq[String], message: GptRawMessage)
+
+  // --- S2 platform detection + S7 validation ---
+
+  /** Dialect sniff (S2, `uni_parse.py:88-123`): presence of the marker keys. */
+  def detectPlatform(spark: SparkSession, path: String): String = {
+    val head = spark.read.text(path).limit(100)
+      .collect().map(_.getString(0)).mkString("\n").take(4000)
+    if (head.contains("\"chat_messages\"")) "claude"
+    else if (head.contains("\"mapping\"")) "chatgpt"
+    else "unknown"
+  }
+
+  /** Validation read (S7, `json_clean.py`): PERMISSIVE parse keeping corrupt
+    * records for a structure report.
+    */
+  def validateJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark disallows queries touching only the corrupt-record column on a
+      // raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed
+      // result so validation reports can filter on it.
+      .cache()
+
+  /** S6: idempotent normalized write — PK-deduped, overwritten, partitioned
+    * by platform so platform predicates prune at the source.
+    */
+  def writeNormalized(conversations: DataFrame, messages: DataFrame, outDir: String): Unit = {
+    conversations.dropDuplicates("id").write.mode("overwrite")
+      .partitionBy("platform").parquet(s"$outDir/conversations")
+    messages.dropDuplicates("id").write.mode("overwrite")
+      .parquet(s"$outDir/messages")
+  }
+}

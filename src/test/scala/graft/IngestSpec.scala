@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.Ingest
+import java.nio.file.Files
+
+/** Ingest-path specs over synthetic Claude / ChatGPT export fixtures
+  * (dialects per FIXTURES.md §2, `uni_parse.py:260-508`).
+  */
+class IngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def writeFixture(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  val claudeExport: String =
+    """[{"uuid": "conv-1", "name": "Test Conversation",
+      |  "created_at": "2024-03-01T10:00:00Z", "updated_at": "2024-03-01T11:00:00Z",
+      |  "account": {"uuid": "acct-9"},
+      |  "chat_messages": [
+      |    {"uuid": "m1", "sender": "human", "text": "Hello there", "created_at": "2024-03-01T10:00:00Z"},
+      |    {"uuid": "m2", "sender": "assistant", "text": "Hi! How can I help?", "created_at": "2024-03-01T10:00:05Z"}
+      |  ]}]""".stripMargin
+
+  val chatgptExport: String =
+    """[{"id": "g-1", "title": "Another Test", "create_time": 1709290800.0, "update_time": 1709294400.0,
+      |  "mapping": {
+      |    "root": {"parent": null, "children": ["n1"], "message": null},
+      |    "n1": {"parent": "root", "children": ["n2"],
+      |           "message": {"author": {"role": "user"}, "content": {"parts": ["Tell me about transformers."]},
+      |                       "create_time": 1709290810.0, "metadata": {"model_slug": null}}},
+      |    "n2": {"parent": "n1", "children": [],
+      |           "message": {"author": {"role": "assistant"}, "content": {"parts": ["The transformer architecture revolutionized NLP."]},
+      |                       "create_time": 1709290820.0, "metadata": {"model_slug": "gpt-4"}}}
+      |  }}]""".stripMargin
+
+  test("claude export → normalized conversations + messages with array order_index") {
+    val path = writeFixture("claude.json", claudeExport)
+    val raw = Ingest.readClaude(spark, path)
+    val convs = Ingest.claudeConversations(raw).collect()
+    assert(convs.length == 1)
+    val c = convs.head
+    assert(c.getAs[String]("id") == "conv-1")
+    assert(c.getAs[String]("platform") == "claude")
+    assert(c.getAs[String]("account_id") == "acct-9")
+    assert(c.getAs[String]("created_at") == "2024-03-01 10:00:00")
+    val msgs = Ingest.claudeMessages(raw).orderBy("order_index").collect()
+    assert(msgs.map(_.getAs[String]("id")).toSeq == Seq("m1", "m2"))
+    assert(msgs.map(_.getAs[Int]("order_index")).toSeq == Seq(0, 1))
+    assert(msgs.head.getAs[String]("sender") == "human")
+  }
+
+  test("chatgpt export → BFS-flattened messages with role normalization") {
+    val path = writeFixture("chatgpt.json", chatgptExport)
+    val raw = Ingest.readChatgpt(spark, path)
+    val convs = Ingest.chatgptConversations(raw).collect()
+    assert(convs.head.getAs[String]("platform") == "chatgpt")
+    assert(convs.head.getAs[String]("account_id") == null)
+    val msgs = Ingest.chatgptMessages(spark, raw).collect().sortBy(_.order_index)
+    assert(msgs.length == 2) // root has no message payload
+    assert(msgs(0).sender == "human" && msgs(0).role == "user")
+    assert(msgs(0).parent_id == "root")
+    assert(msgs(1).model == "gpt-4")
+    assert(msgs(1).content.startsWith("The transformer"))
+    assert(msgs(0).created_at == "2024-03-01 11:00:10")
+  }
+
+  test("platform detection sniffs dialect markers") {
+    val cp = writeFixture("c.json", claudeExport)
+    val gp = writeFixture("g.json", chatgptExport)
+    assert(Ingest.detectPlatform(spark, cp) == "claude")
+    assert(Ingest.detectPlatform(spark, gp) == "chatgpt")
+  }
+
+  test("permissive validation keeps corrupt records") {
+    val bad = writeFixture("bad.json", "{\"uuid\": \"x\", \"chat_messages\": [broken")
+    val df = Ingest.validateJson(spark, bad, Ingest.claudeSchema)
+    assert(df.where(df("_corrupt_record").isNotNull).count() >= 1)
+  }
+
+  test("idempotent normalized write round-trips and dedupes") {
+    val path = writeFixture("claude2.json", claudeExport)
+    val raw = Ingest.readClaude(spark, path)
+    val out = Files.createTempDirectory("graft-norm").toString
+    Ingest.writeNormalized(
+      Ingest.claudeConversations(raw).union(Ingest.claudeConversations(raw)),
+      Ingest.claudeMessages(raw).union(Ingest.claudeMessages(raw)), out)
+    assert(spark.read.parquet(s"$out/conversations").count() == 1)
+    assert(spark.read.parquet(s"$out/messages").count() == 2)
+  }
+}

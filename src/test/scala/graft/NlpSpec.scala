@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Invariants ported from the reference pytest suite (SURVEY.md §5,
+  * FIXTURES.md §4).
+  */
+class NlpSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- tokenizer (tests/test_relevance_scorer.py tokenize cases) ---
+
+  test("tokenize: lowercase, 3+ chars, stopwords removed, duplicates kept") {
+    val toks = Seq(("x", "The machine and the Machine learning IS learning a joy ab"))
+      .toDF("id", "text")
+      .select(TextFns.tokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(toks == Seq("machine", "machine", "learning", "learning", "joy"))
+  }
+
+  // --- TF (tests/test_relevance_scorer.py:34-42 — max-norm exact values) ---
+
+  test("max-norm TF: most frequent term = 1.0, half-frequency term = 0.5") {
+    val docs = Seq((0L, "machine machine learning")).toDF("doc_id", "text")
+    val tf = Relevance.tfMax(docs).select("token", "tf").as[(String, Double)].collect().toMap
+    assert(tf("machine") == 1.0)
+    assert(tf("learning") == 0.5)
+  }
+
+  // --- sum-norm TF (tests/test_duplicate_detector.py:26-34 — sums to 1) ---
+
+  test("sum-norm TF vectors sum to 1.0 per document") {
+    val sums = Duplicates.tfSum(sampleDocs)
+      .groupBy("doc_id").agg(sum("tf").as("s")).select("s").as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  // --- IDF: log(N/(1+df)) ---
+
+  test("IDF matches ln(N/(1+df))") {
+    val idf = Relevance.idf(sampleDocs).select("token", "df", "idf")
+      .as[(String, Long, Double)].collect()
+    idf.foreach { case (_, df, v) =>
+      assert(math.abs(v - math.log(6.0 / (1 + df))) < 1e-12)
+    }
+    // 'machine' appears in docs 0 and 5
+    val m = idf.find(_._1 == "machine").get
+    assert(m._2 == 2 && math.abs(m._3 - math.log(2.0)) < 1e-12)
+  }
+
+  // --- cosine (tests/test_duplicate_detector.py:36-51) ---
+
+  test("cosine: identical docs ~1.0; the planted pair (0,5) is found") {
+    val pairs = Duplicates.pairSimilarities(sampleDocs, threshold = 0.8)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, s) => a == 0 && b == 5 && math.abs(s - 1.0) < 1e-6 })
+  }
+
+  test("cosine: disjoint docs do not appear in any pair at low threshold") {
+    val docs = Seq((0L, "apple banana cherry"), (1L, "keyboard mouse monitor"))
+      .toDF("doc_id", "text")
+    assert(Duplicates.pairSimilarities(docs, threshold = 0.000001).count() == 0)
+  }
+
+  // --- clustering (tests/test_duplicate_detector.py:91-122) ---
+
+  test("components: planted duplicates cluster together; unique count = n - dups") {
+    val comp = Duplicates.components(sampleDocs).as[(Long, Long)].collect().toMap
+    assert(comp(5L) == 0L && comp(0L) == 0L)
+    val unique = Duplicates.uniqueDocuments(sampleDocs).as[Long].collect().sorted
+    assert(unique.toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // 6 docs - 1 duplicate
+  }
+
+  test("iterative components agree with union-find components") {
+    val a = Duplicates.components(sampleDocs).as[(Long, Long)].collect().toMap
+    val b = Duplicates.componentsIterative(sampleDocs).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---
+
+  test("relevance scores bounded [0,1]; multiword keywords never add density") {
+    val scores = Relevance.relevanceScores(sampleDocs, refKeywords)
+      .select("doc_id", "density", "coverage", "combined")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(scores.length == 6)
+    scores.foreach { case (_, d, c, comb) =>
+      assert(d >= 0 && d <= 1 && c >= 0 && c <= 1 && comb >= 0 && comb <= 1)
+    }
+    // only 'transformer' and 'attention' are single tokens; multiword
+    // keywords ('machine learning', ...) can never match a token — so
+    // coverage is at most 2/7 (the reference's quirk, preserved)
+    assert(scores.map(_._3).max <= 2.0 / 7 + 1e-9)
+  }
+
+  // --- priority (tests/test_priority_classifier.py:59-67 boundaries) ---
+
+  test("priority level thresholds: 0.95→CRITICAL, 0.70→HIGH, 0.50→MEDIUM, 0.30→LOW, 0.10→NONE") {
+    val lv = Seq(0.95, 0.70, 0.50, 0.30, 0.10).toDF("s")
+      .select(TextFns.priorityLevel(col("s"))).as[String].collect().toSeq
+    assert(lv == Seq("CRITICAL", "HIGH", "MEDIUM", "LOW", "NONE"))
+  }
+
+  test("length score steps at 50/200/500 words") {
+    val mk = (n: Int) => Seq.fill(n)("word").mkString(" ")
+    val scores = Seq(mk(10), mk(100), mk(300), mk(600)).toDF("text")
+      .select(TextFns.lengthScore(col("text"))).as[Double].collect().toSeq
+    assert(scores == Seq(0.1, 0.5, 0.8, 1.0))
+  }
+
+  test("keyword score: critical→1.0 beats high→0.7; no match→0.0") {
+    val scores = Seq("a breakthrough happened", "this is important", "nothing here")
+      .toDF("text")
+      .select(TextFns.keywordScore(col("text"),
+        critical = Seq("breakthrough"), high = Seq("important")))
+      .as[Double].collect().toSeq
+    assert(scores == Seq(1.0, 0.7, 0.0))
+  }
+
+  test("priority distribution sums to doc count (tests/test_priority_classifier.py:129-143)") {
+    val docs = Tables.documents(spark, sf0001)
+    val total = Priority.distribution(docs).agg(sum("n")).as[Long].head()
+    assert(total == docs.count())
+  }
+}

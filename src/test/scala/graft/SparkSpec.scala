@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session + fixtures mirroring the reference test corpus
+  * (`tests/conftest.py:9-25` — 6 docs, doc 5 an exact duplicate of doc 0)
+  * and keyword list (`tests/conftest.py:28-39`, several multiword).
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  lazy val sf0001 = "/root/testdata/sf0.001"
+
+  val sampleTexts: Seq[String] = Seq(
+    "Machine learning is a subset of artificial intelligence that focuses on training algorithms to learn from data.",
+    "Deep learning uses neural networks with multiple layers to process complex patterns in large datasets.",
+    "Natural language processing enables computers to understand and generate human language.",
+    "The transformer architecture revolutionized NLP by introducing attention mechanisms.",
+    "This is a short text.",
+    "Machine learning is a subset of artificial intelligence that focuses on training algorithms to learn from data.")
+
+  val refKeywords: Seq[String] = Seq("machine learning", "deep learning", "neural network",
+    "artificial intelligence", "natural language processing", "transformer", "attention")
+
+  def sampleDocs: DataFrame = {
+    import spark.implicits._
+    sampleTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
