@@ -43,6 +43,7 @@ object SparkEntry {
     "e2_error_context"       -> ((s: SparkSession, d: String) => EventOps.errorContext(s, d)),
     "e3_purchase_error_users" -> (EventOps.purchaseErrorUsers _),
     "e4_user_type_concat"    -> (EventOps.userTypeConcat _),
+    "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -56,6 +57,8 @@ object SparkEntry {
     "d10_doc_stats"       -> (DocOps.docStats _),
     "d11_sentiment"       -> (DocOps.sentimentCounts _),
     "d12_random_sample"   -> ((s: SparkSession, d: String) => DocOps.randomSample(s, d)),
+    "d13_nested_json"     -> (Export.qNestedJson _),
+    "d14_markdown"        -> (Export.qMarkdown _),
     // §2.9 NLP pipeline pack
     "n1_tf"           -> (Relevance.qTf _),
     "n2_idf"          -> (Relevance.qIdf _),
@@ -68,7 +71,9 @@ object SparkEntry {
     "n9_priority_distribution" -> (Priority.qDistribution _),
     "n10_components"  -> (Duplicates.qComponents _),
     "n11_unique_docs" -> (Duplicates.qUniqueDocs _),
+    "n12_semantic_search" -> (SemanticSearch.qSemanticSearch _),
     "s1_summaries"    -> (Summarizer.qSummaries _),
+    "s2_key_sentences" -> (Summarizer.qKeySentences _),
     "p1_pipeline"     -> (Pipeline.qPipeline _),
     "p2_pipeline_stats" -> (Pipeline.qPipelineStats _),
     // training-data pipeline pack (beyond-reference)
@@ -337,6 +342,19 @@ object SparkEntry {
          |FROM per_doc GROUP BY lang""".stripMargin
     },
     // d12_random_sample: engine RNGs differ — rows-only check by design.
+    "d13_nested_json" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       '[' || string_agg('{"event_id":' || event_id || ',"event_type":"' ||
+        |                         event_type || '"}', ',' ORDER BY event_id) || ']'
+        |         AS events_json
+        |FROM events GROUP BY user_id""".stripMargin,
+    "d14_markdown" ->
+      """SELECT doc_id,
+        |       '# Doc ' || doc_id::VARCHAR || ' [' || lang || '/' || source || ']'
+        |         || chr(10) || chr(10)
+        |         || regexp_replace(text, '```(\w*)\n(.*?)```', '<pre>\2</pre>', 'gs')
+        |         AS markdown
+        |FROM documents""".stripMargin,
 
     "n1_tf"        -> graft.oracles.NlpSql.tfSql,
     "n2_idf"       -> graft.oracles.NlpSql.idfSql,
@@ -347,6 +365,11 @@ object SparkEntry {
     "n7_near_dups" -> graft.oracles.NlpSql.nearDupsSql(),
     "n8_priority"  -> graft.oracles.NlpSql.prioritySql,
     "n9_priority_distribution" -> graft.oracles.NlpSql.priorityDistributionSql,
+    "n12_semantic_search" -> graft.oracles.NlpSql.semanticSearchSql(
+      SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
+      SemanticSearch.VocabSize, SemanticSearch.Threshold, SemanticSearch.Limit),
+    // e5_approx_distinct: HLL sketches are engine-specific — rows-only.
+    // s2_key_sentences: TextRank — rows-only.
     // n10_components / n11_unique_docs: iterative connected components —
     // not single-statement SQL; driver records rows-only checks.
     // s1/p1/p2: contain TextRank summaries (not SQL-expressible) — rows-only.

@@ -68,4 +68,19 @@ object EventOps {
       .select("user_id", "event_type")
       .groupBy("user_id")
       .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
+
+  /** A2 at scale: sketch-based distinct counts (SURVEY §2.11). At 100 TB an
+    * exact `COUNT(DISTINCT user_id)` is a full shuffle of every distinct
+    * key; the HLL++ sketch aggregates partially map-side and merges
+    * fixed-size state. Exact counts kept alongside for the small-SF oracle
+    * runs to quantify the error. Rows-only check: HLL estimates are
+    * engine-specific.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export/sink operators (SURVEY.md §2.1 S9–S11, §2.4 A7, §2.8 X9,X12).
+  *
+  * The reference exports query results as CSV (`sql_search.py:2023-2028`),
+  * nested per-conversation JSON built with
+  * `json_group_array(json_object(...))` (`access_db.py:201-219`,
+  * `sql_search.py:1832-1841`), and Markdown/HTML documents with a
+  * code-fence → `<pre>` regex rewrite (`sql_search.py:1843-1968`).
+  *
+  * Spark-first shape: the nested assembly is `sort_array(collect_list(
+  * struct(...)))` + `to_json` — one shuffle on the group key, no driver
+  * collection, so a 100 TB export parallelizes across executors and writes
+  * straight to distributed storage. The Markdown rewrite is a pure
+  * `regexp_replace`/`concat` projection (whole-stage codegen, streams
+  * through the scan with no shuffle at all).
+  */
+object Export {
+
+  /** A7/S10: events rolled up into one JSON document per user — the
+    * `json_group_array(json_object(...))` shape of `access_db.py:201-219`.
+    * `sort_array` (struct ordering = field order: event_id first) makes the
+    * member order deterministic for the oracle hash.
+    */
+  def nestedJsonByUser(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"), col("n_events"),
+        to_json(col("evs")).as("events_json"))
+
+  /** S11/X9: per-document Markdown export with the code-fence → `<pre>`
+    * rewrite of `sql_search.py:1936-1945` (DOTALL regex, language tag
+    * dropped, body kept via backreference).
+    */
+  def markdownDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(
+        lit("# Doc "), col("doc_id"),
+        lit(" ["), col("lang"), lit("/"), col("source"), lit("]\n\n"),
+        regexp_replace(col("text"), "(?s)```(\\w*)\\n(.*?)```", "<pre>$2</pre>")
+      ).as("markdown"))
+
+  /** S9: CSV sink — single deterministic file per export like the
+    * reference's one-file CSV writer, but via Spark's writer so the same
+    * call scales out by dropping the coalesce.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** S10: JSON-lines sink (one conversation document per line). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  // --- query entries ---
+
+  def qNestedJson(spark: SparkSession, sfDir: String): DataFrame =
+    nestedJsonByUser(Tables.events(spark, sfDir))
+
+  def qMarkdown(spark: SparkSession, sfDir: String): DataFrame =
+    markdownDocs(Tables.documents(spark, sfDir))
+}

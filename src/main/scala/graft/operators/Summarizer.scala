@@ -133,4 +133,11 @@ object Summarizer {
         col("doc_id"),
         nSentencesUdf(col("text")).cast("long").as("n_sentences"),
         summarizeUdf(col("text"), lit(3)).as("summary"))
+
+  /** N16 as a column: key sentences joined with `|` (threshold 0.5). */
+  val keySentencesUdf = udf((text: String) => keySentences(text).mkString("|"))
+
+  def qKeySentences(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), keySentencesUdf(col("text")).as("key_sentences"))
 }

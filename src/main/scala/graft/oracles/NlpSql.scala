@@ -154,6 +154,38 @@ object NlpSql {
        |FROM final""".stripMargin
   }
 
+  /** N30/N31 semantic search: TF-IDF vectors over the top-`vocabSize` corpus
+    * terms, query embedded in the same space, cosine ≥ threshold, top-k.
+    * Mirrors [[graft.operators.SemanticSearch.search]].
+    */
+  def semanticSearchSql(queryTf: Seq[(String, Double)], vocabSize: Int,
+                        threshold: Double, limit: Int): String = {
+    val qvals = queryTf.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH $baseCtes,
+       |idfall AS (SELECT token, count(*) AS df,
+       |                  ln((SELECT count(*) FROM documents) * 1.0 / (1 + count(*))) AS idf
+       |           FROM cnts GROUP BY token),
+       |vocab AS (SELECT token, idf FROM (
+       |            SELECT token, idf, row_number() OVER (ORDER BY df DESC, token) AS rk
+       |            FROM idfall) WHERE rk <= $vocabSize),
+       |tf AS (SELECT doc_id, token, cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id) AS tf
+       |       FROM cnts),
+       |docvec AS (SELECT doc_id, token, tf * idf AS w FROM tf JOIN vocab USING (token)),
+       |docnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM docvec GROUP BY doc_id),
+       |qraw(token, qtf) AS (VALUES $qvals),
+       |qvec AS (SELECT token, qtf * idf AS qw FROM qraw JOIN vocab USING (token)),
+       |qnorm AS (SELECT sqrt(sum(qw * qw)) AS qnrm FROM qvec),
+       |dots AS (SELECT doc_id, sum(w * qw) AS dot
+       |         FROM docvec JOIN qvec USING (token) GROUP BY doc_id),
+       |sims AS (SELECT doc_id, round(dot / (nrm * qnrm), 6) AS similarity
+       |         FROM dots JOIN docnorm USING (doc_id) CROSS JOIN qnorm
+       |         WHERE nrm > 0 AND qnrm > 0)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, s.similarity
+       |FROM documents d JOIN sims s USING (doc_id)
+       |WHERE s.similarity >= $threshold
+       |ORDER BY s.similarity DESC, d.doc_id LIMIT $limit""".stripMargin
+  }
+
   val priorityDistributionSql: String =
     s"""WITH ${relevanceSql(Relevance.Keywords)},
        |scored AS (
