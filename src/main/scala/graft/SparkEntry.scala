@@ -95,6 +95,7 @@ object SparkEntry {
     "m3_frames"        -> (Multimodal.qFrames _),
     // streaming (batch-equivalent entry; streaming form tested via memory sink)
     "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
+    "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -387,5 +388,23 @@ object SparkEntry {
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m2/m3: stub decoder via mapPartitions — rows-only by design.
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
+    "w2_sessions" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR epoch(ts) - epoch(lag(ts) OVER w) >= ${graft.streaming.EventStream.SessionGapSeconds}
+         |              THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM o)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+         |       round(sum(value), 2) AS total_value
+         |FROM s GROUP BY 1, 2""".stripMargin,
   )
 }

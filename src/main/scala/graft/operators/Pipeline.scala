@@ -23,7 +23,7 @@ object Pipeline {
               keywords: Seq[String] = Relevance.Keywords,
               dupThreshold: Double = 0.8,
               summarySentences: Int = 3): DataFrame = {
-    val rel = Relevance.relevanceScores(docs, keywords)
+    val rel = Relevance.relevanceScores(docs, keywords).cache()
     val unique = Duplicates.uniqueDocuments(docs, dupThreshold)
     docs.join(unique, "doc_id")
       .join(rel, "doc_id")
@@ -32,7 +32,7 @@ object Pipeline {
         substring(col("text"), 1, 500).as("text"),
         col("combined").as("relevance_score"),
         Summarizer.summarizeUdf(col("text"), lit(summarySentences)).as("summary"))
-      .join(Priority.classify(docs, keywords)
+      .join(Priority.classify(docs, keywords, precomputedRelevance = Some(rel))
               .select(col("doc_id"), col("priority_score"), col("priority_level")),
             "doc_id")
   }

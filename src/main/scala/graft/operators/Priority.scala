@@ -24,11 +24,19 @@ object Priority {
   val CriticalKeywords: Seq[String] = Seq("stream")
   val HighKeywords: Seq[String] = Seq("join", "sort")
 
+  /** `precomputedRelevance`: pass an existing [[Relevance.relevanceScores]]
+    * frame to share its token-scan subtree instead of rebuilding it — the
+    * pipeline (N32) scores relevance once for the whole corpus and feeds it
+    * to both the ranking and this classifier, like the reference
+    * (`pipeline/pipeline.py:276-291`).
+    */
   def classify(docs: DataFrame,
                relevanceKeywords: Seq[String] = Relevance.Keywords,
                critical: Seq[String] = CriticalKeywords,
-               high: Seq[String] = HighKeywords): DataFrame = {
-    val rel = Relevance.relevanceScores(docs, relevanceKeywords)
+               high: Seq[String] = HighKeywords,
+               precomputedRelevance: Option[DataFrame] = None): DataFrame = {
+    val rel = precomputedRelevance
+      .getOrElse(Relevance.relevanceScores(docs, relevanceKeywords))
       .select(col("doc_id"), col("combined").as("relevance_score"))
     val lengthScore = TextFns.lengthScore(col("text"))
     val kwScore = TextFns.keywordScore(col("text"), critical, high)

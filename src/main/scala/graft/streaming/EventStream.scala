@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Structured Streaming extension (SURVEY.md §2.10): the reference has no
   * event-time processing — its "streaming" is an incremental file reader —
@@ -76,4 +77,139 @@ object EventStream {
     */
   def qDailyCounts(spark: SparkSession, sfDir: String): DataFrame =
     dailyCountsBatch(spark, sfDir)
+
+  // --- sessionization (beyond-reference: gap-based user sessions) ---
+
+  /** Default session gap: a new session starts when ≥ 30 minutes pass
+    * between a user's consecutive events — the same boundary rule as
+    * Spark's `session_window` (an event exactly `gap` after the previous
+    * one opens a new session), so the relational form below and the
+    * windowed forms agree row-for-row.
+    */
+  val SessionGapSeconds = 1800
+
+  /** Gap-based sessionization as pure relational algebra: `lag` marks
+    * session starts, a running sum numbers sessions per user, one
+    * aggregation summarizes each. Two window passes over the same
+    * (user_id, ts) partitioning — a single shuffle, since both windows and
+    * the final groupBy share the user_id hash partitioning.
+    *
+    * Timestamps compare as exact epoch doubles (microsecond precision is
+    * 51 bits here — exactly representable), so the boundary rule is
+    * reproducible across engines.
+    */
+  def sessionizeBatch(spark: SparkSession, sfDir: String,
+                      gapSeconds: Int = SessionGapSeconds): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val epoch = (c: org.apache.spark.sql.Column) => c.cast("double")
+    graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("ns",
+        when(prev.isNull || (epoch(col("ts")) - epoch(prev) >= gapSeconds), 1).otherwise(0))
+      .withColumn("session_idx", sum("ns").over(wRun))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        // whole seconds: the engines' nanos→micros conversions differ at
+        // sub-microsecond level, so fractional durations would not
+        // cross-check; floored epoch is stable (same as the user-summary
+        // view's duration).
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_s"),
+        round(sum("value"), 2).as("total_value"))
+  }
+
+  /** The same sessions via the built-in `session_window` — the form that
+    * also runs under Structured Streaming. Output keyed on (user_id,
+    * session_start) for comparison against [[sessionizeBatch]].
+    */
+  def sessionWindowBatch(spark: SparkSession, sfDir: String,
+                         gapSeconds: Int = SessionGapSeconds): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming sessionization: watermark + `session_window`, append mode —
+    * sessions emit once the watermark passes their close. */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+                          gapSeconds: Int = SessionGapSeconds): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    withTs(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapSeconds seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  // --- custom streaming state (mapGroupsWithState) ---
+
+  /** Input row for the stateful per-user aggregator. */
+  case class UserEvent(user_id: Long, event_type: String, ts_micros: Long)
+  /** Running per-user state: totals survive across micro-batches. */
+  case class UserStats(user_id: Long, n_events: Long, n_purchases: Long, last_ts_micros: Long)
+
+  /** Per-user running counters via `mapGroupsWithState` — the custom-state
+    * streaming surface (SURVEY §2.10): state is a fixed-size record per
+    * key, updated incrementally every micro-batch, never a re-scan. Update
+    * output mode; the latest row per user is the current truth.
+    */
+  def userStatsStream(spark: SparkSession, dir: String): Dataset[UserStats] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    withTs(src)
+      .select(col("user_id"), col("event_type"),
+        (col("ts").cast("double") * 1e6).cast("long").as("ts_micros"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid, events, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          var last = prev.last_ts_micros
+          events.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+            if (e.ts_micros > last) last = e.ts_micros
+          }
+          val next = UserStats(uid, n, p, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Replay the stateful user-stats stream over a static directory; returns
+    * the final state per user (max event count across update emissions).
+    */
+  def replayUserStats(spark: SparkSession, dir: String,
+                      queryName: String = "user_stats"): DataFrame = {
+    val q = userStatsStream(spark, dir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"),
+           max("last_ts_micros").as("last_ts_micros"))
+  }
+
+  /** Query entry for the sessionizer (relational form; SQL-expressible). */
+  def qSessions(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeBatch(spark, sfDir)
 }

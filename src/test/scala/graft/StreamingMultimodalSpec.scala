@@ -23,6 +23,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionize: relational lag/cumsum form == session_window form") {
+    val rel = EventStream.sessionizeBatch(spark, sf0001)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val sw = EventStream.sessionWindowBatch(spark, sf0001)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(rel.nonEmpty && rel == sw)
+  }
+
+  test("streaming session_window emits only watermark-closed sessions consistent with batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.sessionWindowStream(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory").queryName("sessions_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_mem")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = EventStream.sessionWindowBatch(spark, sf0001)
+      .as[(Long, String, Long, Double)].collect().toSet
+    // append mode holds back sessions the watermark has not closed; all
+    // emitted rows must be exact batch sessions.
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("mapGroupsWithState user stats replay == batch per-user counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ustats")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.replayUserStats(spark, dir.toString)
+      .select("user_id", "n_events", "n_purchases")
+      .as[(Long, Long, Long)].collect().toMap2
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"event_type" === "purchase", 1L).otherwise(0L)).as("p"))
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(streamed == batch)
+  }
+
+  implicit class TripleMap(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+
   test("multimodal: decoded metadata matches payload bytes") {
     val metas = Multimodal.extractMeta(Multimodal.syntheticAssets(spark, sf0001))
       .collect()
