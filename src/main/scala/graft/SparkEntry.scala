@@ -59,6 +59,7 @@ object SparkEntry {
     "d12_random_sample"   -> ((s: SparkSession, d: String) => DocOps.randomSample(s, d)),
     "d13_nested_json"     -> (Export.qNestedJson _),
     "d14_markdown"        -> (Export.qMarkdown _),
+    "d15_boolean_query"   -> ((s: SparkSession, d: String) => DocOps.booleanQuerySearch(s, d)),
     // §2.9 NLP pipeline pack
     "n1_tf"           -> (Relevance.qTf _),
     "n2_idf"          -> (Relevance.qIdf _),
@@ -349,6 +350,9 @@ object SparkEntry {
         |                         event_type || '"}', ',' ORDER BY event_id) || ']'
         |         AS events_json
         |FROM events GROUP BY user_id""".stripMargin,
+    "d15_boolean_query" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${graft.functions.BooleanQuery.toSql("text", DocOps.DefaultBooleanQuery)}""".stripMargin,
     "d14_markdown" ->
       """SELECT doc_id,
         |       '# Doc ' || doc_id::VARCHAR || ' [' || lang || '/' || source || ']'

@@ -65,6 +65,17 @@ object DocOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** F2 with the real parser: a user-supplied flat boolean query string
+    * compiled to one pushable predicate (see
+    * [[graft.functions.BooleanQuery]]).
+    */
+  val DefaultBooleanQuery = "scan OR merge NOT slow"
+  def booleanQuerySearch(spark: SparkSession, sfDir: String,
+                         query: String = DefaultBooleanQuery): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(graft.functions.BooleanQuery.predicate(col("text"), query))
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** Date-range search (F4, `sql_search.py:516-621`) on events. */
   def dateRangeStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -228,6 +228,20 @@ object Duplicates {
       .where(col("doc_id") === col("component"))
       .select("doc_id")
 
+  /** N23: the full N×N similarity matrix in long form — every ordered pair
+    * plus the unit diagonal (`duplicate_detector.py:301-336`). Diagnostic
+    * only: materializing N² rows is exactly what the thresholded operators
+    * avoid at scale, so this has no query entry; tests exercise symmetry
+    * and the diagonal at fixture size.
+    */
+  def similarityMatrix(docs: DataFrame): DataFrame = {
+    val upper = pairSimilarities(docs, threshold = Double.MinValue)
+    val lower = upper.select(col("id2").as("id1"), col("id1").as("id2"), col("sim"))
+    val diag = docs.select(col("doc_id").as("id1"), col("doc_id").as("id2"),
+      lit(1.0).as("sim"))
+    upper.union(lower).union(diag)
+  }
+
   /** N20: near-duplicates of one target document (one-vs-all cosine ≥ θ). */
   def nearDuplicatesOf(docs: DataFrame, targetId: Long,
                        threshold: Double = 0.8): DataFrame = {

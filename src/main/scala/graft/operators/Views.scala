@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Views {
 
+  /** S8: view-materialization bootstrap (`exper_sql.py:86-109`,
+    * `sql_search.py:77-99`): register the base tables and the five derived
+    * views as session temp views, so the whole surface is queryable through
+    * `spark.sql` exactly like the reference's SQLite view layer. Temp views
+    * are lazy logical plans — registration costs nothing until queried, and
+    * Catalyst inlines them per query (predicate pushdown reaches the scan
+    * through the view).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(n => spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n))
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    eventPairs(spark, sfDir).createOrReplaceTempView("event_pairs")
+    userSummary(spark, sfDir).createOrReplaceTempView("user_summary")
+    lengthStats(spark, sfDir).createOrReplaceTempView("length_stats")
+    timeActivity(spark, sfDir).createOrReplaceTempView("time_activity")
+    typeUsage(spark, sfDir).createOrReplaceTempView("type_usage")
+  }
+
   /** `message_pairs` (`create_views.sql:1-25`): the reference numbers
     * messages per conversation and self-joins on `order+1` to pair
     * human→assistant messages. Idiomatic Spark form is a single window

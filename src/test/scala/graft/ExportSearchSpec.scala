@@ -34,6 +34,44 @@ class ExportSearchSpec extends SparkSpec {
     assert(back.count() == 5 && back.columns.toSeq == Seq("id", "dbl"))
   }
 
+  test("boolean query parser: NOT extraction, OR detection, AND default") {
+    import graft.functions.BooleanQuery._
+    assert(parse("a AND b NOT c") == Parsed(Seq("a", "b"), Seq("c"), isOr = false))
+    assert(parse("a OR b NOT c NOT d") == Parsed(Seq("a", "b"), Seq("c", "d"), isOr = true))
+    assert(parse("Spark") == Parsed(Seq("spark"), Nil, isOr = false))
+    assert(toSql("text", "a OR b NOT c") ==
+      "(lower(text) LIKE '%a%' OR lower(text) LIKE '%b%') AND lower(text) NOT LIKE '%c%'")
+  }
+
+  test("boolean query predicate filters rows like the parsed semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, "fast scan"), (2L, "merge sort"), (3L, "slow merge"), (4L, "other"))
+      .toDF("doc_id", "text")
+    val got = docs.where(graft.functions.BooleanQuery.predicate(col("text"), "scan OR merge NOT slow"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("registerAll: the five derived views answer through spark.sql") {
+    graft.operators.Views.registerAll(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) FROM user_summary JOIN type_usage ON 1=1 WHERE user_summary.event_count > 0")
+      .head().getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT * FROM event_pairs").columns.contains("gap_s"))
+  }
+
+  test("similarity matrix: symmetric with unit diagonal (N23)") {
+    val m = graft.operators.Duplicates.similarityMatrix(sampleDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = 6
+    assert(m.size == n * n)
+    for (i <- 0 until n) assert(m((i.toLong, i.toLong)) == 1.0)
+    for (i <- 0 until n; j <- 0 until n if i != j)
+      assert(m((i.toLong, j.toLong)) == m((j.toLong, i.toLong)))
+    assert(m((0L, 5L)) == 1.0) // the planted exact duplicate
+  }
+
   test("query tokenizer matches the column tokenizer") {
     import spark.implicits._
     val text = "The Spark STREAMING window... joins; and the query!"
