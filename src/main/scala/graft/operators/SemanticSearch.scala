@@ -61,7 +61,9 @@ object SemanticSearch {
   def search(spark: SparkSession, docs: DataFrame, query: String = DefaultQuery,
              threshold: Double = Threshold, limit: Int = Limit): DataFrame = {
     import spark.implicits._
-    val vocab = vocabulary(docs)
+    // vocab is ≤5000 rows but sits behind a window aggregate, so Catalyst
+    // has no size estimate and would pick a sort-merge join — hint it.
+    val vocab = broadcast(vocabulary(docs))
     val docVec = Relevance.tfMax(docs).join(vocab, "token")
       .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("w"))
     val docNorm = docVec.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
