@@ -85,6 +85,7 @@ object SparkEntry {
     "x5_ann_topk"      -> (VectorSearch.qAnnTopK _),
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
+    "x14_ann_ivf"      -> (VectorSearch.qAnnIvf _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),

@@ -86,6 +86,97 @@ object VectorSearch {
       .limit(k)
   }
 
+  // --- IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search ---
+
+  /** Train IVF coarse centroids with a fixed number of distributed Lloyd
+    * iterations. Initialization is the `k` lowest vec_ids (deterministic);
+    * each iteration is one pass: executors accumulate per-cell partial sums
+    * in primitive arrays (`mapPartitions` — genuine per-partition imperative
+    * logic), a `reduceByKey` over k keys merges them, and only the k×dim
+    * centroid matrix ever reaches the driver. Empty cells keep their old
+    * centroid.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
+                      iters: Int = 5): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+    var centroids = vecs.orderBy("vec_id").limit(k).map(_._2).collect()
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val updated = vecs.rdd.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        Iterator.tabulate(cs.length)(c => (c, (sums(c), counts(c))))
+      }.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        val (s1, n1) = a; val (s2, n2) = b
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, n1 + n2)
+      }.collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { case (c, (s, n)) => if (n > 0) next(c) = s.map(_ / n) }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Cell assignment as pure column algebra: argmin of the k squared
+    * distances (no UDF — a k-element literal distance array, `array_min`,
+    * `array_position`). The k×dim centroid matrix rides the plan as
+    * literals, so assignment streams with the scan.
+    */
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map { c =>
+      aggregate(zip_with(vec, lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF ANN: restrict the exact cosine scan to the `nprobe` cells nearest
+    * the query. With nprobe = nCells this degrades gracefully to the exact
+    * [[annTopK]] answer; smaller nprobe trades recall for scanning only
+    * ~nprobe/nCells of the corpus — the 100 TB path where the cell id is
+    * the partition key and probes prune partitions.
+    */
+  def annIvfTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+                 nCells: Int = 16, nprobe: Int = 3, iters: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val withCell = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellOf(col("v"), centroids))
+    val qvec = withCell.where(col("vec_id") === queryVecId)
+      .select("v").head().getSeq[Double](0).toArray
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < qvec.length) { val t = qvec(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2)
+    withCell
+      .where(col("cell").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("v"), lit(qvec)), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroid vectors (the aggregation side of IVF: coarse
     * clusters for probe-restricted search). `array<double>` average via
     * posexplode + groupBy on (label, dim).
@@ -110,6 +201,9 @@ object VectorSearch {
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

@@ -75,4 +75,20 @@ class DedupSpec extends SparkSpec {
     // not guaranteed — assert plumbing invariants only
     assert(lsh.size <= 10 && !lsh.contains(0L))
   }
+
+  test("IVF ANN with nprobe = nCells equals brute force exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = VectorSearch.annTopK(emb, 0L, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    val full = VectorSearch.annIvfTopK(emb, 0L, 10, nCells = 8, nprobe = 8)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+  }
+
+  test("IVF ANN with partial probes returns valid ordered approximations") {
+    val ivf = VectorSearch.annIvfTopK(Tables.embeddings(spark, sf0001), 0L, 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(ivf.nonEmpty && !ivf.exists(_._1 == 0L))
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
 }
