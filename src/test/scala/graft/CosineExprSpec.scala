@@ -41,6 +41,28 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim is callable from SQL after registration") {
+    org.apache.spark.sql.graftext.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s1, " +
+      "cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS s2").head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("extensions class injects the function into a fresh session") {
+    val ext = new org.apache.spark.sql.graftext.GraftExtensions()
+    // the running session can't be rebuilt in-JVM; assert the descriptor
+    // wiring directly instead.
+    val (ident, _, builder) = org.apache.spark.sql.graftext.GraftFunctions.cosineSimDescriptor
+    assert(ident.funcName == "cosine_sim")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = builder(Seq(Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)), Literal.create(Array(1.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    assert(e.isInstanceOf[org.apache.spark.sql.graftext.CosineSimilarityExpr])
+    assert(ext != null)
+  }
+
   test("null inputs yield null") {
     val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
     val r = df.select(cosineSim(col("a"), col("b"))).collect()
