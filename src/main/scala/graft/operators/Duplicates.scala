@@ -68,19 +68,26 @@ object Duplicates {
     */
   def pairSimilarities(docs: DataFrame, threshold: Double = 0.8,
                        dfCapFraction: Double = 1.0): DataFrame = {
-    val stats = tfSum(docs).agg(
+    // One tokenize pass feeds the dispatch statistics and whichever
+    // strategy wins (the kernel alone needs two more passes over tf —
+    // vocabulary and vectors — so the cache pays for itself immediately).
+    val tf = tfSum(docs).cache()
+    val stats = tf.agg(
       countDistinct(col("token")).as("vocab"),
       countDistinct(col("doc_id")).as("docs")).head()
     val (vocabN, docsN) = (stats.getLong(0), stats.getLong(1))
     if (vocabN > 0 && vocabN <= DenseMaxVocab && docsN * vocabN <= DenseMaxCells)
-      pairSimilaritiesKernel(docs, threshold)
-    else pairSimilaritiesSparse(docs, threshold, dfCapFraction)
+      kernelFromTf(tf, threshold)
+    else sparseFromTf(tf, docs, threshold, dfCapFraction)
   }
 
   /** The inverted-index (sparse) strategy for [[pairSimilarities]]. */
   def pairSimilaritiesSparse(docs: DataFrame, threshold: Double = 0.8,
-                             dfCapFraction: Double = 1.0): DataFrame = {
-    val tf = tfSum(docs)
+                             dfCapFraction: Double = 1.0): DataFrame =
+    sparseFromTf(tfSum(docs), docs, threshold, dfCapFraction)
+
+  private def sparseFromTf(tf: DataFrame, docs: DataFrame, threshold: Double,
+                           dfCapFraction: Double): DataFrame = {
     val joinTf =
       if (dfCapFraction >= 1.0) tf
       else {
@@ -113,10 +120,12 @@ object Duplicates {
     * `round` (HALF_UP on the decimal expansion) so results are bit-identical
     * to the sparse path and the DuckDB oracle.
     */
-  def pairSimilaritiesKernel(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val spark = docs.sparkSession
+  def pairSimilaritiesKernel(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    kernelFromTf(tfSum(docs), threshold)
+
+  private def kernelFromTf(tf: DataFrame, threshold: Double): DataFrame = {
+    val spark = tf.sparkSession
     import spark.implicits._
-    val tf = tfSum(docs)
     val vocab = tf.select("token").distinct().orderBy("token").as[String].collect()
     val rows = tf.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("token"), col("tf")))).as("m"))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{DocOps, Relational, Views}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (broadcast dimension joins, predicate pushdown into the parquet scan,
+  * column pruning) are asserted so a refactor that silently degrades the
+  * plan fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast, never sort-merge (r2, r3)") {
+    val p2 = physical(Relational.topRevenueOrders(spark, sf0001))
+    assert(p2.contains("BroadcastHashJoin"))
+    assert(!p2.contains("SortMergeJoin"))
+    val p3 = physical(Relational.regionRevenue(spark, sf0001))
+    assert(p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
+  }
+
+  test("predicate pushdown reaches the parquet scan (r1 shipdate, r2 mktsegment)") {
+    val p1 = physical(Relational.pricingSummary(spark, sf0001))
+    assert(p1.contains("PushedFilters") && p1.contains("l_shipdate"))
+    val p2 = physical(Relational.topRevenueOrders(spark, sf0001))
+    assert(p2.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("column pruning: aggregation scan reads only the needed columns (v5)") {
+    val p = physical(Views.typeUsage(spark, sf0001))
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    // type usage needs event_type/user_id/value — ts and props must be pruned
+    assert(readSchemas.forall(s => !s.contains("props")))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (r2, d2)") {
+    assert(physical(Relational.topRevenueOrders(spark, sf0001)).contains("TakeOrderedAndProject"))
+    assert(physical(DocOps.keywordSearch(spark, sf0001)).contains("TakeOrderedAndProject"))
+  }
+
+  test("relational operators run inside whole-stage codegen") {
+    // AQE finalizes stages only at execution; run the query, then read the
+    // final adaptive plan.
+    def finalPlan(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen stages print as `*(n) Operator` in the final plan string
+    assert(finalPlan(Views.userSummary(spark, sf0001)).contains("*("))
+    assert(finalPlan(Relational.pricingSummary(spark, sf0001)).contains("*("))
+  }
+}
