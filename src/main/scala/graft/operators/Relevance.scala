@@ -48,17 +48,21 @@ object Relevance {
     tokensDF(docs).groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
 
   /** N2: max-normalized TF per (doc, term). */
-  def tfMax(docs: DataFrame): DataFrame = {
+  def tfMax(docs: DataFrame): DataFrame = tfMaxFromCounts(termCounts(docs))
+
+  private def tfMaxFromCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id")
-    termCounts(docs).withColumn("tf", col("cnt").cast("double") / max("cnt").over(w))
+    counts.withColumn("tf", col("cnt").cast("double") / max("cnt").over(w))
   }
 
   /** N4: corpus IDF per term, ln(N/(1+df)). N is carried via a broadcast
     * 1-row aggregate so the plan stays lazy (no driver-side count).
     */
-  def idf(docs: DataFrame): DataFrame = {
+  def idf(docs: DataFrame): DataFrame = idfFromCounts(termCounts(docs), docs)
+
+  private def idfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("corpus_n"))
-    termCounts(docs)
+    counts
       .groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select(col("token"), col("df"),
@@ -66,23 +70,30 @@ object Relevance {
   }
 
   /** N5: TF-IDF long form (doc_id, token, tfidf). */
-  def tfidf(docs: DataFrame): DataFrame =
-    tfMax(docs).join(idf(docs).select("token", "idf"), "token")
+  def tfidf(docs: DataFrame): DataFrame = tfidfFromCounts(termCounts(docs), docs)
+
+  private def tfidfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame =
+    tfMaxFromCounts(counts)
+      .join(idfFromCounts(counts, docs).select("token", "idf"), "token")
       .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
 
   /** N6–N9: per-document relevance scores for a keyword list. Documents
     * with no tokens (or no matches) score 0 across the board, like the
     * reference's empty-guard paths.
+    *
+    * One tokenize pass: every aggregate below derives from the cached
+    * (doc, token, cnt) frame — token-instance counts come from `sum(cnt)`,
+    * identical to counting the raw token rows.
     */
   def relevanceScores(docs: DataFrame, keywords: Seq[String] = Keywords): DataFrame = {
     val kw = keywords.map(_.toLowerCase)
     val kwArr = lit(kw.toArray)
-    val toks = tokensDF(docs)
-    val perDoc = toks.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      sum(when(array_contains(kwArr, col("token")), 1).otherwise(0)).as("kw_tokens"),
+    val counts = termCounts(docs).cache()
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum("cnt").as("n_tokens"),
+      sum(when(array_contains(kwArr, col("token")), col("cnt")).otherwise(0L)).as("kw_tokens"),
       countDistinct(when(array_contains(kwArr, col("token")), col("token"))).as("kw_matched"))
-    val tfkw = tfidf(docs)
+    val tfkw = tfidfFromCounts(counts, docs)
       .where(array_contains(kwArr, col("token")) && col("tfidf") > 0)
       .groupBy("doc_id").agg(sum(col("tfidf")).as("kw_tfidf_sum"))
     docs.select("doc_id")
