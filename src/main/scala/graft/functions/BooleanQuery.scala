@@ -38,7 +38,9 @@ object BooleanQuery {
     }
     val isOr = rest.exists(_.equalsIgnoreCase("OR"))
     val include = rest.toSeq
-      .filterNot(t => t.equalsIgnoreCase("AND") || t.equalsIgnoreCase("OR"))
+      // a dangling trailing NOT has no operand — drop it with the operators
+      .filterNot(t => t.equalsIgnoreCase("AND") || t.equalsIgnoreCase("OR") ||
+        t.equalsIgnoreCase("NOT"))
       .map(_.toLowerCase)
     Parsed(include, exclude.toSeq, isOr)
   }

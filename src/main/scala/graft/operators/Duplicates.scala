@@ -76,9 +76,16 @@ object Duplicates {
       countDistinct(col("token")).as("vocab"),
       countDistinct(col("doc_id")).as("docs")).head()
     val (vocabN, docsN) = (stats.getLong(0), stats.getLong(1))
-    if (vocabN > 0 && vocabN <= DenseMaxVocab && docsN * vocabN <= DenseMaxCells)
-      kernelFromTf(tf, threshold)
-    else sparseFromTf(tf, docs, threshold, dfCapFraction)
+    val pairs =
+      if (vocabN > 0 && vocabN <= DenseMaxVocab && docsN * vocabN <= DenseMaxCells)
+        kernelFromTf(tf, threshold)
+      else sparseFromTf(tf, docs, threshold, dfCapFraction)
+    // The thresholded edge list is the engine's most-reused intermediate —
+    // clustering, unique-document selection and the pipeline all consume
+    // it. Persisting lets Spark's CacheManager substitute the materialized
+    // result into any later plan that canonically matches (the reference
+    // caches its IDF corpus and TF vectors for the same reason).
+    pairs.cache()
   }
 
   /** The inverted-index (sparse) strategy for [[pairSimilarities]]. */

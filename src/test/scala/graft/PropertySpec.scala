@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.{BooleanQuery, TextFns}
+import graft.operators.{Dedup, SemanticSearch, Summarizer}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY §5): randomized coverage of the pure
+  * kernels — tokenizer, boolean-query parser, sentence similarity,
+  * TextRank — plus one randomized cross-check of the codegen cosine
+  * expression against the composable column form.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)), Gen.oneOf(TextFns.Stopwords),
+      Gen.oneOf("!", ".", "?", ",", "123", "Ab", "x"))).map(_.mkString(" "))
+
+  test("tokenizer: lowercase, length >= 3, stopword-free, alphabetic") {
+    check(Prop.forAll(textGen) { s =>
+      val toks = SemanticSearch.tokenize(s)
+      toks.forall(t => t.length >= 3 && t.matches("[a-z]+") &&
+        !TextFns.Stopwords.contains(t))
+    })
+  }
+
+  test("tokenizer: re-tokenizing the joined tokens is a fixpoint") {
+    check(Prop.forAll(textGen) { s =>
+      val once = SemanticSearch.tokenize(s)
+      SemanticSearch.tokenize(once.mkString(" ")) == once
+    })
+  }
+
+  test("boolean parser: classification is total and lossless") {
+    val queryGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6)),
+      Gen.oneOf("AND", "OR", "NOT"))).map(_.mkString(" "))
+    check(Prop.forAll(queryGen) { q =>
+      val p = BooleanQuery.parse(q)
+      val ops = Set("and", "or", "not")
+      val toks = q.trim.split("\\s+").filter(_.nonEmpty)
+      val nNot = toks.count(_.equalsIgnoreCase("NOT"))
+      // include never holds an operator (NOT may consume one as its
+      // operand, so exclude can); terms are lowercased; sizes bounded by
+      // the input token counts
+      p.include.forall(t => !ops.contains(t)) &&
+        (p.include ++ p.exclude).forall(t => t == t.toLowerCase) &&
+        p.exclude.size <= nNot &&
+        (p.include.size + p.exclude.size) <= toks.length
+    })
+  }
+
+  test("sentence similarity: symmetric, bounded, self-similarity 1") {
+    val sentGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.length >= 3))
+      .map(_.mkString(" "))
+    check(Prop.forAll(sentGen, sentGen) { (a, b) =>
+      val sab = Summarizer.sentenceSimilarity(a, b)
+      val sba = Summarizer.sentenceSimilarity(b, a)
+      val saa = Summarizer.sentenceSimilarity(a, a)
+      sab == sba && sab >= 0.0 && sab <= 1.0 + 1e-9 &&
+        (Summarizer.tokenSet(a).isEmpty || math.abs(saa - 1.0) < 1e-9)
+    })
+  }
+
+  test("textrank: scores positive, deterministic, uniform on symmetric input") {
+    val n = 5
+    val sym = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else 1.0)
+    val s1 = Summarizer.textrank(sym)
+    val s2 = Summarizer.textrank(sym)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.forall(_ > 0))
+    assert(s1.forall(x => math.abs(x - s1.head) < 1e-9))
+  }
+
+  test("minhash permutation parameters are valid and deterministic") {
+    assert(Dedup.HashParams.size == Dedup.NumHashes)
+    assert(Dedup.HashParams.forall { case (a, b) =>
+      a >= 1 && a < Dedup.Prime && b >= 0 && b < Dedup.Prime })
+    assert(Dedup.HashParams == Dedup.HashParams) // stable val, same across calls
+  }
+
+  test("codegen cosine equals composable cosine on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(300)((
+      Array.fill(16)(rnd.nextDouble() * 2 - 1),
+      Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(abs(
+      org.apache.spark.sql.graftext.CosineSimilarityExpr.cosineSim(col("a"), col("b")) -
+        TextFns.cosineDense(col("a"), col("b"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff < 1e-12)
+  }
+}
