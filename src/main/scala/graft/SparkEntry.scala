@@ -95,6 +95,8 @@ object SparkEntry {
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
     "m3_frames"        -> (Multimodal.qFrames _),
+    "m4_resized"       -> (Multimodal.qResized _),
+    "m5_features"      -> (Multimodal.qFeatures _),
     // streaming (batch-equivalent entry; streaming form tested via memory sink)
     "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
     "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),

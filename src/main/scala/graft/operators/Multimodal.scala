@@ -80,6 +80,53 @@ object Multimodal {
     }
   }
 
+  case class ResizedAsset(asset_id: Long, kind: String, width: Int, height: Int,
+                          payload: Array[Byte])
+  case class AssetFeatures(asset_id: Long, kind: String, features: Array[Float])
+
+  /** Resize: stub nearest-neighbor "resample" to a fixed `w`×`h` byte grid
+    * (a real impl swaps the body for the codec's scaler; the per-partition
+    * batch shape and output schema are the contract).
+    */
+  def resize(assets: Dataset[Asset], w: Int = 8, h: Int = 8): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val out = new Array[Byte](w * h)
+        val n = a.payload.length
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (n == 0) 0 else a.payload((i.toLong * n / out.length).toInt)
+          i += 1
+        }
+        ResizedAsset(a.asset_id, a.kind, w, h, out)
+      }
+    }
+  }
+
+  /** Feature extraction: stub `dim`-float embedding per asset (deterministic
+    * byte-histogram projection — a real impl calls the vision/audio model
+    * here). Output feeds [[VectorSearch]] directly.
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 16): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real impl: model session initialized once per partition
+      it.map { a =>
+        val f = new Array[Float](dim)
+        var i = 0
+        while (i < a.payload.length) {
+          f(((a.payload(i) & 0xFF) * dim / 256) % dim) += 1.0f
+          i += 1
+        }
+        val n = math.max(a.payload.length, 1).toFloat
+        var j = 0
+        while (j < dim) { f(j) /= n; j += 1 }
+        AssetFeatures(a.asset_id, a.kind, f)
+      }
+    }
+  }
+
   // --- query entries ---
 
   /** Byte/metadata columns expressible relationally (oracle-checkable):
@@ -106,4 +153,15 @@ object Multimodal {
     sampleFrames(syntheticAssets(spark, sfDir)).toDF()
       .select(col("asset_id"), col("frame_idx"), col("offset"),
         length(col("frame_bytes")).cast("long").as("n_bytes"))
+
+  def qResized(spark: SparkSession, sfDir: String): DataFrame =
+    resize(syntheticAssets(spark, sfDir)).toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        length(col("payload")).cast("long").as("n_bytes"))
+
+  def qFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(syntheticAssets(spark, sfDir)).toDF()
+      .select(col("asset_id"), col("kind"),
+        round(aggregate(transform(col("features"), x => x.cast("double")),
+          lit(0.0d), (acc, x) => acc + x), 6).as("feature_sum"))
 }

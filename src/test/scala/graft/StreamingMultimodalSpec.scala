@@ -86,6 +86,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize emits exactly w*h bytes for every image asset") {
+    val resized = Multimodal.resize(Multimodal.syntheticAssets(spark, sf0001), 8, 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.payload.length == 64 && r.width == 8 && r.height == 8))
+    val imageIds = Multimodal.syntheticAssets(spark, sf0001)
+      .filter(_.kind == "image").map(_.asset_id).collect().toSet
+    assert(resized.map(_.asset_id).toSet == imageIds)
+  }
+
+  test("multimodal: feature vectors have fixed dim, are normalized and deterministic") {
+    val f1 = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, sf0001))
+      .collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, sf0001))
+      .collect().sortBy(_.asset_id)
+    assert(f1.nonEmpty && f1.forall(_.features.length == 16))
+    // histogram over all bytes, divided by byte count → sums to ~1
+    assert(f1.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
   test("multimodal: frame sampling only on video assets, every 4th 64-byte chunk") {
     val frames = Multimodal.sampleFrames(Multimodal.syntheticAssets(spark, sf0001)).collect()
     assert(frames.nonEmpty)
