@@ -44,6 +44,7 @@ object SparkEntry {
     "e3_purchase_error_users" -> (EventOps.purchaseErrorUsers _),
     "e4_user_type_concat"    -> (EventOps.userTypeConcat _),
     "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
+    "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -260,6 +261,9 @@ object SparkEntry {
       """SELECT user_id,
         |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
         |FROM events GROUP BY user_id""".stripMargin,
+    "e6_distinct_skew_safe" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_user_id
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "d1_word_frequency" ->
       s"""WITH toks AS (${toksSql("documents")})

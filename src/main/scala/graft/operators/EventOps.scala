@@ -76,6 +76,16 @@ object EventOps {
     * runs to quantify the error. Rows-only check: HLL estimates are
     * engine-specific.
     */
+  /** A2 skew-safe exact form: `event_type` has only a handful of hot
+    * values, so a direct COUNT(DISTINCT user_id) shuffles every row to ≤5
+    * reducers; deduping on the high-cardinality (type, user) composite
+    * first spreads the heavy shuffle evenly, and the second shuffle moves
+    * one row per distinct pair (see [[graft.functions.Skew]]).
+    */
+  def distinctUsersSkewSafe(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Skew.distinctRewrite(
+      Tables.events(spark, sfDir), "event_type", "user_id")
+
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select("event_type", "user_id")
