@@ -130,9 +130,37 @@ object Duplicates {
   def pairSimilaritiesKernel(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     kernelFromTf(tfSum(docs), threshold)
 
-  private def kernelFromTf(tf: DataFrame, threshold: Double): DataFrame = {
+  /** Session-scoped memo of collected [docs × vocab] matrices, keyed by the
+    * canonicalized TF plan: clustering, unique-docs and the pipeline all
+    * ask for the same corpus's matrix, and the collects happen at plan
+    * construction where DataFrame-level caching can't help. Bounded at a
+    * handful of corpora; cleared wholesale when it overflows.
+    */
+  private val kernelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Array[Double]], Array[Double])]()
+
+  private def collectMatrix(tf: DataFrame): (Array[Long], Array[Array[Double]], Array[Double]) = {
     val spark = tf.sparkSession
     import spark.implicits._
+    // Memoize ONLY plans whose every leaf is a file relation: a
+    // LocalRelation's canonicalized form omits its data, so two different
+    // in-memory corpora would collide on the same key.
+    val leaves = tf.queryExecution.analyzed.collectLeaves()
+    val filePaths = leaves.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    val memoizable = filePaths.length == leaves.length
+    val key =
+      if (memoizable)
+        tf.queryExecution.analyzed.canonicalized.toString + "|" + filePaths.mkString(";")
+      else ""
+    val hit = if (memoizable) kernelMemo.get(key) else null
+    if (hit != null) return hit
     val vocab = tf.select("token").distinct().orderBy("token").as[String].collect()
     val rows = tf.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("token"), col("tf")))).as("m"))
@@ -142,9 +170,20 @@ object Duplicates {
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2)
     val norms = vecs.map(v => { var s = 0.0; var k = 0; while (k < v.length) { s += v(k) * v(k); k += 1 }; math.sqrt(s) })
+    if (memoizable) {
+      if (kernelMemo.size >= 8) kernelMemo.clear()
+      kernelMemo.put(key, (ids, vecs, norms))
+    }
+    (ids, vecs, norms)
+  }
+
+  private def kernelFromTf(tf: DataFrame, threshold: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val (ids, vecs, norms) = collectMatrix(tf)
     val bc = spark.sparkContext.broadcast((ids, vecs, norms))
     val n = ids.length
-    val d = vocab.length
+    val d = vecs.headOption.map(_.length).getOrElse(0)
     val parts = math.max(spark.sparkContext.defaultParallelism * 4, 8)
     spark.range(0, n.toLong, 1, parts).as[Long].mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
