@@ -40,11 +40,13 @@ object SparkEntry {
     "r12_type_value_share"     -> (Relational.typeValueShare _),
     // event-sequence operators
     "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
+    "e1b_heatmap_dense"      -> (EventOps.activityHeatmapDense _),
     "e2_error_context"       -> ((s: SparkSession, d: String) => EventOps.errorContext(s, d)),
     "e3_purchase_error_users" -> (EventOps.purchaseErrorUsers _),
     "e4_user_type_concat"    -> (EventOps.userTypeConcat _),
     "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
+    "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -239,6 +241,13 @@ object SparkEntry {
     "e1_activity_heatmap" ->
       """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e1b_heatmap_dense" -> {
+      val cols = (0 to 23).map(h =>
+        f"sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS h$h%02d").mkString(",\n       ")
+      s"""SELECT dayofweek(ts) + 1 AS dow,
+         |       $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
     "e2_error_context" ->
       """WITH numbered AS (
         |  SELECT user_id, event_id, event_type, ts,
@@ -264,6 +273,19 @@ object SparkEntry {
     "e6_distinct_skew_safe" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_user_id
         |FROM events GROUP BY event_type""".stripMargin,
+    "e7_asof_join" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         max(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS last_view_ts
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT user_id, event_id AS purchase_event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(last_view_ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(last_view_ts)) AS BIGINT) AS view_to_purchase_s
+        |FROM s WHERE event_type = 'purchase'""".stripMargin,
 
     "d1_word_frequency" ->
       s"""WITH toks AS (${toksSql("documents")})

@@ -76,6 +76,49 @@ object EventOps {
     * runs to quantify the error. Rows-only check: HLL estimates are
     * engine-specific.
     */
+  /** A10 dense form: the 7×24 grid as a pivot — one row per day-of-week,
+    * 24 zero-filled hour columns (`exper_sql.py:362-406` reindexes to the
+    * dense grid in pandas; `pivot` with explicit values does it in-plan,
+    * keeping the aggregation map-side combinable).
+    */
+  def activityHeatmapDense(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour"))
+      .groupBy("dow")
+      .pivot("hour", 0 to 23)
+      .count()
+      .na.fill(0L)
+    (0 to 23).foldLeft(pivoted) { (df, h) =>
+      df.withColumnRenamed(h.toString, f"h$h%02d")
+    }
+  }
+
+  /** As-of join (backward): for each purchase, the most recent prior-or-
+    * simultaneous view by the same user. A naive formulation is a range
+    * self-join plus a per-purchase max — quadratic in events per user; the
+    * Spark-first form is ONE window pass over the interleaved stream:
+    * `last(view_ts, ignoreNulls)` over (user, time) up to the current row
+    * carries the latest view forward, and purchase rows just read it.
+    * Scale shape: single shuffle on user_id, no join at all.
+    */
+  def asofViewBeforePurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("last_view_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_view_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_view_ts")))
+          .as("view_to_purchase_s"))
+  }
+
   /** A2 skew-safe exact form: `event_type` has only a handful of hot
     * values, so a direct COUNT(DISTINCT user_id) shuffles every row to ≤5
     * reducers; deduping on the high-cardinality (type, user) composite
