@@ -47,6 +47,7 @@ object SparkEntry {
     "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
+    "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -241,6 +242,12 @@ object SparkEntry {
     "e1_activity_heatmap" ->
       """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e8_value_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "e1b_heatmap_dense" -> {
       val cols = (0 to 23).map(h =>
         f"sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS h$h%02d").mkString(",\n       ")

