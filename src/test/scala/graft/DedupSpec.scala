@@ -76,6 +76,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size <= 10 && !lsh.contains(0L))
   }
 
+  test("pair-similarity strategies agree: kernel == inverted index (testdata)") {
+    val docs = Tables.documents(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val kernel = canon(graft.operators.Duplicates.pairSimilaritiesKernel(docs, 0.5))
+    val sparse = canon(graft.operators.Duplicates.pairSimilaritiesSparse(docs, 0.5))
+    assert(kernel.nonEmpty && kernel == sparse)
+  }
+
   test("IVF ANN with nprobe = nCells equals brute force exactly") {
     val emb = Tables.embeddings(spark, sf0001)
     val exact = VectorSearch.annTopK(emb, 0L, 10)
