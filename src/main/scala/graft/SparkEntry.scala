@@ -24,6 +24,7 @@ object SparkEntry {
     "v2_user_summary"  -> (Views.userSummary _),
     "v3_length_stats"  -> (Views.lengthStats _),
     "v4_time_activity" -> (Views.timeActivity _),
+    "v4b_started_users" -> (Views.startedUsers _),
     "v5_type_usage"    -> (Views.typeUsage _),
     // §2.3/§2.4/§2.6 relational pack (TPC-H-ish shapes)
     "r1_pricing_summary"    -> (Relational.pricingSummary _),
@@ -152,6 +153,10 @@ object SparkEntry {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
         |       count(*) AS event_count, count(DISTINCT user_id) AS active_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "v4b_started_users" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT strftime(first_ts, '%Y-%m-%d') AS date, count(*) AS started_users
+        |FROM f GROUP BY 1""".stripMargin,
     "v5_type_usage" ->
       """SELECT event_type, count(*) AS use_count,
         |       count(DISTINCT user_id) AS distinct_users,

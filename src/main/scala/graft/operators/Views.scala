@@ -108,6 +108,22 @@ object Views {
         count(lit(1)).as("event_count"),
         countDistinct(col("user_id")).as("active_users"))
 
+  /** The `started_conversations` column of `time_activity`, fixed
+    * (`create_views.sql:64-68` is a broken correlated subquery; the intent
+    * per SURVEY §1.2 is "conversations started per day"): users whose FIRST
+    * event falls on the date. Two aggregations — per-user min(ts), then a
+    * count per date — both shuffle-light (the second input is one row per
+    * user).
+    */
+  def startedUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("user_id", "ts")
+      .groupBy("user_id")
+      .agg(min("ts").as("first_ts"))
+      .select(date_format(col("first_ts"), "yyyy-MM-dd").as("date"))
+      .groupBy("date")
+      .agg(count(lit(1)).as("started_users"))
+
   /** `model_usage` (`fix_model_usage_view.sql:5-16`): usage stats per model
     * → per event_type: count, distinct conversations (users), average
     * payload value. Non-empty filter kept from the reference (F5).
