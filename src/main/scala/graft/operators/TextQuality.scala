@@ -34,7 +34,12 @@ object TextQuality {
     * tie-break, plus a confidence = hits(best)/words.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val words = allWords(col("text"))
+    // materialize the word array once: six independent expressions read it,
+    // and the regex extraction would otherwise re-run for each (the
+    // scan streams 100 TB — per-row constant factors are the cost model)
+    val staged = docs.select(col("doc_id"), col("lang"),
+      allWords(col("text")).as("__words"))
+    val words = col("__words")
     val hitCols = LangMarkers.map { case (lang, ms) =>
       lang -> size(filter(words, w => array_contains(lit(ms.toArray), w)))
     }
@@ -44,7 +49,7 @@ object TextQuality {
     val detected = hitCols.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
       when(c === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("lang").as("declared_lang"),
+    staged.select(col("doc_id"), col("lang").as("declared_lang"),
       detected.as("detected_lang"),
       round(maxHits.cast("double") / greatest(size(words), lit(1)), 6).as("confidence"))
   }
@@ -56,11 +61,14 @@ object TextQuality {
     */
   def qualityScore(docs: DataFrame): DataFrame = {
     val text = col("text")
+    // stage the two extractions once (same rationale as langId)
+    val staged = docs.select(col("doc_id"), text,
+      allWords(text).as("__aw"),
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).as("__punct"))
     val nChars = length(text)
     val words = TextFns.wordCount(text)
-    val punct = length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
-    val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
-    val allW = allWords(text)
+    val punctRatio = col("__punct").cast("double") / greatest(nChars, lit(1))
+    val allW = col("__aw")
     val stopHits = size(filter(allW, w => array_contains(lit(TextFns.Stopwords.toArray), w)))
     val stopRatio = stopHits.cast("double") / greatest(size(allW), lit(1))
     val q =
@@ -68,7 +76,7 @@ object TextQuality {
       least(words.cast("double") / 100.0, lit(1.0)) * 0.25 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
       when(stopRatio >= 0.10 && stopRatio <= 0.60, 1.0).otherwise(0.0) * 0.25
-    docs.select(col("doc_id"),
+    staged.select(col("doc_id"),
       nChars.cast("long").as("n_chars_measured"),
       words.cast("long").as("n_words"),
       round(punctRatio, 6).as("punct_ratio"),
