@@ -88,14 +88,14 @@ object TextQuality {
     * (letter runs, digit runs, single non-alnum marks — an upper bound on
     * subword vocab pieces).
     */
-  def tokenCounts(docs: DataFrame): DataFrame = {
-    val bpeish = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+  def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
-      size(bpeish).cast("long").as("bpeish_tokens"),
-      (size(bpeish).cast("double") / greatest(TextFns.wordCount(col("text")), lit(1)))
-        .as("fertility"))
-  }
+        TextFns.wordCount(col("text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpeish_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"),
+        (col("bpeish_tokens").cast("double") / greatest(col("ws_tokens"), lit(1)))
+          .as("fertility"))
 
   /** Document fingerprints: an md5 content digest over the normalized text
     * (lowercased, whitespace collapsed — robust to formatting) and a
