@@ -217,4 +217,19 @@ object Ingest {
     messages.dropDuplicates("id").write.mode("overwrite")
       .parquet(s"$outDir/messages")
   }
+
+  /** Co-located storage for repeated same-key joins/aggregations: bucket a
+    * table by its join key so every later equi-join or groupBy on that key
+    * reads pre-shuffled buckets — zero Exchange in the plan. At 100 TB this
+    * converts the fact⋈fact self-joins (context windows, session stitching)
+    * from full shuffles into local merges; the bucket count is the
+    * cluster-side parallelism and should be sized once per table.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -42,6 +42,35 @@ class PlanSpec extends SparkSpec {
     assert(physical(DocOps.keywordSearch(spark, sf0001)).contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+    val loc = new java.io.File("spark-warehouse/events_bucketed_test")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    graft.sources.Ingest.writeBucketed(
+      Tables.events(spark, sf0001).select("event_id", "user_id", "event_type"),
+      table = "events_bucketed_test", key = "user_id", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path: the point is that bucketing replaces
+      // the shuffle, not that a tiny table can broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("events_bucketed_test")
+      val joined = t.as("a").join(t.as("b"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed self-join must not shuffle, plan was:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("relational operators run inside whole-stage codegen") {
     // AQE finalizes stages only at execution; run the query, then read the
     // final adaptive plan.
