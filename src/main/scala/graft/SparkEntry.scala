@@ -39,6 +39,7 @@ object SparkEntry {
     "r10_supplier_nation_stats" -> (Relational.supplierNationStats _),
     "r11_value_histogram"      -> (Relational.valueHistogram _),
     "r12_type_value_share"     -> (Relational.typeValueShare _),
+    "r13_top_types_other"      -> ((s: SparkSession, d: String) => Relational.topTypesWithOther(s, d)),
     // event-sequence operators
     "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
     "e1b_heatmap_dense"      -> (EventOps.activityHeatmapDense _),
@@ -244,6 +245,16 @@ object SparkEntry {
         |       round(type_value * 100.0 / sum(type_value) OVER (), 6) AS pct
         |FROM a""".stripMargin,
 
+    "r13_top_types_other" ->
+      """WITH totals AS (
+        |  SELECT event_type, sum(value) AS total_value FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT event_type, total_value,
+        |         row_number() OVER (ORDER BY total_value DESC, event_type) AS rk
+        |  FROM totals)
+        |SELECT CASE WHEN rk <= 2 THEN event_type ELSE 'Other' END AS slice,
+        |       round(sum(total_value), 2) AS value
+        |FROM ranked GROUP BY 1""".stripMargin,
     "e1_activity_heatmap" ->
       """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

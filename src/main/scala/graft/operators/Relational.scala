@@ -165,6 +165,29 @@ object Relational {
     * type's share of total value. The window runs over the 5-row aggregate,
     * not the fact table — no second full-data shuffle.
     */
+  /** T2 variant: top-k categories plus an "Other" rollup — the reference's
+    * pie-slice shape (`exper_sql.py:1717-1733`, top 3 models + Other done
+    * in pandas). Relational form: rank the aggregated categories, relabel
+    * the tail, re-aggregate. Both aggregations group a handful of rows —
+    * the heavy lifting is the first map-side-combined sum over the fact
+    * table.
+    */
+  def topTypesWithOther(spark: SparkSession, sfDir: String, k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = Tables.events(spark, sfDir)
+      .select("event_type", "value")
+      .groupBy("event_type")
+      .agg(sum("value").as("total_value"))
+    totals
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("total_value"), asc("event_type"))))
+      .select(
+        when(col("rk") <= k, col("event_type")).otherwise(lit("Other")).as("slice"),
+        col("total_value"))
+      .groupBy("slice")
+      .agg(round(sum("total_value"), 2).as("value"))
+  }
+
   def typeValueShare(spark: SparkSession, sfDir: String): DataFrame = {
     val agged = Tables.events(spark, sfDir)
       .groupBy("event_type")
