@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench JSON outputs per query.
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [top_n]
+
+Prints per-query ratios (new/old) sorted by regression severity, plus
+totals. Use per-query ratios, not totals, on this machine — wall-clock
+varies ±40% run to run (see NOTES.md).
+"""
+import json
+import sys
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    oq, nq = old["queries"], new["queries"]
+    print(f"old total {old['value']:.1f}s/{len(oq)}q   "
+          f"new total {new['value']:.1f}s/{len(nq)}q")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print("added:", ", ".join(added))
+    if removed:
+        print("removed:", ", ".join(removed))
+    common = [(nq[k] / max(oq[k], 1e-9), oq[k], nq[k], k)
+              for k in sorted(set(oq) & set(nq))]
+    print(f"\n{'ratio':>7} {'old_s':>8} {'new_s':>8}  query (worst regressions first)")
+    for ratio, o, n, k in sorted(common, reverse=True)[:top_n]:
+        flag = " <-- regression" if ratio > 1.5 and n > 1.0 else ""
+        print(f"{ratio:7.2f} {o:8.2f} {n:8.2f}  {k}{flag}")
+
+
+if __name__ == "__main__":
+    main()
