@@ -138,9 +138,9 @@ object SparkEntry {
     "v2_user_summary" ->
       """SELECT user_id,
         |       count(*) AS event_count,
-        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count,
-        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
         |       (CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)) / 60.0 AS duration_min
@@ -148,7 +148,7 @@ object SparkEntry {
     "v3_length_stats" ->
       """SELECT user_id, event_type, count(*) AS n,
         |       avg(length(props)) AS avg_len, min(length(props)) AS min_len,
-        |       max(length(props)) AS max_len, sum(length(props)) AS sum_len
+        |       max(length(props)) AS max_len, CAST(sum(length(props)) AS BIGINT) AS sum_len
         |FROM events GROUP BY user_id, event_type""".stripMargin,
     "v4_time_activity" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
@@ -197,9 +197,9 @@ object SparkEntry {
         |GROUP BY r_name""".stripMargin,
     "r4_order_status_pivot" ->
       """SELECT o_orderpriority,
-        |       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-        |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS filled_orders,
-        |       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_orders,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS filled_orders,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders,
         |       count(*) AS total_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "r5_customers_no_orders" ->
@@ -266,7 +266,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "e1b_heatmap_dense" -> {
       val cols = (0 to 23).map(h =>
-        f"sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS h$h%02d").mkString(",\n       ")
+        f"CAST(sum(CASE WHEN hour(ts) = $h THEN 1 ELSE 0 END) AS BIGINT) AS h$h%02d").mkString(",\n       ")
       s"""SELECT dayofweek(ts) + 1 AS dow,
          |       $cols
          |FROM events GROUP BY 1""".stripMargin
@@ -284,8 +284,8 @@ object SparkEntry {
         |  ON n.user_id = h.user_id AND n.rn BETWEEN h.hit_rn - 2 AND h.hit_rn + 2""".stripMargin,
     "e3_purchase_error_users" ->
       """SELECT user_id,
-        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY user_id
         |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
         |   AND sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0""".stripMargin,
@@ -337,7 +337,7 @@ object SparkEntry {
         |FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
     "d6_topic_buckets" -> {
       val cols = DocOps.Topics.map { case (name, kws) =>
-        s"sum(CASE WHEN ${topicPredSql(kws)} THEN 1 ELSE 0 END) AS ${name}_docs"
+        s"CAST(sum(CASE WHEN ${topicPredSql(kws)} THEN 1 ELSE 0 END) AS BIGINT) AS ${name}_docs"
       }.mkString(",\n       ")
       s"""SELECT lang, $cols,
          |       count(*) AS total_docs
@@ -350,7 +350,7 @@ object SparkEntry {
         i <- DocOps.Topics.indices; j <- DocOps.Topics.indices if i < j
       } yield (DocOps.Topics(i)._1, DocOps.Topics(j)._1)
       val selects = pairs.map { case (a, b) =>
-        s"SELECT '$a' AS topic_a, '$b' AS topic_b, sum($a * $b) AS n_docs FROM flags"
+        s"SELECT '$a' AS topic_a, '$b' AS topic_b, CAST(sum($a * $b) AS BIGINT) AS n_docs FROM flags"
       }.mkString("\nUNION ALL\n")
       s"WITH flags AS (SELECT $flagCols FROM documents)\n$selects"
     },
@@ -390,7 +390,7 @@ object SparkEntry {
          |         len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
          |             w -> w NOT IN ($stopwordsSql))) AS t
          |  FROM documents)
-         |SELECT lang, sum(p) AS pos_hits, sum(n) AS neg_hits,
+         |SELECT lang, CAST(sum(p) AS BIGINT) AS pos_hits, CAST(sum(n) AS BIGINT) AS neg_hits,
          |       round(sum(p) * 100.0 / sum(t), 6) AS pos_pct,
          |       round(sum(n) * 100.0 / sum(t), 6) AS neg_pct
          |FROM per_doc GROUP BY lang""".stripMargin
@@ -453,8 +453,8 @@ object SparkEntry {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |s AS (
-         |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
          |  FROM o)
          |SELECT user_id, session_idx, count(*) AS n_events,
          |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

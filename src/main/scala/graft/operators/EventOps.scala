@@ -99,7 +99,7 @@ object EventOps {
     */
   def activityHeatmapDense(spark: SparkSession, sfDir: String): DataFrame = {
     val pivoted = Tables.events(spark, sfDir)
-      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour"))
+      .select(dayofweek(col("ts")).cast("long").as("dow"), hour(col("ts")).as("hour"))
       .groupBy("dow")
       .pivot("hour", 0 to 23)
       .count()

@@ -39,6 +39,12 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes raw values, so int64 5 vs float64 5.0 is a FAIL
+        # even when numerically equal (DuckDB sum(int) -> HUGEINT -> float64).
+        if (av.dtype.kind in "iu") != (bv.dtype.kind in "iu"):
+            problems.append(f"col {c}: dtype kind differs: spark={av.dtype} duck={bv.dtype} "
+                            f"(cast the oracle, e.g. CAST(sum(..) AS BIGINT))")
+            continue
         try:
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 import numpy as np
