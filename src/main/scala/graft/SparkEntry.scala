@@ -395,7 +395,9 @@ object SparkEntry {
          |       round(sum(n) * 100.0 / sum(t), 6) AS neg_pct
          |FROM per_doc GROUP BY lang""".stripMargin
     },
-    // d12_random_sample: engine RNGs differ — rows-only check by design.
+    "d12_random_sample" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY md5('sample42_' || doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
     "d13_nested_json" ->
       """SELECT user_id, count(*) AS n_events,
         |       '[' || string_agg('{"event_id":' || event_id || ',"event_type":"' ||
@@ -426,10 +428,11 @@ object SparkEntry {
       SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
       SemanticSearch.VocabSize, SemanticSearch.Threshold, SemanticSearch.Limit),
     // e5_approx_distinct: HLL sketches are engine-specific — rows-only.
-    // s2_key_sentences: TextRank — rows-only.
-    // n10_components / n11_unique_docs: iterative connected components —
-    // not single-statement SQL; driver records rows-only checks.
-    // s1/p1/p2: contain TextRank summaries (not SQL-expressible) — rows-only.
+    // s1/s2: TextRank (iterative damped float fixpoint) — rows-only.
+    // p1_pipeline: includes the TextRank summary column — rows-only.
+    "n10_components"  -> graft.oracles.NlpSql.componentsSql(),
+    "n11_unique_docs" -> graft.oracles.NlpSql.uniqueDocsSql(),
+    "p2_pipeline_stats" -> graft.oracles.NlpSql.pipelineStatsSql(Relevance.Keywords),
 
     "x1_exact_digest"  -> graft.oracles.TrainSql.exactDigestSql,
     "x2_jaccard_pairs" -> graft.oracles.TrainSql.jaccardPairsSql,
@@ -442,7 +445,22 @@ object SparkEntry {
     "x11_token_counts" -> graft.oracles.TrainSql.tokenCountsSql,
     "x12_fingerprints" -> graft.oracles.TrainSql.fingerprintsSql,
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
-    // m2/m3: stub decoder via mapPartitions — rows-only by design.
+    // m2/m5: the stub decode (wrapping 64-bit rolling checksum) and the
+    // float32 histogram accumulation have no DuckDB equivalent — rows-only.
+    // m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
+    "m3_frames" ->
+      """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS olen
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |idx AS (SELECT doc_id, olen,
+        |               unnest(range(0, CAST(ceil(olen / 64.0) AS BIGINT))) AS i
+        |        FROM v)
+        |SELECT doc_id AS asset_id, i AS frame_idx, i * 64 AS offset,
+        |       least(64, olen - i * 64) AS n_bytes
+        |FROM idx WHERE i % 4 = 0""".stripMargin,
+    "m4_resized" ->
+      """SELECT doc_id AS asset_id, 8 AS width, 8 AS height,
+        |       CAST(64 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w2_sessions" ->
       s"""WITH o AS (

@@ -101,8 +101,25 @@ object DocOps {
   /** Random sample (F10, `sql_search.py:1194-1202`): seeded ORDER BY
     * RANDOM() LIMIT n. No oracle (RNGs differ across engines) — rows-only.
     */
+  /** Deterministic hash sample (F10, `sql_search.py:1194-1202`): rank by
+    * md5 of a salted key and take the first n. Engine-portable — unlike
+    * `rand(seed)`, whose stream is Spark-specific, the md5 ordering is
+    * identical in any engine, so the sample is reproducible AND
+    * oracle-checkable. At cluster scale this is a full sort only of the
+    * (hash, id) projection; TakeOrderedAndProject keeps it one pass.
+    */
   def randomSample(spark: SparkSession, sfDir: String, n: Int = 50): DataFrame =
-    Tables.documents(spark, sfDir).orderBy(rand(42)).limit(n)
+    Tables.documents(spark, sfDir)
+      .orderBy(md5(concat(lit("sample42_"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(n)
+
+  /** Seeded-RNG sample variant (`orderBy(rand(seed))` — the literal Spark
+    * translation of `ORDER BY RANDOM()`); kept for API parity, not
+    * oracle-checkable because RNG streams differ across engines.
+    */
+  def randomSampleSeeded(spark: SparkSession, sfDir: String, n: Int = 50,
+                         seed: Long = 42L): DataFrame =
+    Tables.documents(spark, sfDir).orderBy(rand(seed)).limit(n)
 
   /** Topic CASE-bucket aggregation (A16): per language, the number of
     * documents mentioning each topic (substring semantics like the

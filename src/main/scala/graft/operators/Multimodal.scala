@@ -151,8 +151,8 @@ object Multimodal {
 
   def qFrames(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(syntheticAssets(spark, sfDir)).toDF()
-      .select(col("asset_id"), col("frame_idx"), col("offset"),
-        length(col("frame_bytes")).cast("long").as("n_bytes"))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset"), length(col("frame_bytes")).cast("long").as("n_bytes"))
 
   def qResized(spark: SparkSession, sfDir: String): DataFrame =
     resize(syntheticAssets(spark, sfDir)).toDF()

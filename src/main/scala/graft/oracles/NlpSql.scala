@@ -102,6 +102,62 @@ object NlpSql {
        |JOIN norms nb ON id2 = nb.doc_id
        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
 
+  /** Shared closure CTEs: duplicate pairs ≥ θ → undirected edges →
+    * transitive reachability (recursive CTE) → per-doc min-label component.
+    * Mirrors [[graft.operators.Duplicates.components]] exactly: the edge
+    * set is the (already hash-matching) `n6_dup_pairs` result, and the
+    * component label is the smallest doc_id reachable (incl. self).
+    * CTE names are prefixed `cc` so this composes with [[relevanceSql]].
+    */
+  def componentCtes(threshold: Double = 0.8): String =
+    s"""cctf AS (SELECT doc_id, token, cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS tf
+       |         FROM cnts),
+       |ccnorms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM cctf GROUP BY doc_id),
+       |ccdots AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.tf * b.tf) AS dot
+       |           FROM cctf a JOIN cctf b ON a.token = b.token AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |ccpairs AS (
+       |  SELECT id1, id2 FROM ccdots
+       |  JOIN ccnorms na ON id1 = na.doc_id JOIN ccnorms nb ON id2 = nb.doc_id
+       |  WHERE round(dot / (na.nrm * nb.nrm), 6) >= $threshold),
+       |ccedges AS (SELECT id1 AS a, id2 AS b FROM ccpairs
+       |            UNION ALL SELECT id2, id1 FROM ccpairs),
+       |ccreach(a, b) AS (
+       |  SELECT a, b FROM ccedges
+       |  UNION
+       |  SELECT r.a, e.b FROM ccreach r JOIN ccedges e ON r.b = e.a),
+       |cccomp AS (
+       |  SELECT d.doc_id,
+       |         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
+       |  FROM documents d LEFT JOIN ccreach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** N21 single-linkage components (doc_id → min-reachable label). */
+  def componentsSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE $baseCtes,
+       |${componentCtes(threshold)}
+       |SELECT doc_id, component FROM cccomp""".stripMargin
+
+  /** N22 unique documents: exactly the ids that label their own component. */
+  def uniqueDocsSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE $baseCtes,
+       |${componentCtes(threshold)}
+       |SELECT doc_id FROM cccomp WHERE component = doc_id""".stripMargin
+
+  /** N32 pipeline statistics: relevance aggregates over the unique
+    * (post-dedup) corpus — [[relevanceSql]] composed with the component
+    * closure, mirroring [[graft.operators.Pipeline.statistics]].
+    */
+  def pipelineStatsSql(kws: Seq[String], threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${relevanceSql(kws)},
+       |${componentCtes(threshold)}
+       |SELECT count(*) AS n_documents,
+       |       round(avg(combined), 6) AS avg_relevance,
+       |       round(min(combined), 6) AS min_relevance,
+       |       round(max(combined), 6) AS max_relevance
+       |FROM rel JOIN (SELECT doc_id FROM cccomp WHERE component = doc_id) u
+       |  USING (doc_id)""".stripMargin
+
   def nearDupsSql(targetId: Long = 0L, threshold: Double = 0.8): String =
     s"""WITH $baseCtes,
        |tf AS (SELECT doc_id, token, cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS tf
