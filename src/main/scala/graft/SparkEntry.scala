@@ -436,7 +436,11 @@ object SparkEntry {
 
     "x1_exact_digest"  -> graft.oracles.TrainSql.exactDigestSql,
     "x2_jaccard_pairs" -> graft.oracles.TrainSql.jaccardPairsSql,
-    // x3/x4/x7: xxhash64-based signatures — no DuckDB equivalent, rows-only.
+    "x3_minhash_lsh"   -> graft.oracles.TrainSql.minhashLshSql(),
+    "x4_simhash_pairs" -> graft.oracles.TrainSql.simhashPairsSql(),
+    "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
+    // x14: iterative k-means quantizer — recursive SQL can't aggregate in
+    // the recursive term, so rows-only; the spec proves full-probe == x5.
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,
     "x8_centroid_norms" -> graft.oracles.TrainSql.centroidNormsSql,

@@ -1,7 +1,7 @@
 package graft.oracles
 
 import graft.functions.TextFns
-import graft.operators.TextQuality
+import graft.operators.{Dedup, TextQuality, VectorSearch}
 
 /** DuckDB oracle SQL for the training-data pipeline operators
   * ([[graft.operators.Dedup]], [[graft.operators.VectorSearch]],
@@ -39,6 +39,130 @@ object TrainSql {
        |SELECT id1, id2, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
        |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
        |WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.5""".stripMargin
+
+  /** The [[Dedup.md5Long60]] engine-portable hash in DuckDB dialect. */
+  private def md5Long60Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Shared shingle CTEs (same tokenizer + 3-shingle rule as
+    * [[Dedup.shinglesFromTokens]]).
+    */
+  private val shingleCtes: String =
+    s"""toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(len(t) - 2),
+       |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
+       |  FROM toksl),
+       |ds AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+
+  /** MinHash-LSH candidate pairs, mirroring [[Dedup.minhashLshPairs]]:
+    * md5-60 shingle hash mod the Mersenne prime, the same 32 (a,b)
+    * permutation literals, 8 bands of 4 hashed through md5-60 of the
+    * joined band string, est_jaccard = agreeing positions / 32 (dyadic —
+    * no float flake).
+    */
+  def minhashLshSql(minEstJaccard: Double = 0.5): String = {
+    val permVals = Dedup.HashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val p = Dedup.Prime
+    val n = Dedup.NumHashes
+    val rb = Dedup.RowsPerBand
+    s"""WITH $shingleCtes,
+       |hashed AS (SELECT doc_id, ${md5Long60Sql("shingle")} % $p AS h FROM ds),
+       |perms(pidx, a, b) AS (VALUES $permVals),
+       |sigl AS (SELECT doc_id, pidx, min((a * h + b) % $p) AS s
+       |         FROM hashed CROSS JOIN perms GROUP BY doc_id, pidx),
+       |sigs AS (SELECT doc_id, list(s ORDER BY pidx) AS sig FROM sigl GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.bidx,
+       |         ${md5Long60Sql(
+                   s"b.bidx::VARCHAR || '_' || array_to_string(sig[b.bidx * $rb + 1 : b.bidx * $rb + $rb], '_')")}
+       |           AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS bidx) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id1, id2,
+       |       len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
+       |         AS est_jaccard
+       |FROM cand JOIN sigs s1 ON id1 = s1.doc_id JOIN sigs s2 ON id2 = s2.doc_id
+       |WHERE len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
+       |        >= $minEstJaccard""".stripMargin
+  }
+
+  /** SimHash near-dup pairs, mirroring [[Dedup.simhashPairs]]: md5-60
+    * token hash, ±count per bit, 60-bit fingerprint, 4×15-bit chunk
+    * candidates, Hamming via bit_count(xor).
+    */
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val bits = Dedup.SimhashBits
+    val cb = Dedup.SimhashChunkBits
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b')) AS token
+       |  FROM documents),
+       |fil AS (SELECT doc_id, token FROM toks WHERE token NOT IN ($stop)),
+       |cnts AS (SELECT doc_id, token, count(*) AS cnt FROM fil GROUP BY doc_id, token),
+       |hashed AS (SELECT doc_id, cnt, ${md5Long60Sql("token")} AS h FROM cnts),
+       |bitsums AS (
+       |  SELECT doc_id, b.bi,
+       |         sum(CASE WHEN (h >> b.bi) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM hashed CROSS JOIN (SELECT unnest(range(0, $bits)) AS bi) b
+       |  GROUP BY doc_id, b.bi),
+       |simh AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bi) ELSE 0 END) AS BIGINT)
+       |           AS simhash
+       |  FROM bitsums GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.ci, (simhash >> (c.ci * $cb)) & ${(1L << cb) - 1} AS chunk
+       |  FROM simh CROSS JOIN (SELECT unnest(range(0, ${Dedup.SimhashChunks})) AS ci) c),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |                  a.simhash AS h1, b.simhash AS h2
+       |  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= $maxHamming""".stripMargin
+  }
+
+  /** LSH-bucketed ANN, mirroring [[VectorSearch.annLshTopK]]: the 8×64
+    * LCG hyperplane matrix rides the SQL as double literals (Java
+    * shortest-repr strings parse back to the identical doubles), bucket =
+    * OR of sign bits, exact cosine within the query's bucket.
+    */
+  def annLshSql(queryVecId: Long = 0L, k: Int = 10,
+                dim: Int = 64, nPlanes: Int = 8): String = {
+    val planes = VectorSearch.hyperplanes(dim, nPlanes)
+    val planeVals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH planes(pidx, pvec) AS (VALUES
+       |       $planeVals),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, pidx,
+       |         list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * pvec[i])) AS dot
+       |  FROM e CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << pidx) ELSE 0 END)
+       |                      AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id)
+       |SELECT e.vec_id, e.label,
+       |       round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+       |FROM e JOIN buckets be USING (vec_id)
+       |CROSS JOIN (SELECT e2.v AS qv, b2.bucket AS qbucket
+       |            FROM e e2 JOIN buckets b2 USING (vec_id)
+       |            WHERE e2.vec_id = $queryVecId) q
+       |WHERE be.bucket = q.qbucket AND e.vec_id <> $queryVecId
+       |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
+  }
 
   val annTopKSql: String =
     """SELECT e.vec_id, e.label,

@@ -37,10 +37,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 0 && b == 5 && j == 1.0 })
   }
 
-  test("simhash: identical docs → hamming 0; signatures are 64-bit") {
+  test("simhash: identical docs → hamming 0; signatures fit SimhashBits") {
     val sigs = Dedup.simhashSignatures(sampleDocs)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     assert(sigs(0L) == sigs(5L))
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << Dedup.SimhashBits)))
     val pairs = Dedup.simhashPairs(sampleDocs, maxHamming = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists { case (a, b, h) => a == 0 && b == 5 && h == 0 })
