@@ -14,10 +14,19 @@ object Bench {
     // in the first measured query
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Dev-only knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2 limits
+    // the set; SPARK_GRAFT_REPEAT=n times each query n times (steady-state
+    // vs first-run costs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.flatMap { case (name, fn) =>
+      (1 to repeat).map { i =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (if (i == 1) name else s"$name#$i") -> (System.nanoTime() - t0) / 1e9
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -66,6 +66,7 @@ object SparkEntry {
     "d13_nested_json"     -> (Export.qNestedJson _),
     "d14_markdown"        -> (Export.qMarkdown _),
     "d15_boolean_query"   -> ((s: SparkSession, d: String) => DocOps.booleanQuerySearch(s, d)),
+    "d16_top_words_sketch" -> ((s: SparkSession, d: String) => DocOps.topWordsSketch(s, d)),
     // §2.9 NLP pipeline pack
     "n1_tf"           -> (Relevance.qTf _),
     "n2_idf"          -> (Relevance.qIdf _),
@@ -398,6 +399,11 @@ object SparkEntry {
     "d12_random_sample" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY md5('sample42_' || doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
+    "d16_top_words_sketch" ->
+      s"""WITH toks AS (${toksSql("documents")})
+         |SELECT word, count(*) AS cnt FROM toks
+         |WHERE word NOT IN ($stopwordsSql)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "d13_nested_json" ->
       """SELECT user_id, count(*) AS n_events,
         |       '[' || string_agg('{"event_id":' || event_id || ',"event_type":"' ||

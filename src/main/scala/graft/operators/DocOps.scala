@@ -39,6 +39,21 @@ object DocOps {
       .orderBy(desc("n"), asc("word"))
       .limit(k)
 
+  /** Heavy-hitter word frequency via the Misra–Gries typed aggregate
+    * ([[graft.functions.TopKWords]]) — the sketch form of [[wordFrequency]]
+    * for corpora whose vocabulary is too wide to shuffle: one pass, fixed
+    * memory, no (word) exchange. With `capacity` ≥ the true vocabulary the
+    * summary is exact, so the query entry oracle-checks against plain SQL
+    * top-k; the approximate regime is spec-covered by its error bound.
+    */
+  def topWordsSketch(spark: SparkSession, sfDir: String, k: Int = 20,
+                     capacity: Int = 4096): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .agg(graft.functions.TopKWords.topKWords(col("word"), k, capacity).as("tops"))
+      .select(explode(col("tops")).as("t"))
+      .select(col("t.word").as("word"), col("t.cnt").as("cnt"))
+
   /** Keyword substring search with snippet (F1 + X8,
     * `sql_search.py:188-284`): case-insensitive LIKE, a ±30-char snippet
     * around the first match, ordered by document size desc, LIMIT 100.

@@ -139,13 +139,13 @@ object Duplicates {
   private val kernelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Array[Double]], Array[Double])]()
 
-  private def collectMatrix(tf: DataFrame): (Array[Long], Array[Array[Double]], Array[Double]) = {
-    val spark = tf.sparkSession
-    import spark.implicits._
-    // Memoize ONLY plans whose every leaf is a file relation: a
-    // LocalRelation's canonicalized form omits its data, so two different
-    // in-memory corpora would collide on the same key.
-    val leaves = tf.queryExecution.analyzed.collectLeaves()
+  /** Memo key for a file-backed plan, or "" when the plan is not safely
+    * memoizable. Only plans whose every leaf is a file relation qualify: a
+    * LocalRelation's canonicalized form omits its data, so two different
+    * in-memory corpora would collide on the same key.
+    */
+  private def planMemoKey(df: DataFrame): String = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
     val filePaths = leaves.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -154,11 +154,16 @@ object Duplicates {
           case other => other.toString
         }
     }
-    val memoizable = filePaths.length == leaves.length
-    val key =
-      if (memoizable)
-        tf.queryExecution.analyzed.canonicalized.toString + "|" + filePaths.mkString(";")
-      else ""
+    if (filePaths.length == leaves.length)
+      df.queryExecution.analyzed.canonicalized.toString + "|" + filePaths.mkString(";")
+    else ""
+  }
+
+  private def collectMatrix(tf: DataFrame): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val key = planMemoKey(tf)
+    val memoizable = key.nonEmpty
     val hit = if (memoizable) kernelMemo.get(key) else null
     if (hit != null) return hit
     val vocab = tf.select("token").distinct().orderBy("token").as[String].collect()
@@ -217,12 +222,36 @@ object Duplicates {
     * Output: (doc_id, component) for every document, where component is the
     * smallest doc_id reachable through the ≥ θ similarity graph.
     */
-  def components(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Session-scoped memo of collected edge lists, keyed by (corpus plan,
+    * threshold): clustering, unique-docs, and both pipeline entries all
+    * collect the same thresholded pairs, and [[components]] brings the edge
+    * list to the driver by design — memoizing the collected array just
+    * skips re-running the similarity job for the later consumers.
+    */
+  private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  private def collectEdges(docs: DataFrame, threshold: Double): Array[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val key0 = planMemoKey(docs)
+    val key = if (key0.nonEmpty) s"$key0|t=$threshold" else ""
+    val hit = if (key.nonEmpty) edgeMemo.get(key) else null
+    if (hit != null) return hit
     val edges = pairSimilarities(docs, threshold)
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .as[(Long, Long)].collect()
+    if (key.nonEmpty) {
+      if (edgeMemo.size >= 8) edgeMemo.clear()
+      edgeMemo.put(key, edges)
+    }
+    edges
+  }
+
+  def components(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = collectEdges(docs, threshold)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
