@@ -47,4 +47,24 @@ object Skew {
     df.select(key, value).distinct()
       .groupBy(key)
       .agg(count(lit(1)).as(s"distinct_$value"))
+
+  /** Salted equi-join for a skewed fact side: the fact's hot join keys are
+    * spread across `nSalts` sub-keys by a deterministic row-hash salt, and
+    * the (small-but-not-broadcastable) dim side is replicated once per
+    * salt with `explode(sequence(...))`, so the shuffle keys on
+    * (key, salt) and no single reducer receives a whole hot key.
+    *
+    * Result equals `fact.join(dim, key, "inner")` exactly — only the
+    * physical distribution changes. AQE's skew-join split covers the same
+    * case at runtime when it can; this is the declarative form for plans
+    * AQE can't rewrite (e.g. when the skewed exchange feeds a stateful or
+    * bucketed stage).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, rowKey: Column,
+                 nSalts: Int): DataFrame = {
+    val saltedFact = withSalt(fact, rowKey, nSalts)
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -152,6 +152,42 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact deduplication on the event id — the incremental form
+    * of the training-data exact-dedup pass ([[graft.operators.Dedup]]):
+    * `dropDuplicatesWithinWatermark` keys state on event_id and expires it
+    * once the watermark passes, so state is bounded by the duplicate
+    * arrival horizon instead of the whole stream history — the only
+    * formulation that survives an unbounded 100 TB ingest.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    withTs(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Batch equivalent of [[dedupStream]] (same output schema). */
+  def dedupBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Replay [[dedupStream]] over a static directory to completion. */
+  def replayDedup(spark: SparkSession, dir: String,
+                  queryName: String = "dedup_mem"): DataFrame = {
+    val q: StreamingQuery = dedupStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   // --- custom streaming state (mapGroupsWithState) ---
 
   /** Input row for the stateful per-user aggregator. */

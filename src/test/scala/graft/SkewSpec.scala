@@ -29,6 +29,23 @@ class SkewSpec extends SparkSpec {
     assert(salts > 4, s"expected the hot key spread over >4 salts, got $salts")
   }
 
+  test("salted join equals the plain inner join and spreads the shuffle key") {
+    val ev = Tables.events(spark, sf0001)
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_tag", concat(lit("tag_"), col("event_type")))
+    val plain = ev.join(dim, "event_type")
+      .select("event_id", "type_tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Skew.saltedJoin(ev, dim, "event_type", col("event_id"), nSalts = 8)
+      .select("event_id", "type_tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
+    // the join key space really is (key, salt): dim side replicated 8x
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(7))))
+    assert(saltedDim.count() == dim.count() * 8)
+  }
+
   test("distinct rewrite equals countDistinct") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy("event_type").agg(countDistinct("user_id").as("d"))

@@ -53,6 +53,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("streaming dedup drops cross-microbatch duplicates within the watermark") {
+    // stage the fixture TWICE: every event arrives again in a later
+    // micro-batch (maxFilesPerTrigger=1), all within the 1h watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events_b.parquet"))
+    val streamed = EventStream.replayDedup(spark, dir.toString)
+      .as[(Long, Long, String, Double)].collect().toSeq
+    val batch = EventStream.dedupBatch(spark, sf0001)
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(streamed.map(_._1).distinct.size == streamed.size, "emitted a duplicate event_id")
+    assert(streamed.sortBy(_._1) == batch.sortBy(_._1))
+  }
+
   test("mapGroupsWithState user stats replay == batch per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ustats")
     java.nio.file.Files.copy(
