@@ -31,10 +31,11 @@ object TrainSql {
        |         ELSE list_transform(range(len(t) - 2),
        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
        |  FROM toksl),
-       |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |ds AS (SELECT DISTINCT doc_id,
+       |              ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60 FROM sh),
        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-       |          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          FROM ds a JOIN ds b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT id1, id2, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
        |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
@@ -59,7 +60,8 @@ object TrainSql {
        |         ELSE list_transform(range(len(t) - 2),
        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
        |  FROM toksl),
-       |ds AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+       |ds AS (SELECT DISTINCT doc_id,
+       |              ${md5Long60Sql("shingle")} AS h60 FROM sh)""".stripMargin
 
   /** MinHash-LSH candidate pairs, mirroring [[Dedup.minhashLshPairs]]:
     * md5-60 shingle hash mod the Mersenne prime, the same 32 (a,b)
@@ -74,7 +76,7 @@ object TrainSql {
     val n = Dedup.NumHashes
     val rb = Dedup.RowsPerBand
     s"""WITH $shingleCtes,
-       |hashed AS (SELECT doc_id, ${md5Long60Sql("shingle")} % $p AS h FROM ds),
+       |hashed AS (SELECT doc_id, h60 % $p AS h FROM ds),
        |perms(pidx, a, b) AS (VALUES $permVals),
        |sigl AS (SELECT doc_id, pidx, min((a * h + b) % $p) AS s
        |         FROM hashed CROSS JOIN perms GROUP BY doc_id, pidx),
