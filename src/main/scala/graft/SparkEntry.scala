@@ -455,9 +455,9 @@ object SparkEntry {
     "x11_token_counts" -> graft.oracles.TrainSql.tokenCountsSql,
     "x12_fingerprints" -> graft.oracles.TrainSql.fingerprintsSql,
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
-    // m2/m5: the stub decode (wrapping 64-bit rolling checksum) and the
-    // float32 histogram accumulation have no DuckDB equivalent — rows-only.
-    // m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
+    // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
+    // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
+    "m2_decoded_meta"  -> graft.oracles.TrainSql.decodedMetaSql,
     "m3_frames" ->
       """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS olen
         |           FROM documents WHERE doc_id % 3 = 2),

@@ -251,6 +251,38 @@ object TrainSql {
       |       unicode(substr(text, 2, 1)) % 64 + 1 AS fake_height
       |FROM documents""".stripMargin
 
+  /** The [[graft.operators.Multimodal.FakeDecoder]] metadata stub in SQL.
+    * Valid because the synthetic corpus is pure ASCII, so UTF-8 payload
+    * bytes equal code points: the wrapping-64-bit rolling checksum
+    * `ck = ck*31 + byte` folds in HUGEINT arithmetic mod 2^64 (seed
+    * prepended — this DuckDB's list_reduce takes no initial value), then
+    * maps back to the signed BIGINT Spark's Long wrap produces.
+    */
+  val decodedMetaSql: String = {
+    val seed = 1125899906842597L
+    val two64 = "18446744073709551616::HUGEINT"
+    s"""WITH ck AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_concat([$seed::HUGEINT],
+       |             list_transform(
+       |               list_filter(string_split(text, ''), c -> c <> ''),
+       |               c -> unicode(c)::HUGEINT)),
+       |           (acc, x) -> (acc * 31 + x) % $two64) AS raw
+       |  FROM documents)
+       |SELECT d.doc_id AS asset_id,
+       |       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |            WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |       octet_length(encode(d.text)) AS n_bytes,
+       |       CASE WHEN length(d.text) = 0 THEN 0
+       |            ELSE (unicode(substr(d.text, 1, 1)) & 63) + 1 END AS width,
+       |       CASE WHEN length(d.text) < 2 THEN 0
+       |            ELSE (unicode(substr(d.text, 2, 1)) & 63) + 1 END AS height,
+       |       CASE WHEN ck.raw >= 9223372036854775808::HUGEINT
+       |            THEN (ck.raw - $two64)::BIGINT ELSE ck.raw::BIGINT END AS checksum
+       |FROM documents d JOIN ck USING (doc_id)""".stripMargin
+  }
+
   val dailyCountsSql: String =
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
       |       count(*) AS n, round(sum(value), 2) AS total_value
