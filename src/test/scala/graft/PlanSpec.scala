@@ -71,6 +71,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("top-k words sketch aggregates via ObjectHashAggregate (buffer stays an object)") {
+    val p = physical(DocOps.topWordsSketch(spark, sf0001))
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate, plan:\n$p")
+  }
+
+  test("salted join keys the exchange on (key, salt), not the hot key alone") {
+    val ev = Tables.events(spark, sf0001)
+    val dim = ev.select("event_type").distinct()
+      .withColumn("tag", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("t_"), org.apache.spark.sql.functions.col("event_type")))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.functions.Skew.saltedJoin(
+        ev, dim, "event_type", org.apache.spark.sql.functions.col("event_id"), nSalts = 8)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt column missing from the physical join keys:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("relational operators run inside whole-stage codegen") {
     // AQE finalizes stages only at execution; run the query, then read the
     // final adaptive plan.
