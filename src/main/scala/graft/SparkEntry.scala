@@ -93,6 +93,7 @@ object SparkEntry {
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
     "x14_ann_ivf"      -> (VectorSearch.qAnnIvf _),
+    "x15_quantized"    -> (VectorSearch.qQuantized _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),
@@ -448,6 +449,7 @@ object SparkEntry {
     // x14: iterative k-means quantizer — recursive SQL can't aggregate in
     // the recursive term, so rows-only; the spec proves full-probe == x5.
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
+    "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,
     "x8_centroid_norms" -> graft.oracles.TrainSql.centroidNormsSql,
     "x9_lang_id"       -> graft.oracles.TrainSql.langIdSql,

@@ -177,6 +177,43 @@ object VectorSearch {
       .limit(k)
   }
 
+  // --- scalar int8 quantization: the memory side of ANN at scale ---
+
+  /** Symmetric per-vector int8 quantization: q_i = round(v_i / scale) with
+    * scale = max|v| / 127. A quantized corpus is 4× smaller than float32
+    * (16× vs the double-widened working form), which is what lets a
+    * billion-vector ANN index stay in executor memory; reconstruction
+    * error is bounded by scale/2 per dimension. All double arithmetic on
+    * deterministic inputs — identical in any engine, so oracle-checkable.
+    */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxabs === 0.0d, 1.0d).otherwise(maxabs / 127.0d)
+    embeddings.select(
+      col("vec_id"), col("label"), scale.as("scale"),
+      transform(v, x => round(x / scale).cast("int")).as("qvec"))
+  }
+
+  /** Exact cosine top-k over the *quantized* corpus: the scan reads int8
+    * codes + one scale, dequantizing on the fly. Same contract as
+    * [[annTopK]] but the scan side is 4× denser in memory; the query
+    * vector stays full-precision.
+    */
+  def annTopKQuantized(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qvec"))
+    quantize(embeddings)
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        transform(col("qvec"), x => x.cast("double") * col("scale")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosineSim(col("v"), col("qvec")), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroid vectors (the aggregation side of IVF: coarse
     * clusters for probe-restricted search). `array<double>` average via
     * posexplode + groupBy on (label, dim).
@@ -204,6 +241,16 @@ object VectorSearch {
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  /** Quantization codes in long form (vec_id, dim, q, scale) — array
+    * columns stay out of the dump so the driver's value hash sees scalars.
+    */
+  def qQuantized(spark: SparkSession, sfDir: String): DataFrame =
+    quantize(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        posexplode(col("qvec")))
+      .toDF("vec_id", "scale", "dim", "q")
+      .select(col("vec_id"), col("dim"), col("q"), col("scale"))
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

@@ -180,6 +180,22 @@ object TrainSql {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin
 
+  /** [[VectorSearch.quantize]] in SQL: same max-abs/127 scale, same
+    * away-from-zero rounding (both engines), dims exploded to scalars.
+    */
+  val quantizedSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 1.0
+      |              ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+      |  FROM e)
+      |SELECT vec_id, CAST(i.range AS INT) AS dim,
+      |       CAST(round(v[i.range + 1] / scale) AS INT) AS q,
+      |       round(scale, 6) AS scale
+      |FROM s, range(0, 64) i""".stripMargin
+
   val centroidNormsSql: String =
     """WITH per AS (
       |  SELECT label, i.range AS dim, avg(embedding[i.range + 1]::DOUBLE) AS cx

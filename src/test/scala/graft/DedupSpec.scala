@@ -95,6 +95,31 @@ class DedupSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("int8 quantization: codes in range, reconstruction within scale/2 per dim") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = VectorSearch.quantize(emb)
+      .select("vec_id", "scale", "qvec").as[(Long, Double, Seq[Int])].collect()
+    val orig = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, q) =>
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of int8 range")
+      q.zip(orig(id)).foreach { case (c, v) =>
+        assert(math.abs(c * scale - v.toDouble) <= scale / 2 + 1e-12,
+          s"vec $id reconstruction error exceeds scale/2")
+      }
+    }
+  }
+
+  test("quantized ANN top-k closely matches the exact top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = VectorSearch.annTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = VectorSearch.annTopKQuantized(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.size == 10 && !quant.contains(0L))
+    assert((exact & quant).size >= 8, s"recall too low: ${(exact & quant).size}/10")
+  }
+
   test("IVF ANN with partial probes returns valid ordered approximations") {
     val ivf = VectorSearch.annIvfTopK(Tables.embeddings(spark, sf0001), 0L, 10)
       .select("vec_id", "sim").as[(Long, Double)].collect()
