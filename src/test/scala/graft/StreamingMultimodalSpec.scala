@@ -53,6 +53,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
   }
 
+  test("streaming top-k words across micro-batches == batch sketch") {
+    // stage the corpus as THREE files so the summary state merges across
+    // three micro-batches (maxFilesPerTrigger=1), not within one
+    val dir = java.nio.file.Files.createTempDirectory("graft-topw")
+    Tables.documents(spark, sf0001).repartition(3)
+      .write.mode("overwrite").parquet(dir.toString)
+    val streamed = graft.streaming.DocStream.replayTopWords(spark, dir.toString)
+      .as[(String, Long)].collect().toSeq
+    val batch = graft.operators.DocOps.topWordsSketch(spark, sf0001)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops cross-microbatch duplicates within the watermark") {
     // stage the fixture TWICE: every event arrives again in a later
     // micro-batch (maxFilesPerTrigger=1), all within the 1h watermark
