@@ -92,6 +92,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("platform partition pruning: a filtered read plans partition filters") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val conv = Seq(
+      ("c1", "claude", "A"), ("c2", "claude", "B"), ("g1", "chatgpt", "C"))
+      .toDF("id", "platform", "name")
+    val msgs = Seq(("m1", "c1"), ("m2", "g1")).toDF("id", "conversation_id")
+    graft.sources.Ingest.writeNormalized(conv, msgs, out)
+    val read = spark.read.parquet(s"$out/conversations")
+      .where($"platform" === "claude")
+    assert(read.count() == 2)
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("platform"),
+      s"expected a partition filter on platform in:\n$p")
+    // the pruned scan must not list the chatgpt partition
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(!scanLine.contains("chatgpt"))
+  }
+
   test("relational operators run inside whole-stage codegen") {
     // AQE finalizes stages only at execution; run the query, then read the
     // final adaptive plan.
