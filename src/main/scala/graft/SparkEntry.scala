@@ -67,6 +67,7 @@ object SparkEntry {
     "d14_markdown"        -> (Export.qMarkdown _),
     "d15_boolean_query"   -> ((s: SparkSession, d: String) => DocOps.booleanQuerySearch(s, d)),
     "d16_top_words_sketch" -> ((s: SparkSession, d: String) => DocOps.topWordsSketch(s, d)),
+    "d17_stratified_sample" -> ((s: SparkSession, d: String) => DocOps.stratifiedSample(s, d)),
     // §2.9 NLP pipeline pack
     "n1_tf"           -> (Relevance.qTf _),
     "n2_idf"          -> (Relevance.qIdf _),
@@ -400,6 +401,14 @@ object SparkEntry {
     "d12_random_sample" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY md5('sample42_' || doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
+    "d17_stratified_sample" ->
+      """SELECT doc_id, lang, source, n_chars, rk FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5('strat42_' || doc_id::VARCHAR), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
     "d16_top_words_sketch" ->
       s"""WITH toks AS (${toksSql("documents")})
          |SELECT word, count(*) AS cnt FROM toks

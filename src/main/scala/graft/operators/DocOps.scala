@@ -128,6 +128,24 @@ object DocOps {
       .orderBy(md5(concat(lit("sample42_"), col("doc_id").cast("string"))), col("doc_id"))
       .limit(n)
 
+  /** Deterministic stratified sample: the top `perStratum` documents per
+    * language by salted-md5 rank — balanced sampling for training-data
+    * curation (a raw sample of a skewed corpus over-represents the head
+    * language). One window pass partitioned by the stratum key; the same
+    * md5 ordering as [[randomSample]], so it is engine-portable and
+    * oracle-checkable.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+                       perStratum: Int = 10): DataFrame = {
+    val rk = row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("strat42_"), col("doc_id").cast("string"))), col("doc_id")))
+    Tables.documents(spark, sfDir)
+      .withColumn("rk", rk)
+      .where(col("rk") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("rk"))
+  }
+
   /** Seeded-RNG sample variant (`orderBy(rand(seed))` — the literal Spark
     * translation of `ORDER BY RANDOM()`); kept for API parity, not
     * oracle-checkable because RNG streams differ across engines.

