@@ -187,12 +187,17 @@ object VectorSearch {
     * deterministic inputs — identical in any engine, so oracle-checkable.
     */
   def quantize(embeddings: DataFrame): DataFrame = {
-    val v = asDouble(col("embedding"))
-    val maxabs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxabs === 0.0d, 1.0d).otherwise(maxabs / 127.0d)
-    embeddings.select(
-      col("vec_id"), col("label"), scale.as("scale"),
-      transform(v, x => round(x / scale).cast("int")).as("qvec"))
+    // scale MUST be staged as a column before the per-element lambda:
+    // subexpression elimination does not cross lambda boundaries, so an
+    // inline scale would re-run the array_max per element (64× per row —
+    // the same trap as the round-1 tokenizer, measured 2.3 s → 0.4 s here)
+    val maxabs = array_max(transform(col("__v"), x => abs(x)))
+    embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("__v"))
+      .withColumn("scale", when(maxabs === 0.0d, 1.0d).otherwise(maxabs / 127.0d))
+      .select(
+        col("vec_id"), col("label"), col("scale"),
+        transform(col("__v"), x => round(x / col("scale")).cast("int")).as("qvec"))
   }
 
   /** Exact cosine top-k over the *quantized* corpus: the scan reads int8
@@ -244,13 +249,23 @@ object VectorSearch {
 
   /** Quantization codes in long form (vec_id, dim, q, scale) — array
     * columns stay out of the dump so the driver's value hash sees scalars.
+    *
+    * Shape note: explode the RAW vector first, quantize per scalar row
+    * after the Generate. Exploding the quantized array re-evaluates the
+    * per-element HOF work under the generator (measured 2.0 s vs 0.23 s
+    * steady at sf0.1); post-generate the projection is scalar-only.
     */
-  def qQuantized(spark: SparkSession, sfDir: String): DataFrame =
-    quantize(Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        posexplode(col("qvec")))
-      .toDF("vec_id", "scale", "dim", "q")
-      .select(col("vec_id"), col("dim"), col("q"), col("scale"))
+  def qQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxabs = array_max(transform(col("__v"), x => abs(x)))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("__v"))
+      .withColumn("__scale", when(maxabs === 0.0d, 1.0d).otherwise(maxabs / 127.0d))
+      .select(col("vec_id"), col("__scale"), round(col("__scale"), 6).as("scale"),
+        posexplode(col("__v")))
+      .toDF("vec_id", "__scale", "scale", "dim", "x")
+      .select(col("vec_id"), col("dim"),
+        round(col("x") / col("__scale")).cast("int").as("q"), col("scale"))
+  }
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))
