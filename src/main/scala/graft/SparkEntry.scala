@@ -100,6 +100,8 @@ object SparkEntry {
     "x10_quality"      -> (TextQuality.qQuality _),
     "x11_token_counts" -> (TextQuality.qTokenCounts _),
     "x12_fingerprints" -> (TextQuality.qFingerprints _),
+    "x16_repetition"   -> (TextQuality.qRepetition _),
+    "x17_redact_pii"   -> (TextQuality.qRedactPii _),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -465,6 +467,8 @@ object SparkEntry {
     "x10_quality"      -> graft.oracles.TrainSql.qualitySql,
     "x11_token_counts" -> graft.oracles.TrainSql.tokenCountsSql,
     "x12_fingerprints" -> graft.oracles.TrainSql.fingerprintsSql,
+    "x16_repetition"   -> graft.oracles.TrainSql.repetitionSql,
+    "x17_redact_pii"   -> graft.oracles.TrainSql.redactPiiSql,
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:

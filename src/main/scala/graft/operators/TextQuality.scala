@@ -99,17 +99,61 @@ object TextQuality {
 
   /** Document fingerprints: an md5 content digest over the normalized text
     * (lowercased, whitespace collapsed — robust to formatting) and a
-    * 64-bit rolling polynomial hash over the token stream (order-sensitive,
-    * for chunk-level dedup).
+    * rolling polynomial hash over the token stream (order-sensitive, for
+    * chunk-level dedup). Token hashes use the engine-portable md5-60
+    * ([[graft.operators.Dedup.md5Long60]]), so the rolling hash — not just
+    * the digest — is oracle-checkable.
+    *
+    * The token array is staged as a column first: the fold lambda would
+    * otherwise re-run the tokenizer per element (cross-lambda-boundary
+    * rule, see NOTES.md).
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val rolling = aggregate(
-      TextFns.tokens(col("text")), lit(0L),
-      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
+      col("__toks"), lit(0L),
+      (acc, t) => pmod(
+        acc * 1000003L + pmod(graft.operators.Dedup.md5Long60(t), lit(1000000007L)),
+        lit(2147483647L)))
+    docs.select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        md5(norm.cast("binary")).as("content_md5"),
+        rolling.as("rolling_hash"))
+  }
+
+  /** Gopher-style repetition statistics: the duplicate-line fraction of a
+    * document (high values flag boilerplate/template text for training-data
+    * filtering). Lines are newline-split, trimmed, empties dropped.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= "")
+    docs.select(col("doc_id"), lines.as("__lines"))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("__lines"))).cast("long").as("n_distinct_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        round(when(col("n_lines") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines")), 6)
+          .as("dup_line_ratio"))
+  }
+
+  /** PII pattern pass: count and redact email addresses and URLs (the
+    * regexes are Java- and RE2-compatible, so the oracle applies them
+    * identically). Emails are replaced first, then URLs; the dump carries
+    * an md5 of the redacted text rather than the text itself.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailPattern, "[EMAIL]"), UrlPattern, "[URL]")
     docs.select(col("doc_id"),
-      md5(norm.cast("binary")).as("content_md5"),
-      rolling.as("rolling_hash"))
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0)))
+        .cast("long").as("n_urls"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
   }
 
   // --- query entries ---
@@ -125,5 +169,10 @@ object TextQuality {
 
   def qFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     fingerprints(Tables.documents(spark, sfDir))
-      .select("doc_id", "content_md5") // rolling hash is xxhash64-based: no oracle
+
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, sfDir))
+
+  def qRedactPii(spark: SparkSession, sfDir: String): DataFrame =
+    redactPii(Tables.documents(spark, sfDir))
 }

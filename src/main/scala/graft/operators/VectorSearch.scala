@@ -225,8 +225,10 @@ object VectorSearch {
     */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("label"), posexplode(asDouble(col("embedding"))))
-      .toDF("label", "dim", "x")
+      // explode the raw array, cast per scalar row (see qQuantized note)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "dim", "x0")
+      .select(col("label"), col("dim"), col("x0").cast("double").as("x"))
       .groupBy("label", "dim")
       .agg(avg("x").as("cx"))
       .groupBy("label")

@@ -253,9 +253,46 @@ object TrainSql {
       |FROM documents""".stripMargin
 
   val fingerprintsSql: String =
-    """SELECT doc_id,
-      |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_md5
-      |FROM documents""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |       md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS content_md5,
+       |       list_reduce(
+       |         list_concat([0::BIGINT],
+       |           list_transform(toks.t,
+       |             x -> ${md5Long60Sql("x")} % 1000000007)),
+       |         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_hash
+       |FROM documents d JOIN toks USING (doc_id)""".stripMargin
+
+  /** Gopher-style duplicate-line fraction ([[TextQuality.repetitionStats]]). */
+  val repetitionSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |                     x -> x <> '') AS ls
+      |  FROM documents)
+      |SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_distinct_lines,
+      |       round(CASE WHEN len(ls) = 0 THEN 0.0
+      |                  ELSE 1.0 - len(list_distinct(ls)) * 1.0 / len(ls) END, 6)
+      |         AS dup_line_ratio
+      |FROM l""".stripMargin
+
+  /** PII pattern pass ([[TextQuality.redactPii]]) — same Java/RE2-portable
+    * regexes, emails replaced before URLs.
+    */
+  val redactPiiSql: String = {
+    val email = TextQuality.EmailPattern
+    val url = TextQuality.UrlPattern
+    s"""SELECT doc_id,
+       |       len(regexp_extract_all(text, '$email')) AS n_emails,
+       |       len(regexp_extract_all(text, '$url')) AS n_urls,
+       |       md5(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+       |                          '$url', '[URL]', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+  }
 
   val assetMetaSql: String =
     """SELECT doc_id AS asset_id,

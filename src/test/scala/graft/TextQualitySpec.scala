@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TextQuality
+
+/** Text-quality operators on planted fixtures: repetition, PII redaction,
+  * fingerprints, language ID.
+  */
+class TextQualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repetition stats: duplicate lines counted, empties dropped") {
+    val df = Seq(
+      (1L, "a line\na line\nanother\n\n  \na line"),
+      (2L, "unique one\nunique two"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextQuality.repetitionStats(df)
+      .as[(Long, Long, Long, Double)].collect().toMap2
+    assert(got(1L) == (4L, 2L, 0.5))
+    assert(got(2L) == (2L, 2L, 0.0))
+    assert(got(3L) == (0L, 0L, 0.0))
+  }
+
+  test("PII redaction: emails and urls counted and replaced") {
+    val df = Seq(
+      (1L, "mail me at a.b@example.com or see https://example.com/x?q=1 now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val counts = TextQuality.redactPii(df)
+      .select("doc_id", "n_emails", "n_urls").as[(Long, Long, Long)].collect().toMap2
+    assert(counts(1L) == (1L, 1L))
+    assert(counts(2L) == (0L, 0L))
+    // the redacted digest differs from the original text's digest for doc 1 only
+    val joined = TextQuality.redactPii(df)
+      .join(df, "doc_id")
+      .selectExpr("doc_id", "redacted_md5 = md5(cast(text AS binary)) AS unchanged")
+      .as[(Long, Boolean)].collect().toMap
+    assert(!joined(1L) && joined(2L))
+  }
+
+  test("fingerprints: formatting-invariant digest, order-sensitive rolling hash") {
+    val df = Seq(
+      (1L, "Spark   engine\n rocks"),
+      (2L, "spark engine rocks"),    // same after normalization
+      (3L, "rocks engine spark")).   // same tokens, different order
+      toDF("doc_id", "text")
+    val fp = TextQuality.fingerprints(df)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L)._1 == fp(2L)._1, "digest must ignore case/whitespace")
+    assert(fp(1L)._2 == fp(2L)._2)
+    assert(fp(2L)._1 != fp(3L)._1)
+    assert(fp(2L)._2 != fp(3L)._2, "rolling hash must be order-sensitive")
+  }
+
+  test("language ID picks the marker-heavy language with confidence") {
+    val df = Seq(
+      (1L, "xx", "the cat and the dog ran for the hills with that stick"),
+      (2L, "xx", "le chat et la maison les oiseaux que pour")).toDF("doc_id", "lang", "text")
+    val got = TextQuality.langId(df)
+      .select("doc_id", "detected_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "fr")
+  }
+
+  private implicit class Tuple4Map(rows: Array[(Long, Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+  private implicit class Tuple3Map(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
