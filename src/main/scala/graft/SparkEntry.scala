@@ -111,6 +111,8 @@ object SparkEntry {
     // streaming (batch-equivalent entry; streaming form tested via memory sink)
     "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
     "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),
+    "w3_view_click_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.viewClickJoinBatch(s, d)),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -505,5 +507,15 @@ object SparkEntry {
          |       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
          |       round(sum(value), 2) AS total_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // batch form of the stream-stream interval join (ts values are
+    // whole-microsecond, so the range condition is engine-consistent)
+    "w3_view_click_join" ->
+      """SELECT v.user_id, v.event_id AS view_event_id, c.event_id AS click_event_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(v.ts)) AS BIGINT)
+        |         AS gap_s
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 3600 SECONDS""".stripMargin,
   )
 }

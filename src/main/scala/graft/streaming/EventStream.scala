@@ -188,6 +188,64 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * clicks within `withinSeconds` after it. Both sides carry a watermark,
+    * and the time-range condition bounds the join state — Spark drops a
+    * buffered view once the click-side watermark passes view_ts +
+    * withinSeconds, so state stays proportional to the interval, not the
+    * stream. This is the streaming form of the J2/W2 adjacency analysis
+    * for pairs that must not wait for a batch close.
+    */
+  def viewClickJoinStream(spark: SparkSession, dir: String,
+                          withinSeconds: Int = 3600): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(eventType: String, prefix: String): DataFrame = {
+      val src = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+      withTs(src)
+        .where(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    }
+    side("view", "v").join(side("click", "c"),
+      expr(s"""v_user = c_user AND
+              |c_ts >= v_ts AND c_ts <= v_ts + INTERVAL $withinSeconds SECONDS""".stripMargin))
+      .select(col("v_user").as("user_id"), col("v_id").as("view_event_id"),
+        col("c_id").as("click_event_id"),
+        (unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"))
+  }
+
+  /** Batch equivalent of [[viewClickJoinStream]] (same output schema). */
+  def viewClickJoinBatch(spark: SparkSession, sfDir: String,
+                         withinSeconds: Int = 3600): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("v_user").as("user_id"), col("v_id").as("view_event_id"),
+        col("c_id").as("click_event_id"),
+        (unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts"))).as("gap_s"))
+  }
+
+  /** Replay [[viewClickJoinStream]] over a static directory. */
+  def replayViewClickJoin(spark: SparkSession, dir: String,
+                          queryName: String = "vc_join_mem"): DataFrame = {
+    val q: StreamingQuery = viewClickJoinStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   // --- custom streaming state (mapGroupsWithState) ---
 
   /** Input row for the stateful per-user aggregator. */

@@ -84,6 +84,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.sortBy(_._1) == batch.sortBy(_._1))
   }
 
+  test("stream-stream interval join replay == batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vcjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.replayViewClickJoin(spark, dir.toString)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventStream.viewClickJoinBatch(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // inner stream-stream join emits on match arrival: replay to completion
+    // must produce exactly the batch join
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState user stats replay == batch per-user counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ustats")
     java.nio.file.Files.copy(
