@@ -188,6 +188,86 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Per-user running session state for [[sessionFlatMapStream]]. */
+  case class SessionState(start_micros: Long, last_micros: Long,
+                          n_events: Long, total_value: Double)
+  case class SessionOut(user_id: Long, session_start: String,
+                        n_events: Long, total_value: Double)
+
+  /** Timeout-driven streaming sessionization via `flatMapGroupsWithState`
+    * — the generalized custom-state surface (`session_window` handles the
+    * gap rule; this shape is what arbitrary session semantics — value
+    * caps, event-count splits, churn rules — would extend). State is one
+    * fixed-size record per live user; an event-time timeout at
+    * last_ts + gap closes a session when the watermark passes it, so
+    * state for idle users is reclaimed instead of accumulating.
+    */
+  def sessionFlatMapStream(spark: SparkSession, dir: String,
+                           gapSeconds: Int = SessionGapSeconds): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val gapMicros = gapSeconds * 1000000L
+    def fmt(micros: Long): String =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    withTs(src)
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column alive through the projection — the
+      // event-time timeout needs it on the stateful operator's input
+      .select(col("user_id"), col("ts"),
+        (col("ts").cast("double") * 1e6).cast("long").as("ts_micros"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, fmt(s.start_micros), s.n_events,
+              math.rint(s.total_value * 100) / 100))
+          } else {
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            events.toSeq.sortBy(_._3).foreach { case (_, _, ts, v) =>
+              cur match {
+                case Some(s) if ts - s.last_micros >= gapMicros =>
+                  closed += SessionOut(uid, fmt(s.start_micros), s.n_events,
+                    math.rint(s.total_value * 100) / 100)
+                  cur = Some(SessionState(ts, ts, 1L, v))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start_micros, ts, s.n_events + 1, s.total_value + v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(Math.floorDiv(s.last_micros, 1000L) + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Replay [[sessionFlatMapStream]] over a static directory. */
+  def replaySessionFlatMap(spark: SparkSession, dir: String,
+                           queryName: String = "session_fmgs_mem"): DataFrame = {
+    val q: StreamingQuery = sessionFlatMapStream(spark, dir).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream interval join: each view joined to the same user's
     * clicks within `withinSeconds` after it. Both sides carry a watermark,
     * and the time-range condition bounds the join state — Spark drops a

@@ -84,6 +84,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.sortBy(_._1) == batch.sortBy(_._1))
   }
 
+  test("flatMapGroupsWithState sessions: every emitted session is a batch session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmgs")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.replaySessionFlatMap(spark, dir.toString)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = EventStream.sessionizeBatch(spark, sf0001)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    // sessions still open at end-of-stream never time out; everything that
+    // DID emit must be an exact batch session, with no duplicates, and the
+    // watermark must have closed a substantial share
+    assert(streamed.distinct.size == streamed.size)
+    assert(streamed.toSet.subsetOf(batch),
+      s"streamed sessions not in batch: ${streamed.toSet -- batch}")
+    assert(streamed.size >= batch.size / 2,
+      s"too few closed sessions: ${streamed.size} of ${batch.size}")
+  }
+
   test("stream-stream interval join replay == batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vcjoin")
     java.nio.file.Files.copy(
