@@ -102,6 +102,7 @@ object SparkEntry {
     "x12_fingerprints" -> (TextQuality.qFingerprints _),
     "x16_repetition"   -> (TextQuality.qRepetition _),
     "x17_redact_pii"   -> (TextQuality.qRedactPii _),
+    "x18_chunks"       -> (TextQuality.qChunks _),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -471,6 +472,7 @@ object SparkEntry {
     "x12_fingerprints" -> graft.oracles.TrainSql.fingerprintsSql,
     "x16_repetition"   -> graft.oracles.TrainSql.repetitionSql,
     "x17_redact_pii"   -> graft.oracles.TrainSql.redactPiiSql,
+    "x18_chunks"       -> graft.oracles.TrainSql.chunksSql(),
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:

@@ -156,6 +156,28 @@ object TextQuality {
       md5(redacted.cast("binary")).as("redacted_md5"))
   }
 
+  /** Token-window chunking: split each document's token stream into
+    * fixed-size windows with overlap — the standard context-length prep
+    * for LLM training corpora. Explode-first shape: the generator fans out
+    * over cheap chunk-start integers, and the slice/digest arithmetic runs
+    * per scalar row after the Generate (see NOTES.md on generator + HOF
+    * chains). One scan, no shuffle; chunk identity is carried as an md5 of
+    * the joined window so the dump stays narrow.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 128, overlap: Int = 32): DataFrame = {
+    val step = chunkSize - overlap
+    val n = size(col("__toks"))
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), greatest(n - 1, lit(0)), lit(step))))
+      .toDF("doc_id", "__toks", "chunk_idx", "start")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        size(slice(col("__toks"), col("start") + 1, lit(chunkSize))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), col("start") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+  }
+
   // --- query entries ---
 
   def qLangId(spark: SparkSession, sfDir: String): DataFrame =
@@ -175,4 +197,7 @@ object TextQuality {
 
   def qRedactPii(spark: SparkSession, sfDir: String): DataFrame =
     redactPii(Tables.documents(spark, sfDir))
+
+  def qChunks(spark: SparkSession, sfDir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, sfDir))
 }

@@ -267,6 +267,27 @@ object TrainSql {
        |         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_hash
        |FROM documents d JOIN toks USING (doc_id)""".stripMargin
 
+  /** Token-window chunking ([[TextQuality.chunkTokens]]) — same stopword
+    * tokenizer, same start grid, DuckDB's inclusive-clamping list slice
+    * mirrors Spark's `slice(arr, start, len)`.
+    */
+  def chunksSql(chunkSize: Int = 128, overlap: Int = 32): String = {
+    val step = chunkSize - overlap
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, t,
+       |         unnest(range(0, greatest(len(t), 1), $step)) AS start
+       |  FROM toks)
+       |SELECT doc_id, start // $step AS chunk_idx, start,
+       |       len(t[start + 1 : start + $chunkSize]) AS n_tokens,
+       |       md5(array_to_string(t[start + 1 : start + $chunkSize], ' ')) AS chunk_md5
+       |FROM starts""".stripMargin
+  }
+
   /** Gopher-style duplicate-line fraction ([[TextQuality.repetitionStats]]). */
   val repetitionSql: String =
     """WITH l AS (

@@ -51,6 +51,23 @@ class TextQualitySpec extends SparkSpec {
     assert(fp(2L)._2 != fp(3L)._2, "rolling hash must be order-sensitive")
   }
 
+  test("chunking: fixed windows with overlap cover the token stream") {
+    val df = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "")).toDF("doc_id", "text")
+    // chunkSize=4, overlap=1 → step=3 → starts 0,3,6,9 over 10 tokens
+    val rows = TextQuality.chunkTokens(df, chunkSize = 4, overlap = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // windows overlap: chunk 0 = tokens 1..4, chunk 1 starts at token 4
+    assert(d1(0)._5 != d1(1)._5)
+    // empty doc still yields exactly one empty chunk (not zero rows)
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.map(r => (r._2, r._4)).toSeq == Seq((0L, 0L)))
+  }
+
   test("language ID picks the marker-heavy language with confidence") {
     val df = Seq(
       (1L, "xx", "the cat and the dog ran for the hills with that stick"),
