@@ -103,6 +103,9 @@ object SparkEntry {
     "x16_repetition"   -> (TextQuality.qRepetition _),
     "x17_redact_pii"   -> (TextQuality.qRedactPii _),
     "x18_chunks"       -> (TextQuality.qChunks _),
+    "x19_decontaminate" -> (CorpusPrep.qDecontaminate _),
+    "x20_split"        -> (CorpusPrep.qAssignSplit _),
+    "x21_packing"      -> (CorpusPrep.qPackOffsets _),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -473,6 +476,9 @@ object SparkEntry {
     "x16_repetition"   -> graft.oracles.TrainSql.repetitionSql,
     "x17_redact_pii"   -> graft.oracles.TrainSql.redactPiiSql,
     "x18_chunks"       -> graft.oracles.TrainSql.chunksSql(),
+    "x19_decontaminate" -> graft.oracles.TrainSql.decontaminateSql(),
+    "x20_split"        -> graft.oracles.TrainSql.assignSplitSql,
+    "x21_packing"      -> graft.oracles.TrainSql.packOffsetsSql(),
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:

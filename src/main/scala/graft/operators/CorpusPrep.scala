@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines — the steps
+  * between "clean documents" and "token stream on disk":
+  *
+  *  - benchmark decontamination: drop/flag corpus documents that share
+  *    token n-grams with an evaluation set (the standard 13-gram overlap
+  *    check, parameterized). The eval side is tiny next to the corpus, so
+  *    its distinct n-gram hashes broadcast — the corpus side is one scan
+  *    plus a partial aggregate, no corpus-sized shuffle on text;
+  *  - deterministic train/validation/test split: a salted engine-portable
+  *    hash bucket per document. Pure per-row arithmetic — no shuffle, no
+  *    RNG state, reproducible across engines and runs, and stable under
+  *    corpus append (a document's split never depends on the others);
+  *  - sequence packing: the GPT-style concat-then-chunk layout. Documents
+  *    are concatenated in deterministic order within a shard and cut into
+  *    fixed context windows; each document learns its pack id, offset and
+  *    span count from one windowed cumulative sum. Sharding (here by
+  *    `source`) keeps every window partition-local — at 100 TB the shard
+  *    key becomes `hash(doc_id) % K` so the cumulative sums stay parallel.
+  */
+object CorpusPrep {
+
+  /** Token n-grams from a materialized token-array column; documents with
+    * fewer than n tokens collapse to one whole-document gram (mirrors
+    * [[Dedup.shinglesFromTokens]], which is the n=3 case).
+    */
+  def ngramsFromTokens(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
+
+  private def distinctNgramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(ngramsFromTokens(col("__toks"), n)).as("g"))
+      .select(col("doc_id"), Dedup.md5Long60(col("g")).as("h60"))
+      .distinct()
+
+  /** Flag corpus documents sharing ≥1 token n-gram with the eval set.
+    * Returns (doc_id, n_hits, n_ngrams, contamination) for contaminated
+    * documents only — the common case is that almost nothing matches, so
+    * the output is small even when the corpus is not.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
+    val corpusGrams = distinctNgramHashes(corpus, n)
+    val evalGrams = distinctNgramHashes(evalSet, n).select("h60").distinct()
+    val sizes = corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams"))
+    corpusGrams.join(broadcast(evalGrams), "h60")
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
+        round(col("n_hits") / col("n_ngrams"), 6).as("contamination"))
+  }
+
+  /** Deterministic split assignment: salted md5-60 bucket in [0, 10000),
+    * train < 9000 ≤ validation < 9500 ≤ test. Per-row arithmetic only.
+    */
+  def assignSplit(docs: DataFrame, salt: String = "graft-split-v1"): DataFrame = {
+    val bucket = pmod(Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id"))), lit(10000L))
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < 9000, "train").when(bucket < 9500, "validation")
+        .otherwise("test").as("split"))
+  }
+
+  /** Concat-then-chunk packing layout: within each shard (`source`),
+    * documents concatenate in doc_id order and cut into `ctxLen`-token
+    * windows. Emits where each document lands: starting pack, offset in
+    * that pack, and how many packs it spans. `div` keeps the arithmetic
+    * in longs — a 100 TB shard's cumulative token count overflows double
+    * mantissas long before it overflows a long.
+    */
+  def packOffsets(docs: DataFrame, ctxLen: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum("n_tokens").over(w))
+      .withColumn("offset", col("cum_end") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"offset div $ctxLen").as("pack_id"),
+        pmod(col("offset"), lit(ctxLen.toLong)).as("pack_offset"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr(s"(cum_end - 1) div $ctxLen") - expr(s"offset div $ctxLen") + 1)
+          .as("n_packs"))
+  }
+
+  // --- query entries ---
+
+  /** Stand-in benchmark: every 20th document is "the eval set". */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminate(docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0))
+  }
+
+  def qAssignSplit(spark: SparkSession, sfDir: String): DataFrame =
+    assignSplit(Tables.documents(spark, sfDir))
+
+  def qPackOffsets(spark: SparkSession, sfDir: String): DataFrame =
+    packOffsets(Tables.documents(spark, sfDir))
+}

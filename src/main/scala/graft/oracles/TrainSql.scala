@@ -288,6 +288,62 @@ object TrainSql {
        |FROM starts""".stripMargin
   }
 
+  /** Benchmark decontamination ([[graft.operators.CorpusPrep.decontaminate]]):
+    * distinct n-gram md5-60 hashes per document, eval set = doc_id % 20 == 0,
+    * corpus = the rest, hits counted per corpus document.
+    */
+  def decontaminateSql(n: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(len(t) - ${n - 1}),
+       |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
+       |  FROM toks),
+       |h AS (SELECT DISTINCT doc_id, ${md5Long60Sql("gram")} AS h60 FROM g),
+       |ev AS (SELECT DISTINCT h60 FROM h WHERE doc_id % 20 = 0),
+       |corpus AS (SELECT * FROM h WHERE doc_id % 20 <> 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+       |hits AS (SELECT doc_id, count(*) AS c
+       |         FROM corpus JOIN ev USING (h60) GROUP BY 1)
+       |SELECT doc_id, CAST(c AS BIGINT) AS n_hits, CAST(n AS BIGINT) AS n_ngrams,
+       |       round(c * 1.0 / n, 6) AS contamination
+       |FROM hits JOIN sz USING (doc_id)""".stripMargin
+
+  /** Deterministic split buckets ([[graft.operators.CorpusPrep.assignSplit]]). */
+  val assignSplitSql: String =
+    s"""SELECT doc_id,
+       |       CAST(${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 AS BIGINT) AS bucket,
+       |       CASE WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9000 THEN 'train'
+       |            WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9500 THEN 'validation'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Concat-then-chunk packing ([[graft.operators.CorpusPrep.packOffsets]]):
+    * windowed cumulative token count per source shard, integer division
+    * into fixed context windows.
+    */
+  def packOffsetsSql(ctxLen: Int = 512): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                         w -> w NOT IN ($stop))) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_end
+       |      FROM toks)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST((cum_end - n_tokens) // $ctxLen AS BIGINT) AS pack_id,
+       |       CAST((cum_end - n_tokens) % $ctxLen AS BIGINT) AS pack_offset,
+       |       CAST(CASE WHEN n_tokens = 0 THEN 0
+       |                 ELSE (cum_end - 1) // $ctxLen - (cum_end - n_tokens) // $ctxLen + 1
+       |            END AS BIGINT) AS n_packs
+       |FROM c""".stripMargin
+
   /** Gopher-style duplicate-line fraction ([[TextQuality.repetitionStats]]). */
   val repetitionSql: String =
     """WITH l AS (

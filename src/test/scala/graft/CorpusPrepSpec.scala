@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.functions._
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags only documents sharing an n-gram with the eval set") {
+    val evalSet = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha bravo charlie delta echo then more trailing words"),
+      (2L, "completely unrelated content about gardens and weather patterns today"),
+      (3L, "alpha bravo charlie")). // only a 3-gram, shorter than n=5 — no hit
+      toDF("doc_id", "text")
+    val got = CorpusPrep.decontaminate(corpus, evalSet, n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L))
+    val (_, hits, total, frac) = got(1L)
+    assert(hits == 1L) // "alpha bravo charlie delta echo" is the one shared 5-gram
+    assert(total == 6L) // 10 tokens → 6 distinct 5-grams
+    assert(math.abs(frac - 1.0 / 6) < 1e-6)
+  }
+
+  test("split assignment is deterministic, bucketed, and consistently named") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = CorpusPrep.assignSplit(docs).as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = CorpusPrep.assignSplit(docs).as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "same salt must give identical assignments")
+    assert(a.forall { case (_, bucket, _) => bucket >= 0 && bucket < 10000 })
+    assert(a.forall { case (_, bucket, split) =>
+      split == (if (bucket < 9000) "train" else if (bucket < 9500) "validation" else "test")
+    })
+    // a different salt reshuffles at least one document
+    val c = CorpusPrep.assignSplit(docs, salt = "other").as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(!a.map(_._2).sameElements(c.map(_._2)))
+  }
+
+  test("packing lays documents head-to-tail within each source shard") {
+    // token counts: a1=4, a2=8, a3=5 (source a); b1=12 (source b); ctx=10
+    val docs = Seq(
+      (1L, "a", "alpha bravo charlie delta"),
+      (2L, "a", "echo foxtrot golf hotel india juliet kilo lima"),
+      (3L, "a", "mike november oscar papa quebec"),
+      (4L, "b", "romeo sierra tango uniform victor whiskey xray yankee zulu alpha bravo charlie"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusPrep.packOffsets(docs, ctxLen = 10)
+      .as[(Long, String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // (doc, source, n_tokens, pack_id, pack_offset, n_packs)
+    assert(got(1L) == ((1L, "a", 4L, 0L, 0L, 1L)))
+    assert(got(2L) == ((2L, "a", 8L, 0L, 4L, 2L))) // spans packs 0 and 1
+    assert(got(3L) == ((3L, "a", 5L, 1L, 2L, 1L)))
+    assert(got(4L) == ((4L, "b", 12L, 0L, 0L, 2L))) // shard b starts at its own pack 0
+  }
+
+  test("packing: empty documents occupy zero packs at the current offset") {
+    val docs = Seq(
+      (1L, "a", "alpha bravo charlie"),
+      (2L, "a", ""),
+      (3L, "a", "delta echo")).toDF("doc_id", "source", "text")
+    val got = CorpusPrep.packOffsets(docs, ctxLen = 4)
+      .as[(Long, String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, "a", 0L, 0L, 3L, 0L)))
+    assert(got(3L) == ((3L, "a", 2L, 0L, 3L, 2L))) // 2 tokens across packs 0/1
+  }
+}
