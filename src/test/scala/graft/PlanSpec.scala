@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("corpus prep: eval n-grams broadcast, split assignment never shuffles") {
+    val pDecon = physical(graft.operators.CorpusPrep.qDecontaminate(spark, sf0001))
+    assert(pDecon.contains("BroadcastHashJoin"),
+      s"eval-set n-gram join must broadcast, plan:\n$pDecon")
+    val pSplit = physical(graft.operators.CorpusPrep.qAssignSplit(spark, sf0001))
+    assert(!pSplit.contains("Exchange"),
+      s"split assignment is per-row arithmetic, plan must be shuffle-free:\n$pSplit")
+    // packing shuffles exactly once: the hash partition for the shard window
+    val pPack = physical(graft.operators.CorpusPrep.qPackOffsets(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pPack).size
+    assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n$pPack")
+  }
+
   test("top-k words sketch aggregates via ObjectHashAggregate (buffer stays an object)") {
     val p = physical(DocOps.topWordsSketch(spark, sf0001))
     assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate, plan:\n$p")
