@@ -178,6 +178,27 @@ object TextQuality {
           .as("chunk_md5"))
   }
 
+  /** C4-style line-level filter (Raffel et al. 2020, §2.2, public rules):
+    * keep lines that end in terminal punctuation and carry ≥5 whitespace
+    * words; keep the document when ≥3 lines survive and the page contains
+    * neither "lorem ipsum" nor a curly brace. One scan of line algebra —
+    * the filtered text is carried as a digest so the result stays narrow.
+    */
+  def c4LineFilter(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(transform(lines, l => trim(l)), t =>
+      regexp_like(t, lit("[.!?\"]$")) && size(split(t, "\\s+")) >= 5)
+    docs
+      .select(col("doc_id"), col("text"), size(lines).cast("long").as("n_lines"),
+        kept.as("__kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= 3 &&
+          !col("text").contains("{") &&
+          !lower(col("text")).contains("lorem ipsum")).as("keep_doc"),
+        md5(concat_ws("\n", col("__kept")).cast("binary")).as("kept_md5"))
+  }
+
   // --- query entries ---
 
   def qLangId(spark: SparkSession, sfDir: String): DataFrame =
@@ -200,4 +221,7 @@ object TextQuality {
 
   def qChunks(spark: SparkSession, sfDir: String): DataFrame =
     chunkTokens(Tables.documents(spark, sfDir))
+
+  def qC4Filter(spark: SparkSession, sfDir: String): DataFrame =
+    c4LineFilter(Tables.documents(spark, sfDir))
 }

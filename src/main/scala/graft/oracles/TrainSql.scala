@@ -344,6 +344,26 @@ object TrainSql {
        |            END AS BIGINT) AS n_packs
        |FROM c""".stripMargin
 
+  /** C4 line filter ([[TextQuality.c4LineFilter]]): same trim → terminal
+    * punctuation → ≥5-word rules, same document keep rule, digest of the
+    * surviving lines joined by newline.
+    */
+  val c4FilterSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+      |k AS (
+      |  SELECT doc_id, text, len(lines) AS n_lines,
+      |         list_filter(list_transform(lines, x -> trim(x)),
+      |                     t -> regexp_matches(t, '[.!?"]$')
+      |                          AND len(string_split_regex(t, '\s+')) >= 5) AS kept
+      |  FROM l)
+      |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       len(kept) >= 3 AND NOT contains(text, '{')
+      |         AND NOT contains(lower(text), 'lorem ipsum') AS keep_doc,
+      |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
+      |FROM k""".stripMargin
+
   /** Gopher-style duplicate-line fraction ([[TextQuality.repetitionStats]]). */
   val repetitionSql: String =
     """WITH l AS (

@@ -68,6 +68,26 @@ class TextQualitySpec extends SparkSpec {
     assert(d2.map(r => (r._2, r._4)).toSeq == Seq((0L, 0L)))
   }
 
+  test("C4 filter keeps punctuated 5-word lines and applies page rules") {
+    val good = "This line has five proper words.\n" +
+      "Another sentence with enough words here!\n" +
+      "Does this question also have enough words?\n" +
+      "too short."                   // < 5 words → dropped
+    val df = Seq(
+      (1L, good),
+      (2L, good + "\nsee { config"),            // brace → page dropped
+      (3L, good.replace("words.", "words")),    // first line loses its period
+      (4L, "Lorem Ipsum dolor sit amet etc.\n" + good)). // lorem ipsum page
+      toDF("doc_id", "text")
+    val got = TextQuality.c4LineFilter(df)
+      .select("doc_id", "n_lines", "n_kept", "keep_doc")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 3L, true)))
+    assert(got(2L) == ((2L, 5L, 3L, false)), "curly brace must drop the page")
+    assert(got(3L) == ((3L, 4L, 2L, false)), "only 2 kept lines -> dropped")
+    assert(!got(4L)._4, "lorem ipsum page must be dropped")
+  }
+
   test("language ID picks the marker-heavy language with confidence") {
     val df = Seq(
       (1L, "xx", "the cat and the dog ran for the hills with that stick"),
