@@ -199,6 +199,53 @@ object TextQuality {
         md5(concat_ws("\n", col("__kept")).cast("binary")).as("kept_md5"))
   }
 
+  /** The 8 function words whose presence Gopher's rules require (≥2). */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-level quality rules (Rae et al. 2021, App. A1.1,
+    * public thresholds): word count in [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio (# and …) < 0.1, < 90% bullet lines,
+    * < 30% ellipsis-ended lines, ≥ 80% words with an alphabetic char, and
+    * ≥ 2 of the 8 required function words. Pure column algebra over one
+    * scan; every metric is emitted so downstream can re-threshold without
+    * re-reading the corpus.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val words0 = split(trim(col("text")), "\\s+")
+    val staged = docs.select(col("doc_id"), col("text"),
+      when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(words0).as("__words"),
+      transform(split(col("text"), "\n"), l => trim(l)).as("__lines"))
+    val words = col("__words")
+    val lines = col("__lines")
+    val nWords = size(words).cast("long")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val hashCount = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val ellipsisCount =
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val meanLen = aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+      greatest(nWords, lit(1L))
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") / greatest(nWords, lit(1L))
+    val bulletFrac = size(filter(lines, t => regexp_like(t, lit("^[-*•]")))) / nLines
+    val ellipsisFrac = size(filter(lines, t => regexp_like(t, lit("(\\.\\.\\.|…)$")))) / nLines
+    val alphaFrac = size(filter(words, w => regexp_like(w, lit("[a-zA-Z]")))).cast("double") /
+      greatest(nWords, lit(1L))
+    val reqStops = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      lit(GopherRequiredWords.toArray))).cast("long")
+    staged.select(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      reqStops.as("n_req_stops"),
+      (nWords.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
+        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 && reqStops >= 2L).as("keep_doc"))
+  }
+
   // --- query entries ---
 
   def qLangId(spark: SparkSession, sfDir: String): DataFrame =
@@ -224,4 +271,7 @@ object TextQuality {
 
   def qC4Filter(spark: SparkSession, sfDir: String): DataFrame =
     c4LineFilter(Tables.documents(spark, sfDir))
+
+  def qGopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRules(Tables.documents(spark, sfDir))
 }

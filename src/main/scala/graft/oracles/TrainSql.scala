@@ -364,6 +364,45 @@ object TrainSql {
       |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
       |FROM k""".stripMargin
 
+  /** Gopher document-level quality rules ([[TextQuality.gopherRules]]):
+    * same whitespace words, line trims, symbol counts and thresholds; the
+    * keep rule compares the raw (unrounded) metrics like the Spark side.
+    */
+  val gopherRulesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS words,
+      |         list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(words) AS n_words,
+      |         CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
+      |           / greatest(len(words), 1) AS mean_word_len,
+      |         (len(text) - len(replace(text, '#', ''))
+      |           + (len(text) - len(replace(text, '...', ''))) / 3.0)
+      |           / greatest(len(words), 1) AS symbol_ratio,
+      |         CAST(len(list_filter(lines, t -> regexp_matches(t, '^[-*•]'))) AS DOUBLE)
+      |           / greatest(len(lines), 1) AS bullet_frac,
+      |         CAST(len(list_filter(lines, t -> regexp_matches(t, '(\.\.\.|…)$'))) AS DOUBLE)
+      |           / greatest(len(lines), 1) AS ellipsis_frac,
+      |         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+      |           / greatest(len(words), 1) AS alpha_frac,
+      |         len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+      |             ['the','be','to','of','and','that','have','with'])) AS n_req_stops
+      |  FROM w)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |       round(mean_word_len, 6) AS mean_word_len,
+      |       round(symbol_ratio, 6) AS symbol_ratio,
+      |       round(bullet_frac, 6) AS bullet_frac,
+      |       round(ellipsis_frac, 6) AS ellipsis_frac,
+      |       round(alpha_frac, 6) AS alpha_frac,
+      |       CAST(n_req_stops AS BIGINT) AS n_req_stops,
+      |       n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |         AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+      |         AND alpha_frac > 0.8 AND n_req_stops >= 2 AS keep_doc
+      |FROM m""".stripMargin
+
   /** Gopher-style duplicate-line fraction ([[TextQuality.repetitionStats]]). */
   val repetitionSql: String =
     """WITH l AS (

@@ -88,6 +88,28 @@ class TextQualitySpec extends SparkSpec {
     assert(!got(4L)._4, "lorem ipsum page must be dropped")
   }
 
+  test("Gopher rules: metrics and keep decision per document") {
+    // 66 natural words incl. required function words -> passes every rule
+    val natural = ("the quick brown fox jumps over that lazy dog with " +
+      "plenty of words to have and hold in this long sentence again ") * 3
+    val bullets = (1 to 10).map(i => s"- bullet item $i").mkString("\n")
+    val symbols = "the " + Seq.fill(60)("x#").mkString(" ")
+    val df = Seq(
+      (1L, natural.trim),
+      (2L, bullets),       // 100% bullet lines → dropped
+      (3L, symbols),       // symbol ratio 1.0 → dropped
+      (4L, "too few words here")). // word count < 50 → dropped
+      toDF("doc_id", "text")
+    val got = TextQuality.gopherRules(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "natural text must pass")
+    assert(got(1L).getLong(1) == 66L)
+    assert(got(1L).getLong(7) >= 2L, "required stopword count")
+    assert(!got(2L).getBoolean(8) && got(2L).getDouble(4) == 1.0)
+    assert(!got(3L).getBoolean(8) && got(3L).getDouble(3) > 0.1)
+    assert(!got(4L).getBoolean(8))
+  }
+
   test("language ID picks the marker-heavy language with confidence") {
     val df = Seq(
       (1L, "xx", "the cat and the dog ran for the hills with that stick"),
