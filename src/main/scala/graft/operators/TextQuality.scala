@@ -199,6 +199,22 @@ object TextQuality {
         md5(concat_ws("\n", col("__kept")).cast("binary")).as("kept_md5"))
   }
 
+  /** Per-domain provenance stats: extract URLs, reduce each to its
+    * lowercased host, and count documents and mentions per domain — the
+    * standard "where does this corpus come from" rollup. One scan; the
+    * aggregate shuffles only (domain, partial counts), never text.
+    */
+  def domainStats(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val hosts = transform(
+      regexp_extract_all(col("text"), lit(UrlPattern), lit(0)),
+      u => lower(regexp_extract(u, "https?://([^/\\s]+)", 1)))
+    docs.select(col("doc_id"), explode(hosts).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct("doc_id").as("n_docs"), count("*").as("n_mentions"))
+      .orderBy(col("n_mentions").desc, col("domain"))
+      .limit(topK)
+  }
+
   /** The 8 function words whose presence Gopher's rules require (≥2). */
   val GopherRequiredWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -274,4 +290,7 @@ object TextQuality {
 
   def qGopherRules(spark: SparkSession, sfDir: String): DataFrame =
     gopherRules(Tables.documents(spark, sfDir))
+
+  def qDomainStats(spark: SparkSession, sfDir: String): DataFrame =
+    domainStats(Tables.documents(spark, sfDir))
 }

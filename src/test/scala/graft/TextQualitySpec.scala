@@ -88,6 +88,16 @@ class TextQualitySpec extends SparkSpec {
     assert(!got(4L)._4, "lorem ipsum page must be dropped")
   }
 
+  test("domain stats roll URLs up to lowercased hosts with doc and mention counts") {
+    val df = Seq(
+      (1L, "see https://Example.com/a and https://example.com/b plus http://other.org/x"),
+      (2L, "more at https://example.com/c"),
+      (3L, "no links here")).toDF("doc_id", "text")
+    val got = TextQuality.domainStats(df)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("example.com", 2L, 3L), ("other.org", 1L, 1L)))
+  }
+
   test("Gopher rules: metrics and keep decision per document") {
     // 66 natural words incl. required function words -> passes every rule
     val natural = ("the quick brown fox jumps over that lazy dog with " +
