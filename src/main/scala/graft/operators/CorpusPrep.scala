@@ -90,6 +90,27 @@ object CorpusPrep {
           .as("n_packs"))
   }
 
+  /** Domain mixing: per-source sampling rates applied deterministically.
+    * rate < 1 down-samples (keep the bucket fraction), rate > 1 up-samples
+    * epoch-style (⌊rate⌋ copies everywhere, one extra copy for the
+    * fractional bucket share) — the standard way training mixes weight
+    * sources without an RNG. Per-row arithmetic, no shuffle; the same
+    * salted bucket makes the decision reproducible across engines and
+    * stable under corpus append.
+    */
+  def mixSources(docs: DataFrame, rates: Map[String, Double],
+                 defaultRate: Double = 1.0, salt: String = "graft-mix-v1"): DataFrame = {
+    val bucket = pmod(Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id"))), lit(10000L))
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"),
+        round(rate, 6).as("rate"),
+        (floor(rate) + when(bucket < (rate - floor(rate)) * 10000, 1).otherwise(0))
+          .cast("long").as("n_copies"))
+      .withColumn("accept", col("n_copies") >= 1)
+  }
+
   // --- query entries ---
 
   /** Stand-in benchmark: every 20th document is "the eval set". */
@@ -104,4 +125,11 @@ object CorpusPrep {
 
   def qPackOffsets(spark: SparkSession, sfDir: String): DataFrame =
     packOffsets(Tables.documents(spark, sfDir))
+
+  /** Mixing rates cycle 0.25 / 0.5 / 1.0 / 2.5 over the src<i> sources. */
+  def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val cycle = Seq(0.25, 0.5, 1.0, 2.5)
+    val rates = (0 until 20).map(i => s"src$i" -> cycle(i % 4)).toMap
+    mixSources(Tables.documents(spark, sfDir), rates)
+  }
 }

@@ -323,6 +323,25 @@ object TrainSql {
        |            ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Domain mixing ([[graft.operators.CorpusPrep.mixSources]]) with the
+    * query's 0.25/0.5/1.0/2.5 rate cycle over the src<i> sources.
+    */
+  val mixSourcesSql: String = {
+    val bucket = md5Long60Sql("'graft-mix-v1:' || doc_id") + " % 10000"
+    s"""WITH r AS (
+       |  SELECT doc_id, source, CAST($bucket AS BIGINT) AS bucket,
+       |         CASE CAST(substr(source, 4) AS INT) % 4
+       |              WHEN 0 THEN 0.25 WHEN 1 THEN 0.5
+       |              WHEN 2 THEN 1.0 ELSE 2.5 END AS rate
+       |  FROM documents)
+       |SELECT doc_id, source, bucket, round(CAST(rate AS DOUBLE), 6) AS rate,
+       |       CAST(floor(rate) + CASE WHEN bucket < (rate - floor(rate)) * 10000
+       |                               THEN 1 ELSE 0 END AS BIGINT) AS n_copies,
+       |       floor(rate) + CASE WHEN bucket < (rate - floor(rate)) * 10000
+       |                          THEN 1 ELSE 0 END >= 1 AS accept
+       |FROM r""".stripMargin
+  }
+
   /** Concat-then-chunk packing ([[graft.operators.CorpusPrep.packOffsets]]):
     * windowed cumulative token count per source shard, integer division
     * into fixed context windows.

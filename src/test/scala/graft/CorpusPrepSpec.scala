@@ -37,6 +37,29 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("source mixing: fractional rates give deterministic copy counts") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "heavy" else "light", "txt"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusPrep.mixSources(docs, Map("heavy" -> 2.5, "light" -> 0.25))
+      .select("doc_id", "source", "n_copies", "accept")
+      .as[(Long, String, Long, Boolean)].collect()
+    val heavy = got.filter(_._2 == "heavy")
+    val light = got.filter(_._2 == "light")
+    assert(heavy.forall(r => r._3 == 2L || r._3 == 3L), "2.5x -> 2 or 3 copies")
+    assert(heavy.forall(_._4), "up-sampled sources always accept")
+    assert(light.forall(r => r._3 == 0L || r._3 == 1L))
+    // the fractional shares land near their targets over 200 docs each
+    val heavy3 = heavy.count(_._3 == 3L).toDouble / heavy.length
+    val light1 = light.count(_._3 == 1L).toDouble / light.length
+    assert(math.abs(heavy3 - 0.5) < 0.15, s"heavy 3-copy share $heavy3")
+    assert(math.abs(light1 - 0.25) < 0.15, s"light keep share $light1")
+    // re-running yields the identical assignment
+    val again = CorpusPrep.mixSources(docs, Map("heavy" -> 2.5, "light" -> 0.25))
+      .select("doc_id", "source", "n_copies", "accept")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("packing lays documents head-to-tail within each source shard") {
     // token counts: a1=4, a2=8, a3=5 (source a); b1=12 (source b); ctx=10
     val docs = Seq(
