@@ -215,6 +215,29 @@ object TextQuality {
       .limit(topK)
   }
 
+  /** Unigram LM scoring: build a unigram model over the corpus (add-one
+    * smoothed), then score each document by its mean token log-probability
+    * — the classic cheap "does this read like the corpus" quality signal.
+    * Two passes: a token-count aggregate builds the model, then a join on
+    * the token column scores documents. The join keys on single words, so
+    * it shuffles (word, count) pairs — never documents — and the model
+    * side is Zipf-small next to the corpus.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+    val model = toks.groupBy("word").agg(count("*").as("cnt"))
+    val totals = model.agg(sum("cnt").as("n_total"), count("*").as("n_vocab"))
+    toks.join(model, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count("*").as("n_tokens"),
+        round(
+          sum(log((col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))) /
+            count("*"),
+          6).as("mean_logprob"))
+  }
+
   /** The 8 function words whose presence Gopher's rules require (≥2). */
   val GopherRequiredWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -293,4 +316,7 @@ object TextQuality {
 
   def qDomainStats(spark: SparkSession, sfDir: String): DataFrame =
     domainStats(Tables.documents(spark, sfDir))
+
+  def qUnigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    unigramLogprob(Tables.documents(spark, sfDir))
 }

@@ -383,6 +383,22 @@ object TrainSql {
       |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
       |FROM k""".stripMargin
 
+  /** Unigram LM scoring ([[TextQuality.unigramLogprob]]): add-one smoothed
+    * corpus unigram model, mean natural-log probability per document.
+    */
+  val unigramLogprobSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |model AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM model)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       round(sum(ln((cnt + 1) / (n_total + n_vocab))) / count(*), 6) AS mean_logprob
+       |FROM toks JOIN model USING (word), tot
+       |GROUP BY doc_id""".stripMargin
+
   /** Gopher document-level quality rules ([[TextQuality.gopherRules]]):
     * same whitespace words, line trims, symbol counts and thresholds; the
     * keep rule compares the raw (unrounded) metrics like the Spark side.

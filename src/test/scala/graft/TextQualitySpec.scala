@@ -88,6 +88,22 @@ class TextQualitySpec extends SparkSpec {
     assert(!got(4L)._4, "lorem ipsum page must be dropped")
   }
 
+  test("unigram LM scoring matches hand-computed smoothed log-probs") {
+    // corpus tokens: alpha x4, bravo x1 -> n_total=5, vocab=2, denom=7
+    val df = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "alpha bravo")).toDF("doc_id", "text")
+    val got = TextQuality.unigramLogprob(df)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val pAlpha = math.log(5.0 / 7)  // (4+1)/(5+2)
+    val pBravo = math.log(2.0 / 7)  // (1+1)/(5+2)
+    assert(got(1L)._2 == 3L)
+    assert(math.abs(got(1L)._3 - pAlpha) < 1e-6)
+    assert(math.abs(got(2L)._3 - (pAlpha + pBravo) / 2) < 1e-6)
+    // frequent-word docs score higher than rare-word docs
+    assert(got(1L)._3 > got(2L)._3)
+  }
+
   test("domain stats roll URLs up to lowercased hosts with doc and mention counts") {
     val df = Seq(
       (1L, "see https://Example.com/a and https://example.com/b plus http://other.org/x"),
