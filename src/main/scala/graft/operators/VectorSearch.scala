@@ -33,6 +33,28 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Batched exact k-NN join: every query vector gets its top-k corpus
+    * neighbors in one pass. The query batch broadcasts (benchmark/probe
+    * sets are small next to the corpus), the corpus streams once with no
+    * input shuffle, and only narrow (query_id, vec_id, sim) tuples — never
+    * vectors — reach the per-query rank shuffle. For query batches too big
+    * to broadcast, pre-bucket both sides with [[annLshTopK]]'s hyperplanes
+    * and knn-join per bucket.
+    */
+  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qvec"))
+    val sims = embeddings
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosineSim(asDouble(col("embedding")), col("qvec")), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** All-pairs cosine ≥ threshold (embedding near-duplicate detection).
     * Brute force — correct at any density; at corpus scale use [[annLsh]]
     * buckets or MinHash-LSH on discretized vectors instead.
@@ -242,6 +264,12 @@ object VectorSearch {
 
   def qEmbNearDups(spark: SparkSession, sfDir: String): DataFrame =
     nearDuplicatePairs(Tables.embeddings(spark, sfDir))
+
+  /** Every 50th vector is a "query"; the rest are the corpus. */
+  def qKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    knnJoin(e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0))
+  }
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)

@@ -174,6 +174,23 @@ object TrainSql {
       |WHERE e.vec_id <> 0
       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** Batched k-NN join ([[VectorSearch.knnJoin]]): every 50th vector
+    * queries the rest, rank over (sim desc, vec_id).
+    */
+  val knnJoinSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id, e.label,
+      |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id % 50 <> 0 AND e.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY sim DESC, vec_id) AS rank FROM s)
+      |SELECT query_id, vec_id, label, sim, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
   val embNearDupsSql: String =
     """SELECT a.vec_id AS id1, b.vec_id AS id2,
       |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

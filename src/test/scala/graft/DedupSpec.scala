@@ -67,6 +67,29 @@ class DedupSpec extends SparkSpec {
     assert(top.map(_._2).toSeq == top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("knn join: each query gets k ranked neighbors matching single-query search") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val corpus = emb.where(col("vec_id") % 50 =!= 0)
+    val got = VectorSearch.knnJoin(corpus, queries, k = 5)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.forall(_._2.length == 5))
+    perQuery.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1L to 5L), "ranks are 1..k")
+      assert(ranked.sliding(2).forall { case Array(a, b) => a._3 >= b._3 }, "sims descend")
+    }
+    // over the same corpus, the batched join reproduces the single-query op
+    val single = VectorSearch.annTopK(emb, queryVecId = 0L, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    val batch0 = VectorSearch.knnJoin(
+      emb.where(col("vec_id") =!= 0), queries.where(col("vec_id") === 0), k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batch0 == single)
+  }
+
   test("LSH ANN results are a subset-quality approximation of brute force") {
     val exact = VectorSearch.annTopK(Tables.embeddings(spark, sf0001), 0L, 10)
       .select("vec_id").as[Long].collect().toSet
