@@ -140,6 +140,24 @@ class StreamingMultimodalSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
 
+  test("stateless quality filters run unchanged under structured streaming") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val streamDocs = spark.readStream.schema(batchDocs.schema).parquet(dir.toString)
+    // the same operator plan runs in both modes — no streaming-specific code
+    val q = graft.operators.TextQuality.gopherRules(streamDocs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gopher_stream").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextQuality.gopherRules(batchDocs)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("multimodal: decoded metadata matches payload bytes") {
     val metas = Multimodal.extractMeta(Multimodal.syntheticAssets(spark, sf0001))
       .collect()
