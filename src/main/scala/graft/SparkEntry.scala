@@ -111,6 +111,7 @@ object SparkEntry {
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
+    "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -489,6 +490,7 @@ object SparkEntry {
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
+    "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:

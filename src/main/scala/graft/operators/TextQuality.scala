@@ -238,6 +238,26 @@ object TextQuality {
           6).as("mean_logprob"))
   }
 
+  /** N-gram repetition signals (the rest of Gopher's repetition family
+    * beyond [[repetitionStats]]' duplicate lines): per document, the share
+    * of n-gram occurrences taken by the single most frequent n-gram and
+    * the share that are repeats of an earlier occurrence. Grams travel as
+    * 60-bit hashes, so the per-doc aggregate shuffles narrow longs, and
+    * both levels of the aggregation share the doc_id partitioning.
+    */
+  def ngramRepetition(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(CorpusPrep.ngramsFromTokens(col("__toks"), n)).as("g"))
+      .select(col("doc_id"), Dedup.md5Long60(col("g")).as("h"))
+      .groupBy("doc_id", "h").agg(count("*").as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"), max("cnt").as("top_cnt"),
+        count("*").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("top_cnt") / col("n_grams"), 6).as("top_frac"),
+        round((col("n_grams") - col("n_distinct")) / col("n_grams"), 6).as("dup_frac"))
+
   /** The 8 function words whose presence Gopher's rules require (≥2). */
   val GopherRequiredWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -319,4 +339,7 @@ object TextQuality {
 
   def qUnigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
     unigramLogprob(Tables.documents(spark, sfDir))
+
+  def qNgramRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    ngramRepetition(Tables.documents(spark, sfDir))
 }

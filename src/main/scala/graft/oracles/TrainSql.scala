@@ -416,6 +416,28 @@ object TrainSql {
        |FROM toks JOIN model USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
+  /** N-gram repetition fractions ([[TextQuality.ngramRepetition]], n=2):
+    * same bigram grid and md5-60 hashes, two-level aggregation.
+    */
+  def ngramRepetitionSql(n: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(len(t) - ${n - 1}),
+       |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
+       |  FROM toks),
+       |c AS (SELECT doc_id, ${md5Long60Sql("gram")} AS h, count(*) AS cnt
+       |      FROM g GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac,
+       |       round(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt), 6) AS dup_frac
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** Gopher document-level quality rules ([[TextQuality.gopherRules]]):
     * same whitespace words, line trims, symbol counts and thresholds; the
     * keep rule compares the raw (unrounded) metrics like the Spark side.

@@ -88,6 +88,20 @@ class TextQualitySpec extends SparkSpec {
     assert(!got(4L)._4, "lorem ipsum page must be dropped")
   }
 
+  test("ngram repetition: top and duplicate bigram fractions") {
+    val df = Seq(
+      // bigrams: (alpha bravo) x2, (bravo alpha) x1, (bravo charlie) x1
+      (1L, "alpha bravo alpha bravo charlie"),
+      (2L, "alpha bravo charlie delta")). // all bigrams distinct
+      toDF("doc_id", "text")
+    val got = TextQuality.ngramRepetition(df, n = 2)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 0.5, 0.25)))
+    assert(got(2L) == ((2L, 3L, round6(1.0 / 3), 0.0)))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("unigram LM scoring matches hand-computed smoothed log-probs") {
     // corpus tokens: alpha x4, bravo x1 -> n_total=5, vocab=2, denom=7
     val df = Seq(
