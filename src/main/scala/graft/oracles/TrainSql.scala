@@ -417,7 +417,9 @@ object TrainSql {
        |GROUP BY doc_id""".stripMargin
 
   /** N-gram repetition fractions ([[TextQuality.ngramRepetition]], n=2):
-    * same bigram grid and md5-60 hashes, two-level aggregation.
+    * same bigram grid, grouped by the gram string (the Spark side groups
+    * by an internal xxhash64 of it — counts agree, the hash is never
+    * emitted).
     */
   def ngramRepetitionSql(n: Int = 2): String =
     s"""WITH toks AS (
@@ -431,7 +433,7 @@ object TrainSql {
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),
-       |c AS (SELECT doc_id, ${md5Long60Sql("gram")} AS h, count(*) AS cnt
+       |c AS (SELECT doc_id, gram, count(*) AS cnt
        |      FROM g GROUP BY 1, 2)
        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
        |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_frac,
