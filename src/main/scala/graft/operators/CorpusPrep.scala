@@ -90,6 +90,29 @@ object CorpusPrep {
           .as("n_packs"))
   }
 
+  /** Cross-document duplication: for each document, the fraction of its
+    * distinct n-grams that also appear in at least one other document —
+    * the passage-level duplication signal behind suffix-based training-set
+    * dedup (Lee et al. 2022), approximated at n-gram granularity. Global
+    * gram document-frequencies come from one aggregate over (gram, doc)
+    * hashes; the join back keys on the same gram hash, so both sides share
+    * one partitioning and documents themselves never shuffle.
+    */
+  def crossDocDuplication(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(ngramsFromTokens(col("__toks"), n)).as("g"))
+      .select(col("doc_id"), Dedup.md5Long60(col("g")).as("h60"))
+      .distinct()
+    val df = grams.groupBy("h60").agg(count("*").as("gram_df"))
+    grams.join(df, "h60")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_ngrams"),
+        sum(when(col("gram_df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+        round(col("n_shared") / col("n_ngrams"), 6).as("shared_frac"))
+  }
+
   /** Domain mixing: per-source sampling rates applied deterministically.
     * rate < 1 down-samples (keep the bucket fraction), rate > 1 up-samples
     * epoch-style (⌊rate⌋ copies everywhere, one extra copy for the
@@ -125,6 +148,9 @@ object CorpusPrep {
 
   def qPackOffsets(spark: SparkSession, sfDir: String): DataFrame =
     packOffsets(Tables.documents(spark, sfDir))
+
+  def qCrossDocDuplication(spark: SparkSession, sfDir: String): DataFrame =
+    crossDocDuplication(Tables.documents(spark, sfDir))
 
   /** Mixing rates cycle 0.25 / 0.5 / 1.0 / 2.5 over the src<i> sources. */
   def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {

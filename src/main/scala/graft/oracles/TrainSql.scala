@@ -331,6 +331,31 @@ object TrainSql {
        |       round(c * 1.0 / n, 6) AS contamination
        |FROM hits JOIN sz USING (doc_id)""".stripMargin
 
+  /** Cross-document duplication ([[graft.operators.CorpusPrep.crossDocDuplication]]):
+    * distinct n-gram hashes per doc, global document frequencies, shared
+    * fraction per doc.
+    */
+  def crossDocDuplicationSql(n: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(len(t) - ${n - 1}),
+       |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
+       |  FROM toks),
+       |h AS (SELECT DISTINCT doc_id, ${md5Long60Sql("gram")} AS h60 FROM g),
+       |df AS (SELECT h60, count(*) AS gram_df FROM h GROUP BY 1)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |       CAST(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       round(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       |         AS shared_frac
+       |FROM h JOIN df USING (h60)
+       |GROUP BY doc_id""".stripMargin
+
   /** Deterministic split buckets ([[graft.operators.CorpusPrep.assignSplit]]). */
   val assignSplitSql: String =
     s"""SELECT doc_id,

@@ -37,6 +37,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("cross-doc duplication: shared n-gram fraction per document") {
+    val shared = "alpha bravo charlie delta echo" // one 5-gram, in docs 1 and 2
+    val df = Seq(
+      (1L, shared),
+      (2L, s"$shared foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar papa")).toDF("doc_id", "text")
+    val got = CorpusPrep.crossDocDuplication(df, n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1.0)), "doc 1 is entirely shared")
+    // doc 2 has 6 grams, exactly one shared with doc 1
+    assert(got(2L)._2 == 6L && got(2L)._3 == 1L)
+    assert(math.abs(got(2L)._4 - 1.0 / 6) < 1e-6)
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)), "6 tokens -> 2 grams, none shared")
+  }
+
   test("source mixing: fractional rates give deterministic copy counts") {
     val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "heavy" else "light", "txt"))
       .toDF("doc_id", "source", "text")
