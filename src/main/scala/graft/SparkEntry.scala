@@ -113,6 +113,7 @@ object SparkEntry {
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
+    "p3_prep_pipeline" -> (CorpusPrep.qPrepPipeline _),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -493,6 +494,7 @@ object SparkEntry {
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),
+    "p3_prep_pipeline" -> graft.oracles.TrainSql.prepPipelineSql,
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:

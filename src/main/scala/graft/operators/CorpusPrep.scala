@@ -152,6 +152,30 @@ object CorpusPrep {
   def qCrossDocDuplication(spark: SparkSession, sfDir: String): DataFrame =
     crossDocDuplication(Tables.documents(spark, sfDir))
 
+  /** End-to-end prep capstone: exact-dedup keep → quality gate on the
+    * emitted Gopher metrics (re-thresholded for the synthetic corpus:
+    * word count alone — zero synthetic docs carry English function words)
+    * → split assignment → per-split doc and token totals. Every stage is
+    * one of the registered operators; the joins all key on doc_id, so AQE
+    * coalesces them onto one partitioning.
+    */
+  def qPrepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val wDigest = Window.partitionBy(md5(col("text").cast("binary")))
+    val uniq = docs
+      .withColumn("__keep", col("doc_id") === min("doc_id").over(wDigest))
+      .where(col("__keep")).select("doc_id")
+    val good = TextQuality.gopherRules(docs)
+      .where(col("n_words").between(50L, 100000L)).select("doc_id")
+    val toks = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    assignSplit(docs).select("doc_id", "split")
+      .join(uniq, "doc_id").join(good, "doc_id").join(toks, "doc_id")
+      .groupBy("split")
+      .agg(count("*").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("split")
+  }
+
   /** Mixing rates cycle 0.25 / 0.5 / 1.0 / 2.5 over the src<i> sources. */
   def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {
     val cycle = Seq(0.25, 0.5, 1.0, 2.5)

@@ -356,6 +356,35 @@ object TrainSql {
        |FROM h JOIN df USING (h60)
        |GROUP BY doc_id""".stripMargin
 
+  /** Prep-pipeline capstone ([[graft.operators.CorpusPrep.qPrepPipeline]]):
+    * exact-dedup keep ∩ word-count gate, split buckets, per-split totals.
+    */
+  val prepPipelineSql: String =
+    s"""WITH uniq AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       |    FROM documents) WHERE NOT is_dup),
+       |good AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE CASE WHEN len(trim(text)) = 0 THEN 0
+       |             ELSE len(string_split_regex(trim(text), '\\s+')) END
+       |        BETWEEN 50 AND 100000),
+       |toks AS (
+       |  SELECT doc_id,
+       |         len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                         w -> w NOT IN ($stop))) AS n_tokens
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9000 THEN 'train'
+       |              WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9500 THEN 'validation'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM sp JOIN uniq USING (doc_id) JOIN good USING (doc_id) JOIN toks USING (doc_id)
+       |GROUP BY split""".stripMargin
+
   /** Deterministic split buckets ([[graft.operators.CorpusPrep.assignSplit]]). */
   val assignSplitSql: String =
     s"""SELECT doc_id,

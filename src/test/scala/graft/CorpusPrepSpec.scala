@@ -37,6 +37,18 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("prep pipeline: split totals cover the deduped, gated corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = CorpusPrep.qPrepPipeline(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "validation", "test")))
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0))
+    val kept = rows.map(_._2).sum
+    assert(kept <= docs.count(), "pipeline can only drop documents")
+    val train = rows.find(_._1 == "train").map(_._2).getOrElse(0L)
+    assert(train > kept / 2, "train split holds the 90% bucket share")
+  }
+
   test("cross-doc duplication: shared n-gram fraction per document") {
     val shared = "alpha bravo charlie delta echo" // one 5-gram, in docs 1 and 2
     val df = Seq(
