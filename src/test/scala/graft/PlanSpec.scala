@@ -84,6 +84,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one shard exchange, got $exchanges:\n$pPack")
   }
 
+  test("knn join and unigram LM broadcast their small sides") {
+    val pKnn = physical(graft.operators.VectorSearch.qKnnJoin(spark, sf0001))
+    assert(pKnn.contains("Broadcast"), s"query batch must broadcast:\n$pKnn")
+    val pLm = physical(graft.operators.TextQuality.qUnigramLogprob(spark, sf0001))
+    assert(pLm.contains("Broadcast"), s"model totals must broadcast:\n$pLm")
+  }
+
   test("top-k words sketch aggregates via ObjectHashAggregate (buffer stays an object)") {
     val p = physical(DocOps.topWordsSketch(spark, sf0001))
     assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate, plan:\n$p")
