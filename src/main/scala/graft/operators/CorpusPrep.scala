@@ -93,25 +93,25 @@ object CorpusPrep {
   /** Cross-document duplication: for each document, the fraction of its
     * distinct n-grams that also appear in at least one other document —
     * the passage-level duplication signal behind suffix-based training-set
-    * dedup (Lee et al. 2022), approximated at n-gram granularity. Global
-    * gram document-frequencies come from one aggregate over (gram, doc)
-    * hashes; the join back keys on the same gram hash, so both sides share
-    * one partitioning and documents themselves never shuffle.
+    * dedup (Lee et al. 2022), approximated at n-gram granularity. Grams
+    * travel as internal xxhash64 longs (never output — the oracle groups
+    * by the gram string); document frequencies come from a window count
+    * over the gram hash, so the distinct gram stream shuffles once by hash
+    * and once by doc_id — no df table, no join back, and documents
+    * themselves never shuffle.
     */
-  def crossDocDuplication(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = docs
+  def crossDocDuplication(docs: DataFrame, n: Int = 5): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), explode(ngramsFromTokens(col("__toks"), n)).as("g"))
-      .select(col("doc_id"), Dedup.md5Long60(col("g")).as("h60"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
-    val df = grams.groupBy("h60").agg(count("*").as("gram_df"))
-    grams.join(df, "h60")
+      .withColumn("gram_df", count("*").over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count("*").as("n_ngrams"),
         sum(when(col("gram_df") > 1, 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
         round(col("n_shared") / col("n_ngrams"), 6).as("shared_frac"))
-  }
 
   /** Domain mixing: per-source sampling rates applied deterministically.
     * rate < 1 down-samples (keep the bucket fraction), rate > 1 up-samples

@@ -332,8 +332,8 @@ object TrainSql {
        |FROM hits JOIN sz USING (doc_id)""".stripMargin
 
   /** Cross-document duplication ([[graft.operators.CorpusPrep.crossDocDuplication]]):
-    * distinct n-gram hashes per doc, global document frequencies, shared
-    * fraction per doc.
+    * distinct n-grams per doc (by string — the Spark side's xxhash64 is
+    * internal), global document frequencies, shared fraction per doc.
     */
   def crossDocDuplicationSql(n: Int = 5): String =
     s"""WITH toks AS (
@@ -347,13 +347,13 @@ object TrainSql {
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),
-       |h AS (SELECT DISTINCT doc_id, ${md5Long60Sql("gram")} AS h60 FROM g),
-       |df AS (SELECT h60, count(*) AS gram_df FROM h GROUP BY 1)
+       |h AS (SELECT DISTINCT doc_id, gram FROM g),
+       |w AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS gram_df FROM h)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
        |       CAST(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        |       round(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
        |         AS shared_frac
-       |FROM h JOIN df USING (h60)
+       |FROM w
        |GROUP BY doc_id""".stripMargin
 
   /** Prep-pipeline capstone ([[graft.operators.CorpusPrep.qPrepPipeline]]):
