@@ -36,10 +36,13 @@ object CorpusPrep {
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
 
+  /** Distinct (doc_id, gram-hash) pairs. The hash is internal join/group
+    * state, never output, so it is native xxhash64, not the portable md5.
+    */
   private def distinctNgramHashes(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), explode(ngramsFromTokens(col("__toks"), n)).as("g"))
-      .select(col("doc_id"), Dedup.md5Long60(col("g")).as("h60"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
 
   /** Flag corpus documents sharing ≥1 token n-gram with the eval set.
@@ -47,11 +50,15 @@ object CorpusPrep {
     * documents only — the common case is that almost nothing matches, so
     * the output is small even when the corpus is not.
     */
-  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
-    val corpusGrams = distinctNgramHashes(corpus, n)
-    val evalGrams = distinctNgramHashes(evalSet, n).select("h60").distinct()
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame =
+    decontaminateGrams(distinctNgramHashes(corpus, n),
+      distinctNgramHashes(evalSet, n))
+
+  private def decontaminateGrams(corpusGrams: DataFrame,
+                                 evalGrams: DataFrame): DataFrame = {
+    val evalHashes = evalGrams.select("h").distinct()
     val sizes = corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams"))
-    corpusGrams.join(broadcast(evalGrams), "h60")
+    corpusGrams.join(broadcast(evalHashes), "h")
       .groupBy("doc_id").agg(count("*").as("n_hits"))
       .join(sizes, "doc_id")
       .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
@@ -136,11 +143,15 @@ object CorpusPrep {
 
   // --- query entries ---
 
-  /** Stand-in benchmark: every 20th document is "the eval set". */
+  /** Stand-in benchmark: every 20th document is "the eval set". Both
+    * sides split from ONE cached gram frame — the corpus tokenizes once,
+    * not twice (a real eval set is a separate small table; here the
+    * self-split would otherwise re-scan the full corpus).
+    */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    decontaminate(docs.where(col("doc_id") % 20 =!= 0),
-      docs.where(col("doc_id") % 20 === 0))
+    val grams = distinctNgramHashes(Tables.documents(spark, sfDir), 5).cache()
+    decontaminateGrams(grams.where(col("doc_id") % 20 =!= 0),
+      grams.where(col("doc_id") % 20 === 0))
   }
 
   def qAssignSplit(spark: SparkSession, sfDir: String): DataFrame =

@@ -306,8 +306,9 @@ object TrainSql {
   }
 
   /** Benchmark decontamination ([[graft.operators.CorpusPrep.decontaminate]]):
-    * distinct n-gram md5-60 hashes per document, eval set = doc_id % 20 == 0,
-    * corpus = the rest, hits counted per corpus document.
+    * distinct n-grams per document (by string — Spark's xxhash64 key is
+    * internal), eval set = doc_id % 20 == 0, corpus = the rest, hits
+    * counted per corpus document.
     */
   def decontaminateSql(n: Int = 5): String =
     s"""WITH toks AS (
@@ -321,12 +322,12 @@ object TrainSql {
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),
-       |h AS (SELECT DISTINCT doc_id, ${md5Long60Sql("gram")} AS h60 FROM g),
-       |ev AS (SELECT DISTINCT h60 FROM h WHERE doc_id % 20 = 0),
+       |h AS (SELECT DISTINCT doc_id, gram FROM g),
+       |ev AS (SELECT DISTINCT gram FROM h WHERE doc_id % 20 = 0),
        |corpus AS (SELECT * FROM h WHERE doc_id % 20 <> 0),
        |sz AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
        |hits AS (SELECT doc_id, count(*) AS c
-       |         FROM corpus JOIN ev USING (h60) GROUP BY 1)
+       |         FROM corpus JOIN ev USING (gram) GROUP BY 1)
        |SELECT doc_id, CAST(c AS BIGINT) AS n_hits, CAST(n AS BIGINT) AS n_ngrams,
        |       round(c * 1.0 / n, 6) AS contamination
        |FROM hits JOIN sz USING (doc_id)""".stripMargin
