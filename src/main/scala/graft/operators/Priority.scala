@@ -38,8 +38,6 @@ object Priority {
     val rel = precomputedRelevance
       .getOrElse(Relevance.relevanceScores(docs, relevanceKeywords))
       .select(col("doc_id"), col("combined").as("relevance_score"))
-    val lengthScore = TextFns.lengthScore(col("text"))
-    val kwScore = TextFns.keywordScore(col("text"), critical, high)
     val combined = round(
       col("relevance_score") * 0.4 + col("length_score") * 0.2 +
         col("keyword_score") * 0.3 + lit(0.5) * 0.1, 6)
@@ -48,9 +46,13 @@ object Priority {
       when(col("keyword_score") === 0.7, lit("high-priority keyword match")),
       when(col("relevance_score") >= 0.7, lit("high relevance")),
       when(col("length_score") >= 0.8, lit("comprehensive content"))))
-    docs.join(rel, "doc_id")
-      .withColumn("length_score", lengthScore)
-      .withColumn("keyword_score", kwScore)
+    // text-derived scores project BEFORE the join: only (doc_id, two
+    // doubles) reach the doc_id shuffle, never the text column itself
+    docs
+      .select(col("doc_id"),
+        TextFns.lengthScore(col("text")).as("length_score"),
+        TextFns.keywordScore(col("text"), critical, high).as("keyword_score"))
+      .join(rel, "doc_id")
       .withColumn("priority_score", combined)
       .withColumn("priority_level", TextFns.priorityLevel(col("priority_score")))
       .withColumn("reasons", reasons)
