@@ -50,7 +50,7 @@ object Relevance {
   /** N2: max-normalized TF per (doc, term). */
   def tfMax(docs: DataFrame): DataFrame = tfMaxFromCounts(termCounts(docs))
 
-  private def tfMaxFromCounts(counts: DataFrame): DataFrame = {
+  private[operators] def tfMaxFromCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id")
     counts.withColumn("tf", col("cnt").cast("double") / max("cnt").over(w))
   }
@@ -60,7 +60,7 @@ object Relevance {
     */
   def idf(docs: DataFrame): DataFrame = idfFromCounts(termCounts(docs), docs)
 
-  private def idfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame = {
+  private[operators] def idfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("corpus_n"))
     counts
       .groupBy("token").agg(count(lit(1)).as("df"))

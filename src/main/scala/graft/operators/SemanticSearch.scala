@@ -48,12 +48,10 @@ object SemanticSearch {
   /** Top-`vocabSize` corpus terms by document frequency (ties broken on the
     * token) — the `max_features` cut of the reference's vectorizer.
     */
-  def vocabulary(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
-    val df = Relevance.idf(docs)
-    df.withColumn("rk", row_number().over(Window.orderBy(desc("df"), asc("token"))))
-      .where(col("rk") <= vocabSize)
+  def vocabulary(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame =
+    Relevance.idf(docs)
+      .orderBy(desc("df"), asc("token")).limit(vocabSize)
       .select("token", "idf")
-  }
 
   /** N31: rank documents by cosine similarity to `query` in the corpus
     * TF-IDF space. Returns hydrated doc rows with the similarity attached.
@@ -61,12 +59,19 @@ object SemanticSearch {
   def search(spark: SparkSession, docs: DataFrame, query: String = DefaultQuery,
              threshold: Double = Threshold, limit: Int = Limit): DataFrame = {
     import spark.implicits._
+    // one tokenize pass: IDF, TF, norms and dots all derive from this
+    // cached frame (CacheManager dedupes it against relevanceScores' cache
+    // of the canonically-equal plan, so the pipeline shares it too)
+    val counts = Relevance.termCounts(docs).cache()
     // vocab is ≤5000 rows but sits behind a window aggregate, so Catalyst
     // has no size estimate and would pick a sort-merge join — hint it.
-    val vocab = broadcast(vocabulary(docs))
-    val docVec = Relevance.tfMax(docs).join(vocab, "token")
+    val idf = Relevance.idfFromCounts(counts, docs)
+    // top-vocabSize cut via TakeOrderedAndProject (parallel partial top-k
+    // per partition), not a single-partition row_number window
+    val vocab = broadcast(
+      idf.orderBy(desc("df"), asc("token")).limit(VocabSize).select("token", "idf"))
+    val docVec = Relevance.tfMaxFromCounts(counts).join(vocab, "token")
       .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("w"))
-    val docNorm = docVec.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
 
     val qTf = queryTf(query).toDF("token", "qtf")
     // query vector in corpus space: terms outside the vocabulary drop out,
@@ -75,12 +80,19 @@ object SemanticSearch {
       .select(col("token"), (col("qtf") * col("idf")).as("qw")))
     val qNorm = qVec.agg(sqrt(sum(col("qw") * col("qw"))).as("qnrm"))
 
-    val dots = docVec.join(qVec, "token")
-      .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+    // norm and dot in ONE pass over the doc vectors: a broadcast left join
+    // tags each posting with its query weight (0 when the query lacks the
+    // term), so a single doc_id aggregation yields both Σw² and Σw·qw —
+    // the vector frame is scanned once, not once per branch, and the
+    // norms⋈dots recombination join disappears.
+    val dotsAndNorms = docVec.join(qVec, Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"),
+        sum(col("w") * coalesce(col("qw"), lit(0.0))).as("dot"))
     // zero-norm docs/queries (all-zero tf-idf — every term idf 0) can't
     // match anything; drop them before the division like the reference's
     // zero-guard in its cosine (`sql_search.py:2233-2235`).
-    val sims = dots.join(docNorm, "doc_id").crossJoin(broadcast(qNorm))
+    val sims = dotsAndNorms.crossJoin(broadcast(qNorm))
       .where(col("nrm") > 0 && col("qnrm") > 0)
       .select(col("doc_id"),
         round(col("dot") / (col("nrm") * col("qnrm")), 6).as("similarity"))
