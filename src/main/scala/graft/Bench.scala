@@ -11,9 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/codegen/parquet-footer costs land here, not
-    // in the first measured query
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // in the first measured query that happens to touch each table
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"))
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else spark.read.parquet(s"$sfDir/$t.parquet").count()
+      } catch { case _: Throwable => () }
     // Dev-only knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2 limits
     // the set; SPARK_GRAFT_REPEAT=n times each query n times (steady-state
     // vs first-run costs).
