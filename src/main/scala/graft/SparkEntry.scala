@@ -50,6 +50,7 @@ object SparkEntry {
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
+    "e9_props_stats"         -> (EventOps.propsStats _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),
     "w3_view_click_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.viewClickJoinBatch(s, d)),
+    "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -513,6 +515,8 @@ object SparkEntry {
         |       CAST(64 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
+    "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
+    "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "w2_sessions" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts, value,

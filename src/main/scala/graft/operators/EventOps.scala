@@ -152,4 +152,19 @@ object EventOps {
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+
+  /** Semi-structured payload stats: parse the `props` JSON column with a
+    * declared schema (codegen'd `get_json_object`, no UDF) and aggregate
+    * the extracted field per event type — the "JSON column at scale"
+    * pattern where the parse runs inside the scan projection and only
+    * (event_type, k) longs reach the aggregate.
+    */
+  def propsStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count("k").as("n_with_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
 }

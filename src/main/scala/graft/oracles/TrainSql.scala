@@ -607,4 +607,24 @@ object TrainSql {
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
       |       count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** 7-day moving average ([[graft.streaming.EventStream.qMovingAvgDaily]]). */
+  val movingAvgDailySql: String =
+    """WITH d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT date, event_type, n,
+      |       round(avg(n) OVER (PARTITION BY event_type ORDER BY date
+      |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+      |FROM d""".stripMargin
+
+  /** Props JSON field stats ([[graft.operators.EventOps.propsStats]]). */
+  val propsStatsSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(k) AS BIGINT) AS n_with_k,
+      |       round(avg(k), 6) AS avg_k,
+      |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type""".stripMargin
 }

@@ -78,6 +78,19 @@ object EventStream {
   def qDailyCounts(spark: SparkSession, sfDir: String): DataFrame =
     dailyCountsBatch(spark, sfDir)
 
+  /** 7-day moving average over the daily counts — the time-series smooth
+    * behind activity charts. The window partitions by event_type, so each
+    * series computes in parallel; the frame is rows-based over the dense
+    * daily grid the tumbling window already produced.
+    */
+  def qMovingAvgDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("date").rowsBetween(-6, 0)
+    dailyCountsBatch(spark, sfDir)
+      .select(col("date"), col("event_type"), col("n"),
+        round(avg(col("n")).over(w), 6).as("ma7"))
+  }
+
   // --- sessionization (beyond-reference: gap-based user sessions) ---
 
   /** Default session gap: a new session starts when ≥ 30 minutes pass

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.EventOps
+import graft.streaming.EventStream
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("props stats: every event carries k, aggregates are consistent") {
+    val got = EventOps.propsStats(spark, sf0001)
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, nk, avg, mn, mx) =>
+      assert(nk == n, "synthetic props always carry k")
+      assert(mn <= avg && avg <= mx)
+    }
+  }
+
+  test("moving average matches a trailing-7 recompute of the daily counts") {
+    val daily = EventStream.dailyCountsBatch(spark, sf0001)
+      .select("date", "event_type", "n")
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._2).toSeq.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.zipWithIndex.map { case ((date, _, _), i) =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1).map(_._3)
+        (date, et) -> math.rint(window.sum.toDouble / window.size * 1e6) / 1e6
+      }
+    }.toMap
+    val got = EventStream.qMovingAvgDaily(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == daily.length)
+    got.foreach { case (date, et, _, ma7) =>
+      assert(math.abs(ma7 - expected((date, et))) < 1e-9, s"($date, $et)")
+    }
+  }
+}
