@@ -51,6 +51,7 @@ object SparkEntry {
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
     "e9_props_stats"         -> (EventOps.propsStats _),
+    "e10_retention"          -> (EventOps.retentionCohorts _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -517,6 +518,7 @@ object SparkEntry {
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
+    "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
     "w2_sessions" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts, value,

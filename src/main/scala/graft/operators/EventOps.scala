@@ -153,6 +153,27 @@ object EventOps {
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** Cohort retention: users grouped by first-active day, with D1/D7
+    * return counts — the standard product-analytics rollup. Active
+    * (user, day) pairs dedupe first, so the cohort join and both
+    * aggregations run over at most |users|×|days| narrow rows; the
+    * cohort frame and the activity frame share the user_id partitioning.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_size"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 1,
+          col("user_id"))).as("d1_returned"),
+        countDistinct(when(datediff(col("day"), col("cohort_day")) === 7,
+          col("user_id"))).as("d7_returned"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("cohort_size"), col("d1_returned"), col("d7_returned"))
+  }
+
   /** Semi-structured payload stats: parse the `props` JSON column with a
     * declared schema (codegen'd `get_json_object`, no UDF) and aggregate
     * the extracted field per event type — the "JSON column at scale"

@@ -619,6 +619,20 @@ object TrainSql {
       |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
       |FROM d""".stripMargin
 
+  /** Cohort retention ([[graft.operators.EventOps.retentionCohorts]]). */
+  val retentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size,
+      |       CAST(count(DISTINCT CASE WHEN day - cohort_day = 1 THEN user_id END)
+      |            AS BIGINT) AS d1_returned,
+      |       CAST(count(DISTINCT CASE WHEN day - cohort_day = 7 THEN user_id END)
+      |            AS BIGINT) AS d7_returned
+      |FROM active JOIN cohorts USING (user_id)
+      |GROUP BY cohort_day""".stripMargin
+
   /** Props JSON field stats ([[graft.operators.EventOps.propsStats]]). */
   val propsStatsSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -16,6 +16,17 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts partition the user base with bounded return counts") {
+    val got = EventOps.retentionCohorts(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, size, d1, d7) =>
+      assert(d1 <= size && d7 <= size, "returners are a subset of the cohort")
+    }
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(got.map(_._2).sum == users, "every user belongs to exactly one cohort")
+  }
+
   test("moving average matches a trailing-7 recompute of the daily counts") {
     val daily = EventStream.dailyCountsBatch(spark, sf0001)
       .select("date", "event_type", "n")
