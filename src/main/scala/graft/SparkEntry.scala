@@ -52,6 +52,7 @@ object SparkEntry {
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
     "e9_props_stats"         -> (EventOps.propsStats _),
     "e10_retention"          -> (EventOps.retentionCohorts _),
+    "e11_funnel"             -> (EventOps.funnel _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -519,6 +520,7 @@ object SparkEntry {
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
+    "e11_funnel"       -> graft.oracles.TrainSql.funnelSql,
     "w2_sessions" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts, value,

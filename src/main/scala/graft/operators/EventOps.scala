@@ -153,6 +153,28 @@ object EventOps {
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** Ordered conversion funnel view → click → purchase: each step counts
+    * users whose step event strictly follows their previous step's first
+    * occurrence. Three user_id-keyed aggregate+join rounds that all share
+    * one hash partitioning — events stream through narrow (user_id, ts)
+    * projections, and the funnel row itself is a 1-row final aggregate.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(views, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    views.select(lit("view").as("step"), col("user_id"))
+      .union(clicks.select(lit("view>click").as("step"), col("user_id")))
+      .union(purchases.select(lit("view>click>purchase").as("step"), col("user_id")))
+      .groupBy("step").agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Cohort retention: users grouped by first-active day, with D1/D7
     * return counts — the standard product-analytics rollup. Active
     * (user, day) pairs dedupe first, so the cohort join and both

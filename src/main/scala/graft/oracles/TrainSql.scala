@@ -619,6 +619,25 @@ object TrainSql {
       |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
       |FROM d""".stripMargin
 
+  /** Conversion funnel ([[graft.operators.EventOps.funnel]]). */
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT step, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM (
+      |  SELECT 'view' AS step, user_id FROM v
+      |  UNION ALL SELECT 'view>click', user_id FROM c
+      |  UNION ALL SELECT 'view>click>purchase', user_id FROM p)
+      |GROUP BY step""".stripMargin
+
   /** Cohort retention ([[graft.operators.EventOps.retentionCohorts]]). */
   val retentionSql: String =
     """WITH active AS (

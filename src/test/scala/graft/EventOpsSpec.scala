@@ -27,6 +27,15 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == users, "every user belongs to exactly one cohort")
   }
 
+  test("funnel steps are monotonically shrinking and ordered") {
+    val steps = EventOps.funnel(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(steps.keySet == Set("view", "view>click", "view>click>purchase"))
+    assert(steps("view") >= steps("view>click"))
+    assert(steps("view>click") >= steps("view>click>purchase"))
+    assert(steps("view") > 0)
+  }
+
   test("moving average matches a trailing-7 recompute of the daily counts") {
     val daily = EventStream.dailyCountsBatch(spark, sf0001)
       .select("date", "event_type", "n")
