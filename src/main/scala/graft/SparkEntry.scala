@@ -129,6 +129,7 @@ object SparkEntry {
     "w3_view_click_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.viewClickJoinBatch(s, d)),
     "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
+    "w5_sliding_counts" -> (graft.streaming.EventStream.qSlidingCounts _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -518,6 +519,7 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
+    "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
     "e11_funnel"       -> graft.oracles.TrainSql.funnelSql,

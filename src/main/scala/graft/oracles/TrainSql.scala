@@ -652,6 +652,20 @@ object TrainSql {
       |FROM active JOIN cohorts USING (user_id)
       |GROUP BY cohort_day""".stripMargin
 
+  /** Sliding-window counts ([[graft.streaming.EventStream.qSlidingCounts]]):
+    * manual 4-offset expansion of the 2h/30min window set.
+    */
+  val slidingCountsSql: String =
+    """WITH w AS (
+      |  SELECT e.event_type,
+      |         to_timestamp(CAST(floor((epoch(e.ts) - o.off) / 7200) AS BIGINT) * 7200
+      |                      + o.off) AS win_start
+      |  FROM events e
+      |  CROSS JOIN (SELECT unnest([0, 1800, 3600, 5400]) AS off) o)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** Props JSON field stats ([[graft.operators.EventOps.propsStats]]). */
   val propsStatsSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

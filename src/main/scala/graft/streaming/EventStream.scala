@@ -78,6 +78,18 @@ object EventStream {
   def qDailyCounts(spark: SparkSession, sfDir: String): DataFrame =
     dailyCountsBatch(spark, sfDir)
 
+  /** Sliding-window counts (2 h length, 30 min slide): every event lands
+    * in 4 overlapping windows. Spark's `window(ts, len, slide)` generates
+    * the window set inside the scan projection — same plan batch or
+    * streaming; the oracle has to expand the 4 offsets by hand.
+    */
+  def qSlidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+
   /** 7-day moving average over the daily counts — the time-series smooth
     * behind activity charts. The window partitions by event_type, so each
     * series computes in parallel; the frame is rows-based over the dense

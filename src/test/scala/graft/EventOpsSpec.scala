@@ -27,6 +27,13 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == users, "every user belongs to exactly one cohort")
   }
 
+  test("sliding windows: every event lands in exactly len/slide windows") {
+    val total = Tables.events(spark, sf0001).count()
+    val windowed = EventStream.qSlidingCounts(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].collect()(0)
+    assert(windowed == 4 * total, "2h length / 30min slide -> 4 windows per event")
+  }
+
   test("funnel steps are monotonically shrinking and ordered") {
     val steps = EventOps.funnel(spark, sf0001)
       .as[(String, Long)].collect().toMap
