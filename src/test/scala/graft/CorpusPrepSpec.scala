@@ -37,6 +37,45 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("chunking with zero overlap partitions the token stream exactly") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val totals = docs
+      .select($"doc_id", size(graft.functions.TextFns.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.operators.TextQuality.chunkTokens(docs, chunkSize = 7, overlap = 0)
+      .as[(Long, Long, Long, Long, String)].collect()
+    chunks.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._4).sum == totals(id), s"doc $id token coverage")
+      val expected = math.max(1, math.ceil(totals(id) / 7.0).toInt)
+      assert(rows.length == expected, s"doc $id chunk count")
+    }
+    assert(chunks.map(_._1).distinct.length == 40)
+  }
+
+  test("packing offsets are contiguous head-to-tail within each shard") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("golf", "hotel", "india", "juliet", "kilo")
+    val docs = (1L to 60L).map(i =>
+      (i, s"src${rnd.nextInt(4)}",
+        Seq.fill(rnd.nextInt(25))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusPrep.packOffsets(docs, ctxLen = 16)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, packId, packOff, nPacks) =>
+        assert(packId * 16 + packOff == cum, s"$src doc $id offset")
+        if (n > 0)
+          assert(nPacks == (cum + n - 1) / 16 - cum / 16 + 1, s"$src doc $id span")
+        cum += n
+      }
+    }
+  }
+
   test("prep pipeline: split totals cover the deduped, gated corpus") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val rows = CorpusPrep.qPrepPipeline(spark, sf0001)
