@@ -32,10 +32,21 @@ object Bench {
         (if (i == 1) name else s"$name#$i") -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the tail of stdout, so the expensive per-query
+    // map goes to an EARLIER line + a sidecar file, and the LAST line is a
+    // compact totals object (~150 chars) that always survives truncation.
+    val perQueryLine = s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(perQueryLine)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sidecar),
+        perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

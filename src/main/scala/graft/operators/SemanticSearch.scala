@@ -92,8 +92,10 @@ object SemanticSearch {
     // zero-norm docs/queries (all-zero tf-idf — every term idf 0) can't
     // match anything; drop them before the division like the reference's
     // zero-guard in its cosine (`sql_search.py:2233-2235`).
+    // dot > 0 preserves the inner-join contract: documents sharing no
+    // (weighted) term with the query never surface, even at threshold <= 0
     val sims = dotsAndNorms.crossJoin(broadcast(qNorm))
-      .where(col("nrm") > 0 && col("qnrm") > 0)
+      .where(col("nrm") > 0 && col("qnrm") > 0 && col("dot") > 0)
       .select(col("doc_id"),
         round(col("dot") / (col("nrm") * col("qnrm")), 6).as("similarity"))
       .where(col("similarity") >= threshold)

@@ -27,7 +27,7 @@ object TrainSql {
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |    CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
        |         ELSE list_transform(range(len(t) - 2),
        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
        |  FROM toksl),
@@ -56,7 +56,7 @@ object TrainSql {
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |    CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
        |         ELSE list_transform(range(len(t) - 2),
        |                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END) AS shingle
        |  FROM toksl),
@@ -301,7 +301,7 @@ object TrainSql {
        |  FROM toks)
        |SELECT doc_id, start // $step AS chunk_idx, start,
        |       len(t[start + 1 : start + $chunkSize]) AS n_tokens,
-       |       md5(array_to_string(t[start + 1 : start + $chunkSize], ' ')) AS chunk_md5
+       |       md5(coalesce(array_to_string(t[start + 1 : start + $chunkSize], ' '), '')) AS chunk_md5
        |FROM starts""".stripMargin
   }
 
@@ -318,7 +318,7 @@ object TrainSql {
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |    CASE WHEN len(t) < $n THEN [coalesce(array_to_string(t, ' '), '')]
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),
@@ -344,7 +344,7 @@ object TrainSql {
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |    CASE WHEN len(t) < $n THEN [coalesce(array_to_string(t, ' '), '')]
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),
@@ -484,7 +484,7 @@ object TrainSql {
        |  FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(
-       |    CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |    CASE WHEN len(t) < $n THEN [coalesce(array_to_string(t, ' '), '')]
        |         ELSE list_transform(range(len(t) - ${n - 1}),
        |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
        |  FROM toks),

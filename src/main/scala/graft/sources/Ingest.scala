@@ -238,8 +238,10 @@ object Ingest {
     * sinks and over-parallel writes (a 100 TB table of 1 MB files spends
     * more time opening footers than reading data). Sizing reads the actual
     * on-disk bytes, so compaction is planned from data, not guessed; the
-    * rewrite goes through a temp dir so a crash never leaves the source
-    * half-deleted.
+    * swap is rename-aside → rename-in → delete-old, so a crash at any step
+    * leaves the full data intact under either the source or `__compact_old`
+    * path (single renames are atomic on HDFS-like filesystems; the recursive
+    * delete only ever runs against the superseded copy).
     */
   def compact(spark: SparkSession, path: String,
               targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
@@ -250,7 +252,10 @@ object Ingest {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(old, true)
+    fs.rename(hPath, old)
     fs.rename(tmp, hPath)
+    fs.delete(old, true)
   }
 }

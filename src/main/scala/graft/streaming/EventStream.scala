@@ -244,7 +244,9 @@ object EventStream {
       // keep the watermarked ts column alive through the projection — the
       // event-time timeout needs it on the stateful operator's input
       .select(col("user_id"), col("ts"),
-        (col("ts").cast("double") * 1e6).cast("long").as("ts_micros"),
+        // unix_micros is exact; a double round-trip can land 1µs off and
+        // flip a >= gap session boundary on non-whole-second events
+        unix_micros(col("ts")).as("ts_micros"),
         col("value"))
       .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._1)
