@@ -212,46 +212,65 @@ object Duplicates {
   /** N21: single-linkage clusters = connected components of the ≥ θ
     * similarity graph.
     *
-    * Default path: the *edge list* (thresholded pairs) is orders of
-    * magnitude smaller than the corpus — collect it, run union-find on the
-    * driver (O(E α(E))), broadcast the label map back as a join. This is
-    * the right trade at any corpus size where θ keeps the duplicate graph
-    * sparse; for genuinely huge duplicate graphs use
-    * [[componentsIterative]], the distributed min-label-propagation loop.
+    * Cost-dispatched (same pattern as [[pairSimilarities]]' kernel-vs-sparse
+    * choice): the thresholded edge list is checkpointed and *counted* first.
+    * When it is small — the normal case: θ keeps the duplicate graph orders
+    * of magnitude smaller than the corpus — it is collected and union-find
+    * runs on the driver (O(E α(E))), with the label map broadcast back as a
+    * join. When a pathologically duplicate-heavy corpus produces more than
+    * `maxCollectEdges` edges, the driver is never the bottleneck: dispatch
+    * goes to the distributed min-label-propagation loop over the same
+    * checkpointed edges, so the similarity job runs exactly once either way.
     *
     * Output: (doc_id, component) for every document, where component is the
     * smallest doc_id reachable through the ≥ θ similarity graph.
     */
   /** Session-scoped memo of collected edge lists, keyed by (corpus plan,
     * threshold): clustering, unique-docs, and both pipeline entries all
-    * collect the same thresholded pairs, and [[components]] brings the edge
-    * list to the driver by design — memoizing the collected array just
+    * collect the same thresholded pairs, and the small-graph path brings the
+    * edge list to the driver by design — memoizing the collected array just
     * skips re-running the similarity job for the later consumers.
     */
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
 
-  private def collectEdges(docs: DataFrame, threshold: Double): Array[(Long, Long)] = {
+  /** Which path the last [[components]] call dispatched to ("collect" |
+    * "iterative") — observability hook for the dispatch spec.
+    */
+  @volatile private[graft] var lastComponentsPath: String = ""
+
+  def components(docs: DataFrame, threshold: Double = 0.8,
+                 maxCollectEdges: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val key0 = planMemoKey(docs)
     val key = if (key0.nonEmpty) s"$key0|t=$threshold" else ""
     val hit = if (key.nonEmpty) edgeMemo.get(key) else null
-    if (hit != null) return hit
-    val edges = pairSimilarities(docs, threshold)
-      .select(col("id1").cast("long"), col("id2").cast("long"))
-      .as[(Long, Long)].collect()
-    if (key.nonEmpty) {
-      if (edgeMemo.size >= 8) edgeMemo.clear()
-      edgeMemo.put(key, edges)
+    if (hit != null) {
+      lastComponentsPath = "collect"
+      return unionFindLabels(docs, hit)
     }
-    edges
+    val pairs = pairSimilarities(docs, threshold)
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .localCheckpoint()
+    if (pairs.count() <= maxCollectEdges) {
+      lastComponentsPath = "collect"
+      val edges = pairs.as[(Long, Long)].collect()
+      if (key.nonEmpty) {
+        if (edgeMemo.size >= 8) edgeMemo.clear()
+        edgeMemo.put(key, edges)
+      }
+      unionFindLabels(docs, edges)
+    } else {
+      lastComponentsPath = "iterative"
+      propagateMinLabels(docs, pairs)
+    }
   }
 
-  def components(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** Driver union-find over a collected edge list + broadcast label join. */
+  private def unionFindLabels(docs: DataFrame, edges: Array[(Long, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val edges = collectEdges(docs, threshold)
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -279,6 +298,11 @@ object Duplicates {
   def componentsIterative(docs: DataFrame, threshold: Double = 0.8,
                           maxIter: Int = 20): DataFrame = {
     val pairs = pairSimilarities(docs, threshold).select("id1", "id2").localCheckpoint()
+    propagateMinLabels(docs, pairs, maxIter)
+  }
+
+  private def propagateMinLabels(docs: DataFrame, pairs: DataFrame,
+                                 maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()

@@ -56,8 +56,10 @@ object VectorSearch {
   }
 
   /** All-pairs cosine ≥ threshold (embedding near-duplicate detection).
-    * Brute force — correct at any density; at corpus scale use [[annLsh]]
-    * buckets or MinHash-LSH on discretized vectors instead.
+    * Brute force reference form — a non-equi theta join that plans as a
+    * BroadcastNestedLoopJoin. Kept as the semantic baseline;
+    * [[nearDuplicatePairsBlocked]] (the registered query) computes the same
+    * exact answer with a shuffle-partitioned plan.
     */
   def nearDuplicatePairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
     val a = embeddings.select(col("vec_id").as("id1"), asDouble(col("embedding")).as("v1"))
@@ -65,6 +67,105 @@ object VectorSearch {
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         round(cosineSim(col("v1"), col("v2")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold as a *blocked* self-join: each
+    * vector is replicated to its B(B+1)/2 block pairs (bi ≤ bj, block =
+    * vec_id mod B, so only (B+1)·n rows ever shuffle), groups hash-
+    * distribute on the block-pair key, and each group runs a fused
+    * primitive-array loop with the same accumulation order as
+    * [[org.apache.spark.sql.graftext.CosineSimilarityExpr]] — results are
+    * bit-identical to [[nearDuplicatePairs]]. The O(n²·d) compute is
+    * inherent to exactness at thresholds this low (0.45 ≈ 63°: random
+    * hyperplanes keep only ~p^r recall per band, so LSH cannot reach exact
+    * recall while pruning); what the blocking fixes is the *plan* — work is
+    * spread over B(B+1)/2 independent tasks instead of one driver-fed
+    * BroadcastNestedLoopJoin, which is the difference between a cluster-wide
+    * O(n²/cores) and a single-point bottleneck at 100 TB. Size B so one
+    * block (n/B vectors × d doubles) fits a task comfortably.
+    *
+    * The per-group loop pre-filters at (threshold − 1e-6) on the raw
+    * similarity and the final projection re-applies Spark's own
+    * `round(…, 6) ≥ threshold`, so rounding semantics match the brute form
+    * and the oracle exactly.
+    */
+  def nearDuplicatePairsBlocked(embeddings: DataFrame, threshold: Double = 0.45,
+                                nBlocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"))
+    // side 0 = the bi-block member of pair (bi, bj); side 1 = the bj member.
+    // On the diagonal (bi == bj) both sides are the same set — keep side 0.
+    val aSide = e.select(col("vec_id"), col("v"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("bj"), lit(0).as("side"))
+    val bSide = e.select(col("vec_id"), col("v"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      lit(1).as("side"))
+    val preFiltered = aSide.unionByName(bSide)
+      .as[(Long, Array[Double], Int, Int, Int)]
+      .groupByKey { case (_, _, bi, bj, _) => bi * nBlocks + bj }
+      .flatMapGroups { (key: Int, it: Iterator[(Long, Array[Double], Int, Int, Int)]) =>
+        val diagonal = key / nBlocks == key % nBlocks
+        val as = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val bs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (id, v, _, _, side) =>
+          if (side == 0) as += ((id, v))
+          else if (!diagonal) bs += ((id, v))
+        }
+        def sim(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var dot = 0.0; var nx = 0.0; var ny = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = a(i); val yi = b(i)
+            dot += xi * yi; nx += xi * xi; ny += yi * yi
+            i += 1
+          }
+          var j = n
+          while (j < a.length) { val t = a(j); nx += t * t; j += 1 }
+          j = n
+          while (j < b.length) { val t = b(j); ny += t * t; j += 1 }
+          if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+        }
+        val cut = threshold - 1e-6
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (diagonal) {
+          var i = 0
+          while (i < as.length) {
+            var j = i + 1
+            while (j < as.length) {
+              val s = sim(as(i)._2, as(j)._2)
+              if (s >= cut) {
+                val (x, y) = (as(i)._1, as(j)._1)
+                out += ((math.min(x, y), math.max(x, y), s))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < as.length) {
+            var j = 0
+            while (j < bs.length) {
+              val s = sim(as(i)._2, bs(j)._2)
+              if (s >= cut) {
+                val (x, y) = (as(i)._1, bs(j)._1)
+                out += ((math.min(x, y), math.max(x, y), s))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("id1", "id2", "raw_sim")
+    preFiltered
+      .select(col("id1"), col("id2"), round(col("raw_sim"), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
 
@@ -263,7 +364,7 @@ object VectorSearch {
     annTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
 
   def qEmbNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    nearDuplicatePairs(Tables.embeddings(spark, sfDir))
+    nearDuplicatePairsBlocked(Tables.embeddings(spark, sfDir))
 
   /** Every 50th vector is a "query"; the rest are the corpus. */
   def qKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
     assert(batch0 == single)
   }
 
+  test("blocked near-dup pairs == brute-force pairs, with no nested-loop join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = VectorSearch.nearDuplicatePairs(emb)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val blocked = VectorSearch.nearDuplicatePairsBlocked(emb)
+    val got = blocked.as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == brute, "blocked plan must be exact, not approximate")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked all-pairs must shuffle on block pairs, plan:\n$plan")
+    // uneven block counts still cover everything
+    val got5 = VectorSearch.nearDuplicatePairsBlocked(emb, nBlocks = 5)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got5 == brute)
+  }
+
   test("LSH ANN results are a subset-quality approximation of brute force") {
     val exact = VectorSearch.annTopK(Tables.embeddings(spark, sf0001), 0L, 10)
       .select("vec_id").as[Long].collect().toSet

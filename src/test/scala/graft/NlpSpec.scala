@@ -79,6 +79,26 @@ class NlpSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("components auto-dispatch: an over-cap edge list routes to the " +
+       "distributed path, never the driver collect") {
+    // distinct plan (distinct doc set) so the edge memo from earlier tests
+    // cannot short-circuit the dispatch decision
+    val docs = Seq(
+      (100L, "zebra quokka wombat"), (101L, "zebra quokka wombat"),
+      (102L, "zebra quokka wombat"), (103L, "falcon osprey heron"),
+      (104L, "falcon osprey heron"), (105L, "lonely unmatched tokens")
+    ).toDF("doc_id", "text")
+    // cap 0 = every edge is over-cap: must dispatch iterative
+    val big = Duplicates.components(docs, maxCollectEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(Duplicates.lastComponentsPath == "iterative")
+    // default cap: small edge list collects, same labels either way
+    val small = Duplicates.components(docs).as[(Long, Long)].collect().toMap
+    assert(Duplicates.lastComponentsPath == "collect")
+    assert(big == small)
+    assert(big(101L) == 100L && big(104L) == 103L && big(105L) == 105L)
+  }
+
   // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---
 
   test("relevance scores bounded [0,1]; multiword keywords never add density") {
