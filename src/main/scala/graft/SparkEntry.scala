@@ -130,6 +130,9 @@ object SparkEntry {
       graft.streaming.EventStream.viewClickJoinBatch(s, d)),
     "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
     "w5_sliding_counts" -> (graft.streaming.EventStream.qSlidingCounts _),
+    // raw-export ingest end-to-end (committed fixtures — testdata ships no raw exports)
+    "i1_ingest_normalize" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qIngestNormalize(s, d)),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -517,6 +520,8 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 8 AS width, 8 AS height,
         |       CAST(64 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "i1_ingest_normalize" ->
+      graft.oracles.IngestSql.ingestNormalizeSql(graft.sources.Ingest.FixtureDir),
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,

@@ -1,0 +1,105 @@
+package graft.oracles
+
+/** DuckDB oracle for the raw-export ingest query (i1): the same two fixture
+  * JSON files read with `read_json`, normalized with pure SQL, including the
+  * ChatGPT BFS flatten as a recursive CTE (`uni_parse.py:380-508` semantics).
+  *
+  * BFS order re-expressed relationally: dequeue order for a forest equals
+  * lexicographic order of (level, sortKey) where a node's sortKey is its
+  * parent's sortKey with the child position appended zero-padded (roots get
+  * their id-rank). `order_index` then numbers only the role-bearing nodes in
+  * that order, exactly like the imperative queue in `Ingest.chatgptMessages`.
+  *
+  * Timestamp handling is timezone-free on purpose: ISO-Z strings parse with
+  * an explicit literal-Z strptime pattern (plain TIMESTAMP, UTC implied) and
+  * epoch seconds go through make_timestamp(micros); both sides floor doubles
+  * toward zero (DuckDB CAST(double AS BIGINT) rounds, Spark `.toLong`
+  * truncates — hence floor() before the cast).
+  */
+object IngestSql {
+
+  /** normTs analog: ISO-Z or epoch-seconds string → 'yyyy-MM-dd HH:mm:ss'. */
+  private def normTs(c: String): String =
+    s"""strftime(coalesce(try_strptime($c, '%Y-%m-%dT%H:%M:%SZ'),
+       |  make_timestamp(TRY_CAST($c AS BIGINT)*1000000)), '%Y-%m-%d %H:%M:%S')""".stripMargin
+
+  /** fmtEpoch analog: DOUBLE epoch seconds → 'yyyy-MM-dd HH:%M:%S' (truncating). */
+  private def fmtEpoch(c: String): String =
+    s"strftime(make_timestamp(CAST(floor($c) AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S')"
+
+  def ingestNormalizeSql(fixtureDir: String): String =
+    s"""WITH RECURSIVE
+       |craw AS (
+       |  SELECT * FROM read_json('$fixtureDir/claude_export.json',
+       |    columns={uuid:'VARCHAR', name:'VARCHAR', created_at:'VARCHAR', updated_at:'VARCHAR',
+       |             account:'STRUCT(uuid VARCHAR)',
+       |             chat_messages:'STRUCT(uuid VARCHAR, sender VARCHAR, text VARCHAR, created_at VARCHAR)[]'})
+       |),
+       |graw AS (
+       |  SELECT * FROM read_json('$fixtureDir/chatgpt_export.json',
+       |    columns={id:'VARCHAR', title:'VARCHAR', create_time:'DOUBLE', update_time:'DOUBLE',
+       |             mapping:'MAP(VARCHAR, STRUCT(parent VARCHAR, children VARCHAR[],
+       |               message STRUCT(author STRUCT(role VARCHAR),
+       |                              content STRUCT(parts VARCHAR[]),
+       |                              create_time DOUBLE,
+       |                              metadata STRUCT(model_slug VARCHAR))))'})
+       |),
+       |cconv AS (
+       |  SELECT uuid AS id, name AS title, 'claude' AS platform,
+       |    ${normTs("created_at")} AS created_at,
+       |    ${normTs("updated_at")} AS updated_at,
+       |    account.uuid AS account_id
+       |  FROM craw QUALIFY row_number() OVER (PARTITION BY uuid ORDER BY uuid) = 1
+       |),
+       |cmsg AS (
+       |  SELECT m.uuid AS id, conversation_id, NULL AS parent_id, m.sender AS sender,
+       |    m.sender AS role, m.text AS content,
+       |    ${normTs("m.created_at")} AS created_at,
+       |    'claude' AS model, CAST(idx - 1 AS INTEGER) AS order_index
+       |  FROM (SELECT uuid AS conversation_id, unnest(chat_messages) AS m,
+       |               generate_subscripts(chat_messages, 1) AS idx FROM craw)
+       |  QUALIFY row_number() OVER (PARTITION BY m.uuid ORDER BY m.uuid) = 1
+       |),
+       |gconv AS (
+       |  SELECT id, title, 'chatgpt' AS platform,
+       |    ${fmtEpoch("create_time")} AS created_at,
+       |    ${fmtEpoch("update_time")} AS updated_at,
+       |    CAST(NULL AS VARCHAR) AS account_id
+       |  FROM graw QUALIFY row_number() OVER (PARTITION BY id ORDER BY id) = 1
+       |),
+       |gnodes AS (
+       |  SELECT conv_id, e.key AS node_id, e.value.parent AS parent,
+       |         e.value.children AS children, e.value.message AS msg
+       |  FROM (SELECT id AS conv_id, unnest(map_entries(mapping)) AS e FROM graw)
+       |),
+       |bfs AS (
+       |  SELECT conv_id, node_id, 0 AS lvl,
+       |         lpad(CAST(row_number() OVER (PARTITION BY conv_id ORDER BY node_id) AS VARCHAR), 6, '0') AS sk
+       |  FROM gnodes WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT b.conv_id, c.child AS node_id, b.lvl + 1 AS lvl,
+       |         b.sk || lpad(CAST(c.idx AS VARCHAR), 6, '0') AS sk
+       |  FROM bfs b
+       |  JOIN (SELECT conv_id, node_id, unnest(children) AS child,
+       |               generate_subscripts(children, 1) AS idx FROM gnodes) c
+       |    ON c.conv_id = b.conv_id AND c.node_id = b.node_id
+       |),
+       |gmsg AS (
+       |  SELECT n.node_id AS id, n.conv_id AS conversation_id, n.parent AS parent_id,
+       |    CASE WHEN n.msg.author.role = 'user' THEN 'human' ELSE n.msg.author.role END AS sender,
+       |    n.msg.author.role AS role,
+       |    coalesce(n.msg.content.parts[1], '') AS content,
+       |    ${fmtEpoch("n.msg.create_time")} AS created_at,
+       |    coalesce(n.msg.metadata.model_slug, 'unknown') AS model,
+       |    CAST(row_number() OVER (PARTITION BY n.conv_id ORDER BY b.lvl, b.sk) - 1 AS INTEGER) AS order_index
+       |  FROM bfs b JOIN gnodes n ON n.conv_id = b.conv_id AND n.node_id = b.node_id
+       |  WHERE n.msg IS NOT NULL AND n.msg.author.role IS NOT NULL
+       |),
+       |conv AS (SELECT * FROM cconv UNION ALL BY NAME SELECT * FROM gconv),
+       |msg AS (SELECT * FROM cmsg UNION ALL BY NAME SELECT * FROM gmsg)
+       |SELECT c.platform, m.conversation_id, c.title,
+       |       c.created_at AS conv_created_at, c.updated_at AS conv_updated_at,
+       |       c.account_id, m.id AS msg_id, m.parent_id, m.sender, m.role, m.content,
+       |       m.created_at AS msg_created_at, m.model, m.order_index
+       |FROM msg m JOIN conv c ON m.conversation_id = c.id""".stripMargin
+}

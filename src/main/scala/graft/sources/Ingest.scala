@@ -39,11 +39,14 @@ object Ingest {
 
   /** ISO-8601 (Z → UTC) and epoch-seconds normalization (S5,
     * `uni_parse.py:510-544`) to the reference's `%Y-%m-%d %H:%M:%S` shape.
+    * `try_`-variants throughout: under ANSI (Spark 4 default) the plain
+    * `to_timestamp`/`cast` THROW on the respectively-other format instead of
+    * returning null, so the coalesce would never reach its fallback.
     */
   private def normTs(c: org.apache.spark.sql.Column) =
     date_format(coalesce(
-      to_timestamp(regexp_replace(c, "Z$", "+00:00")),
-      to_timestamp(from_unixtime(c.cast("double").cast("long")))),
+      try_to_timestamp(regexp_replace(c, "Z$", "+00:00")),
+      to_timestamp(from_unixtime(c.try_cast("double").cast("long")))),
       "yyyy-MM-dd HH:mm:ss")
 
   def readClaude(spark: SparkSession, path: String): DataFrame =
@@ -217,6 +220,39 @@ object Ingest {
     messages.dropDuplicates("id").write.mode("overwrite")
       .parquet(s"$outDir/messages")
   }
+
+  /** i1: end-to-end raw-export normalization over the committed fixtures —
+    * both dialects read (`uni_parse.py:260-508`), normalized to the shared
+    * conversations/messages schema, unioned, and every message row hydrated
+    * with its conversation metadata. The fixture exercises the edge cases:
+    * ISO-Z and epoch-string timestamps, duplicate conversation entries
+    * (S6 dedup), null message text, a branching ChatGPT tree with a
+    * role-less root, empty `parts`, and null/missing `model_slug`.
+    */
+  def qIngestNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", FixtureDir)
+    val cRaw = readClaude(spark, s"$base/claude_export.json")
+    val gRaw = readChatgpt(spark, s"$base/chatgpt_export.json")
+    val conv = claudeConversations(cRaw).drop("original_id")
+      .unionByName(chatgptConversations(gRaw).drop("original_id"))
+    val msgCols = Seq("id", "conversation_id", "parent_id", "sender", "role",
+      "content", "created_at", "model", "order_index")
+    val msg = claudeMessages(cRaw).select(msgCols.map(col): _*)
+      .unionByName(chatgptMessages(spark, gRaw).toDF().select(msgCols.map(col): _*))
+    msg.alias("m").join(conv.alias("c"), col("m.conversation_id") === col("c.id"))
+      .select(
+        col("c.platform"), col("m.conversation_id"), col("c.title"),
+        col("c.created_at").as("conv_created_at"),
+        col("c.updated_at").as("conv_updated_at"),
+        col("c.account_id"),
+        col("m.id").as("msg_id"), col("m.parent_id"), col("m.sender"),
+        col("m.role"), col("m.content"),
+        col("m.created_at").as("msg_created_at"),
+        col("m.model"), col("m.order_index"))
+  }
+
+  /** Committed raw-export fixtures (testdata ships no raw exports). */
+  val FixtureDir = "/root/repo/src/main/resources/ingest"
 
   /** Co-located storage for repeated same-key joins/aggregations: bucket a
     * table by its join key so every later equi-join or groupBy on that key

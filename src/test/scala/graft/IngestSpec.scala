@@ -69,6 +69,26 @@ class IngestSpec extends SparkSpec {
     assert(msgs(0).created_at == "2024-03-01 11:00:10")
   }
 
+  test("i1 fixture normalization: both dialects, epoch + ISO timestamps, dedup") {
+    // Exercises the committed fixture end-to-end — in particular the
+    // epoch-seconds STRING branch of normTs, which under ANSI throws unless
+    // the ISO parse and the numeric cast are try_-variants.
+    val rows = Ingest.qIngestNormalize(spark, "unused").collect()
+    assert(rows.length == 11)
+    val byId = rows.map(r => r.getAs[String]("msg_id") -> r).toMap
+    // claude epoch-string conversation: normalized + deduped (fixture has it twice)
+    assert(rows.count(_.getAs[String]("conversation_id") == "c-002") == 1)
+    assert(byId("c-002-m0").getAs[String]("conv_created_at") == "2024-03-01 13:33:20")
+    assert(byId("c-002-m0").getAs[String]("msg_created_at") == "2024-03-01 13:33:21")
+    // chatgpt BFS order: n1 < n2a < n2b < n3; empty parts → ""; null meta → unknown
+    val g1 = rows.filter(_.getAs[String]("conversation_id") == "g-001")
+      .sortBy(_.getAs[Int]("order_index"))
+    assert(g1.map(_.getAs[String]("msg_id")).toSeq == Seq("n1", "n2a", "n2b", "n3"))
+    assert(g1.last.getAs[String]("content") == "")
+    assert(g1.last.getAs[String]("model") == "unknown")
+    assert(g1.last.getAs[String]("msg_created_at") == null)
+  }
+
   test("platform detection sniffs dialect markers") {
     val cp = writeFixture("c.json", claudeExport)
     val gp = writeFixture("g.json", chatgptExport)
