@@ -130,6 +130,7 @@ object SparkEntry {
       graft.streaming.EventStream.viewClickJoinBatch(s, d)),
     "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
     "w5_sliding_counts" -> (graft.streaming.EventStream.qSlidingCounts _),
+    "w6_dense_daily"   -> (graft.streaming.EventStream.qDenseDailySeries _),
     // raw-export ingest end-to-end (committed fixtures — testdata ships no raw exports)
     "i1_ingest_normalize" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qIngestNormalize(s, d)),
@@ -525,6 +526,7 @@ object SparkEntry {
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,
+    "w6_dense_daily"   -> graft.oracles.TrainSql.denseDailySeriesSql,
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
     "e11_funnel"       -> graft.oracles.TrainSql.funnelSql,

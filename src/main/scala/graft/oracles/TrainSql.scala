@@ -608,6 +608,22 @@ object TrainSql {
       |       count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Dense date spine ([[graft.streaming.EventStream.qDenseDailySeries]]). */
+  val denseDailySeriesSql: String =
+    """WITH b AS (
+      |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+      |daily AS (
+      |  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n,
+      |         round(sum(value), 2) AS total_value
+      |  FROM events WHERE event_type = 'purchase' AND value > 250 GROUP BY 1)
+      |SELECT strftime(s.d, '%Y-%m-%d') AS date,
+      |       coalesce(daily.n, 0) AS n,
+      |       coalesce(daily.total_value, 0.0) AS total_value
+      |FROM spine s LEFT JOIN daily ON s.d = daily.d""".stripMargin
+
   /** 7-day moving average ([[graft.streaming.EventStream.qMovingAvgDaily]]). */
   val movingAvgDailySql: String =
     """WITH d AS (

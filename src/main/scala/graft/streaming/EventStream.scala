@@ -103,6 +103,34 @@ object EventStream {
         round(avg(col("n")).over(w), 6).as("ma7"))
   }
 
+  /** Dense-reindexed daily series (`exper_sql.py:1422-1478` semantics): the
+    * reference reindexes a daily aggregate onto the full requested date
+    * range, zero-filling days with no data. Re-expressed relationally as a
+    * `sequence(min_date, max_date)` spine left-joined to the aggregate —
+    * the filtered series (high-value purchases) is genuinely gappy, so the
+    * zero-fill rows are observable.
+    *
+    * Scale shape: both the bounds and the filtered aggregate are map-side
+    * partial aggs over the scan; the spine is days-count rows exploded from
+    * one row, and the aggregate (≤ days rows) broadcasts into the join —
+    * no shuffle grows with the fact table.
+    */
+  def qDenseDailySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val spine = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val daily = ev
+      .filter(col("event_type") === "purchase" && col("value") > 250)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    spine.join(broadcast(daily), Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
   // --- sessionization (beyond-reference: gap-based user sessions) ---
 
   /** Default session gap: a new session starts when ≥ 30 minutes pass

@@ -61,4 +61,23 @@ class EventOpsSpec extends SparkSpec {
       assert(math.abs(ma7 - expected((date, et))) < 1e-9, s"($date, $et)")
     }
   }
+
+  test("dense daily series spans the full event range with zero-filled gaps") {
+    val df = EventStream.qDenseDailySeries(spark, sf0001)
+    val rows = df.as[(String, Long, Double)].collect().sortBy(_._1)
+    // spine covers every day between global min and max, consecutively
+    val days = rows.map(_._1)
+    assert(days.length == days.distinct.length)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(days.head, fmt),
+      java.time.LocalDate.parse(days.last, fmt)) + 1
+    assert(days.length.toLong == span, "spine must be gap-free")
+    // the filtered series is sparse at sf0.001: zero-fill rows must exist
+    assert(rows.exists(r => r._2 == 0L && r._3 == 0.0))
+    assert(rows.exists(_._2 > 0L))
+    // the aggregate side joins via broadcast, not a shuffled sort-merge
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
