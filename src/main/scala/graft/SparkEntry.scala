@@ -68,6 +68,7 @@ object SparkEntry {
     "d12_random_sample"   -> ((s: SparkSession, d: String) => DocOps.randomSample(s, d)),
     "d13_nested_json"     -> (Export.qNestedJson _),
     "d14_markdown"        -> (Export.qMarkdown _),
+    "d18_html"            -> (Export.qHtml _),
     "d15_boolean_query"   -> ((s: SparkSession, d: String) => DocOps.booleanQuerySearch(s, d)),
     "d16_top_words_sketch" -> ((s: SparkSession, d: String) => DocOps.topWordsSketch(s, d)),
     "d17_stratified_sample" -> ((s: SparkSession, d: String) => DocOps.stratifiedSample(s, d)),
@@ -455,6 +456,25 @@ object SparkEntry {
         |         || regexp_replace(text, '```(\w*)\n(.*?)```', '<pre>\2</pre>', 'gs')
         |         AS markdown
         |FROM documents""".stripMargin,
+
+    "d18_html" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id::VARCHAR || ' [' || lang || '/' || source || ']' AS title,
+        |    regexp_replace(
+        |      regexp_replace(text, '```(\w*)\n(.*?)\n```', '<pre><code>\2</code></pre>', 'gs'),
+        |      '\n', '<br>', 'g') AS body,
+        |    replace(trim(regexp_replace(substring(split_part(text, chr(10), 1), 1, 32), '[^\w\s-]', '', 'g')), ' ', '_') AS file_name
+        |  FROM documents)
+        |SELECT doc_id, file_name,
+        |  '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10)
+        |  || '<meta charset="UTF-8">' || chr(10) || '<title>' || title
+        |  || '</title>' || chr(10) || '</head>' || chr(10) || '<body>' || chr(10)
+        |  || '<div class="header"><h1>' || title
+        |  || '</h1></div>' || chr(10) || '<div class="message"><div class="content">'
+        |  || body
+        |  || '</div></div>' || chr(10) || '</body>' || chr(10) || '</html>' AS html
+        |FROM t""".stripMargin,
 
     "n1_tf"        -> graft.oracles.NlpSql.tfSql,
     "n2_idf"       -> graft.oracles.NlpSql.idfSql,

@@ -49,6 +49,36 @@ object Export {
         regexp_replace(col("text"), "(?s)```(\\w*)\\n(.*?)```", "<pre>$2</pre>")
       ).as("markdown"))
 
+  /** S11 (HTML form): full HTML page per document, the
+    * `sql_search.py:1905-1968` template — safe filename (strip non-word
+    * chars, spaces → underscores), the code-fence → `<pre><code>` rewrite
+    * (language tag dropped, body kept), then newline → `<br>` applied to
+    * the whole content *after* the fence rewrite, exactly like the
+    * reference (so `<pre>` bodies also carry `<br>`). Pure projection:
+    * streams through the scan under whole-stage codegen, no shuffle.
+    */
+  def htmlDocs(docs: DataFrame): DataFrame = {
+    val title = concat(lit("Doc "), col("doc_id"),
+      lit(" ["), col("lang"), lit("/"), col("source"), lit("]"))
+    val safeName = expr(
+      "replace(trim(regexp_replace(substring(split_part(text, '\\n', 1), 1, 32), '[^\\\\w\\\\s-]', '')), ' ', '_')")
+    val body = regexp_replace(
+      regexp_replace(col("text"),
+        "(?s)```(\\w*)\\n(.*?)\\n```", "<pre><code>$2</code></pre>"),
+      "\n", "<br>")
+    docs.select(
+      col("doc_id"),
+      safeName.as("file_name"),
+      concat(
+        lit("<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"UTF-8\">\n<title>"),
+        title,
+        lit("</title>\n</head>\n<body>\n<div class=\"header\"><h1>"),
+        title,
+        lit("</h1></div>\n<div class=\"message\"><div class=\"content\">"),
+        body,
+        lit("</div></div>\n</body>\n</html>")).as("html"))
+  }
+
   /** S9: CSV sink — single deterministic file per export like the
     * reference's one-file CSV writer, but via Spark's writer so the same
     * call scales out by dropping the coalesce.
@@ -69,4 +99,7 @@ object Export {
 
   def qMarkdown(spark: SparkSession, sfDir: String): DataFrame =
     markdownDocs(Tables.documents(spark, sfDir))
+
+  def qHtml(spark: SparkSession, sfDir: String): DataFrame =
+    htmlDocs(Tables.documents(spark, sfDir))
 }

@@ -26,6 +26,26 @@ class ExportSearchSpec extends SparkSpec {
     assert(!md.contains("```"))
   }
 
+  test("html export: page template, fence -> pre/code, newline -> <br>, safe name") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "Intro: line!\n```scala\nval x = 1\n```\nend", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val row = Export.htmlDocs(docs).head()
+    val html = row.getAs[String]("html")
+    assert(html.startsWith("<!DOCTYPE html>\n<html>\n<head>\n"))
+    assert(html.contains("<title>Doc 7 [en/web]</title>"))
+    assert(html.contains("<h1>Doc 7 [en/web]</h1>"))
+    // fence rewritten (language tag dropped) BEFORE the <br> pass, so the
+    // pre body's newline also becomes <br> — the reference's exact order
+    assert(html.contains("<pre><code>val x = 1</code></pre>"))
+    assert(html.contains("Intro: line!<br>"))
+    assert(!html.contains("```") && !html.contains("scala\n"))
+    assert(html.endsWith("</body>\n</html>"))
+    // safe filename from the first line: punctuation stripped, spaces to _
+    assert(row.getAs[String]("file_name") == "Intro_line")
+  }
+
   test("csv export writes a single header file that reads back identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val df = spark.range(5).select(col("id"), (col("id") * 2).as("dbl"))
