@@ -46,6 +46,49 @@ class SkewSpec extends SparkSpec {
     assert(saltedDim.count() == dim.count() * 8)
   }
 
+  test("dfCapFraction bounds candidate fan-out under a planted hot term") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.operators.Duplicates
+
+    def joinOutputRows(p: SparkPlan): Long = {
+      def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec        => s +: flatten(s.plan)
+        case other                    => other +: other.children.flatMap(flatten)
+      }
+      flatten(p).filter(_.nodeName.contains("Join"))
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+
+    // Every document carries one planted ultra-common term plus three
+    // unique ones — the worst case the guard exists for: one join key
+    // whose fan-out is n² while every other key is singleton.
+    val n = 120
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"common uniq${i}a uniq${i}b uniq${i}c"))
+      .toDF("doc_id", "text")
+
+    // Uncapped (oracle-parity mode): all pairs meet through the hot term.
+    // collect() (not count()) so the metrics belong to THIS queryExecution
+    val exact = Duplicates.pairSimilaritiesSparse(docs, threshold = 0.0)
+    assert(exact.collect().length == n * (n - 1) / 2)
+    val exactJoinRows = joinOutputRows(exact.queryExecution.executedPlan)
+    assert(exactJoinRows >= n.toLong * (n - 1) / 2,
+      s"uncapped token join must fan out quadratically, saw $exactJoinRows")
+
+    // Capped at 0.5: the hot term (df = n) is dropped from the candidate
+    // join; nothing else is shared, so zero candidates reach the pair
+    // aggregation and total join traffic stays linear in corpus size.
+    val capped = Duplicates.pairSimilaritiesSparse(docs, threshold = 0.0,
+      dfCapFraction = 0.5)
+    assert(capped.collect().isEmpty)
+    val cappedJoinRows = joinOutputRows(capped.queryExecution.executedPlan)
+    assert(cappedJoinRows <= 4L * n,
+      s"capped candidate join must stay linear, saw $cappedJoinRows rows")
+  }
+
   test("distinct rewrite equals countDistinct") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy("event_type").agg(countDistinct("user_id").as("d"))
