@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf: the default 100-entry LRU evicts generated classes
+      // shared across the 100+ suite queries, forcing Janino recompiles;
+      // size it to the suite so each distinct stage compiles once
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,7 +27,12 @@ object Bench {
     // vs first-run costs).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val selected = SparkEntry.queries
+    // Deterministic name order: families run together (n10's thresholded
+    // edge list feeds n11/p1; the Dedup shingle frame feeds x2/x3/x4), so
+    // every CacheManager-deduped intermediate is built once by its first
+    // consumer instead of whichever query the map iterator happened to
+    // yield first.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map { i =>
@@ -34,7 +43,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // The driver keeps only the tail of stdout, so the expensive per-query
     // map goes to an EARLIER line + a sidecar file, and the LAST line is a
     // compact totals object (~150 chars) that always survives truncation.
