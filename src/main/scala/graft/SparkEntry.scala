@@ -49,6 +49,7 @@ object SparkEntry {
     "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
+    "e7b_asof_native"        -> (EventOps.asofNative _),
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
     "e9_props_stats"         -> (EventOps.propsStats _),
     "e10_retention"          -> (EventOps.retentionCohorts _),
@@ -338,6 +339,23 @@ object SparkEntry {
         |       CAST(floor(epoch(ts)) AS BIGINT)
         |         - CAST(floor(epoch(last_view_ts)) AS BIGINT) AS view_to_purchase_s
         |FROM s WHERE event_type = 'purchase'""".stripMargin,
+
+    // the native as-of operator, oracle-expressed as the standard
+    // greatest-time-<= correlated form (no window trick)
+    "e7b_asof_native" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.ts, max(v.ts) AS vts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+        |  GROUP BY p.user_id, p.event_id, p.ts)
+        |SELECT user_id, event_id AS purchase_event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(vts)) AS BIGINT) AS view_to_purchase_s
+        |FROM m""".stripMargin,
 
     "d1_word_frequency" ->
       s"""WITH toks AS (${toksSql("documents")})

@@ -135,6 +135,32 @@ object EventOps {
           .as("view_to_purchase_s"))
   }
 
+  /** J-custom: the same latest-view-before-purchase question answered by
+    * the native merge as-of operator
+    * ([[org.apache.spark.sql.graftext.AsofJoinExec]]) instead of the
+    * union+window composition above. Two genuinely separate relations
+    * (purchases left, views right), one hash shuffle per side, a streaming
+    * merge, and no single-partition window anywhere — the plan that
+    * survives a 1000-executor scale-up. Output schema matches
+    * [[asofViewBeforePurchase]] so the two forms are directly comparable.
+    */
+  def asofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("view_ts"))
+    org.apache.spark.sql.graftext.AsofJoin
+      .asof(purchases, views, "user_id", "ts", "v_uid", "view_ts")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_view_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("view_ts")))
+          .as("view_to_purchase_s"))
+  }
+
   /** A2 skew-safe exact form: `event_type` has only a handful of hot
     * values, so a direct COUNT(DISTINCT user_id) shuffles every row to ≤5
     * reducers; deduping on the high-cardinality (type, user) composite

@@ -1,0 +1,212 @@
+// Hosted in an org.apache.spark.sql subpackage for the private[sql]
+// Dataset.ofRows bridge — the standard placement for whole-operator
+// SparkSessionExtensions addons (logical node + rule + strategy + exec).
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Cast, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+
+/** Backward as-of join: for every left row, attach the single right row with
+  * the same key and the greatest right time ≤ the left time (left-outer —
+  * unmatched left rows null-extend). The operator Spark genuinely lacks:
+  * the composable forms are either a union + window `last(ignoreNulls)`
+  * trick (same-schema sides only, double sort) or a non-equi join + rank
+  * (quadratic fan-out per key). This node is the 100 TB shape: both sides
+  * hash-cluster on the key, sort within partitions by (key, time), and one
+  * streaming merge pass emits each left row exactly once — shuffle volume
+  * is one pass over each input, state is a single buffered right row.
+  *
+  * Reference semantics: `exper_sql.py` answers "latest view before each
+  * purchase" with exactly this backward-as-of shape (see
+  * [[graft.operators.EventOps.asofViewBeforePurchase]] for the windowed
+  * composition kept as the oracle baseline).
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Left-side filter pushdown through [[AsofJoinPlan]]. Catalyst's built-in
+  * pushdown rules don't know custom nodes, so `Filter(pred, AsofJoin)`
+  * would otherwise evaluate after the shuffle+merge. Predicates that only
+  * reference left output commute with the join (dropping a left row never
+  * changes another row's match); right-side predicates do NOT (they can
+  * change which right row is "latest") and stay put.
+  */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (pushable, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical merge as-of. `requiredChildDistribution` makes EnsureRequirements
+  * co-partition both sides on the key (AQE-compatible exchanges);
+  * `requiredChildOrdering` gets each partition sorted by (key, time); the
+  * merge then walks both sorted streams once, remembering only the latest
+  * qualifying right row. Join keys/times are physically 64-bit (long,
+  * timestamp-micros; ints/dates are cast by the API), so comparisons are
+  * primitive.
+  */
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // each partition's left rows stream through in their sorted order
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExpr = leftKey; val lTimeExpr = leftTime
+    val rKeyExpr = rightKey; val rTimeExpr = rightTime
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, time) extracted through a tiny projection per side; both are
+      // physically long (nanos already truncated to micros upstream)
+      val lkProj = UnsafeProjection.create(Seq(lKeyExpr, lTimeExpr), lOut)
+      val rkProj = UnsafeProjection.create(Seq(rKeyExpr, rTimeExpr), rOut)
+      val result = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val nullRight = InternalRow.fromSeq(Seq.fill[Any](rOut.length)(null))
+
+      // single-row right-side lookahead
+      var rHead: InternalRow = null
+      var rKeyNull = false; var rTimeNull = false
+      var rKey = 0L; var rTime = 0L
+      def advanceRight(): Unit =
+        if (rIter.hasNext) {
+          rHead = rIter.next()
+          val k = rkProj(rHead)
+          rKeyNull = k.isNullAt(0); rTimeNull = k.isNullAt(1)
+          rKey = if (rKeyNull) 0L else k.getLong(0)
+          rTime = if (rTimeNull) 0L else k.getLong(1)
+        } else rHead = null
+      advanceRight()
+
+      // latest qualifying right row for the key currently being merged
+      var matchRow: InternalRow = null
+      var matchKey = 0L
+      var hasMatch = false
+
+      lIter.map { lRow =>
+        val k = lkProj(lRow)
+        val lKeyNull = k.isNullAt(0); val lTimeNull = k.isNullAt(1)
+        if (!lKeyNull) {
+          val lKey = k.getLong(0); val lTime = k.getLong(1)
+          // consume right rows that can never match a later left row:
+          // null keys / null times sort first, smaller keys are passed,
+          // and same-key rows with time ≤ lTime become the newest match
+          // (left is also time-sorted, so the pointer never backs up)
+          var advance = true
+          while (advance && rHead != null) {
+            if (rKeyNull || rKey < lKey || (rKey == lKey && rTimeNull)) advanceRight()
+            else if (rKey == lKey && !lTimeNull && rTime <= lTime) {
+              matchRow = rHead.copy(); matchKey = rKey; hasMatch = true
+              advanceRight()
+            } else advance = false
+          }
+          if (hasMatch && matchKey == lKey) joined(lRow, matchRow)
+          else joined(lRow, nullRight)
+        } else joined(lRow, nullRight)
+        numOutputRows += 1
+        result(joined)
+      }
+    }
+  }
+}
+
+/** DataFrame-level API + session registration. */
+object AsofJoin {
+
+  /** Register the strategy + optimizer rule on a live session (idempotent);
+    * [[GraftExtensions]] does the same for `spark.sql.extensions` configs.
+    */
+  def ensureRegistered(spark: classic.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsofJoin
+  }
+
+  /** `left ASOF LEFT JOIN right ON left.key = right.key AND
+    * right.time <= left.time` picking the greatest qualifying right time.
+    * Key/time columns are resolved by name per side; int/date narrow types
+    * widen to long so the merge compares primitives. The right side is
+    * re-aliased so self-joins (both sides off one scan) keep distinct
+    * attribute ids.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, leftTime: String,
+           rightKey: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"asof column '$name' not found among ${out.map(_.name).mkString(", ")}"))
+    def widen(e: Attribute): Expression = e.dataType match {
+      case LongType | TimestampType => e
+      case IntegerType | DateType   => Cast(e, LongType)
+      case t => throw new IllegalArgumentException(
+        s"asof key/time must be long-comparable, got $t for ${e.name}")
+    }
+    classic.Dataset.ofRows(spark, AsofJoinPlan(
+      lPlan, rPlan,
+      widen(attr(lPlan.output, leftKey)), widen(attr(rPlan.output, rightKey)),
+      widen(attr(lPlan.output, leftTime)), widen(attr(rPlan.output, rightTime))))
+  }
+}

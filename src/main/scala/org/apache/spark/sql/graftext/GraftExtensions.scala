@@ -10,8 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or call [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.EventOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.{AsofJoin, AsofJoinPlan}
+
+/** The native merge as-of operator: correctness against a brute-force
+  * greatest-time-≤ recompute, edge semantics (ties, no-match, null times),
+  * and plan shape (merge exec, no window, left filters pushed below).
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof picks the greatest right time <= left time, inclusive ties") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3"), // before any quote: no match
+      (3L, ts("2024-01-01 12:00:00"), "t4")  // key with no quotes at all
+    ).toDF("sym", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:05"), 101.0), // tie with t1: inclusive
+      (1L, ts("2024-01-01 10:00:09"), 102.0),
+      (1L, ts("2024-01-01 10:00:11"), 103.0), // after t2: never matches
+      (2L, ts("2024-01-01 09:30:00"), 50.0)
+    ).toDF("q_sym", "quote_ts", "px")
+    val got = AsofJoin.asof(trades, quotes, "sym", "trade_ts", "q_sym", "quote_ts")
+      .select("trade_id", "px").as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "t1" -> Some(101.0), "t2" -> Some(102.0), "t3" -> None, "t4" -> None))
+  }
+
+  test("right rows with null time sort first and never match") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, None, 1.0),
+      (1L, Some(ts("2024-01-01 09:00:00")), 2.0)
+    ).toDF("rk", "rt", "v")
+    val got = AsofJoin.asof(l, r, "k", "t", "rk", "rt")
+      .select("tag", "v").as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("a", Some(2.0))))
+  }
+
+  test("native as-of equals the brute-force greatest-<= recompute on testdata") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val brute = p.join(v, col("vu") === col("user_id") && col("vts") <= col("ts"), "left")
+      .groupBy("user_id", "event_id", "ts").agg(max("vts").as("view_ts"))
+      .select(col("event_id"), col("view_ts").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    val native = EventOps.asofNative(spark, sf0001)
+      .select(col("purchase_event_id"),
+        // second-truncated in the query output; recompute comparison at
+        // full precision instead via the raw operator:
+        col("asof_view_ts"))
+      .as[(Long, Option[String])].collect()
+    assert(native.length == brute.size)
+    // full-precision check through the operator itself
+    val nativeFull = AsofJoin.asof(p, v, "user_id", "ts", "vu", "vts")
+      .select(col("event_id"), col("vts").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(nativeFull == brute)
+  }
+
+  test("plan: merge exec present, no window, no nested-loop join") {
+    val df = EventOps.asofNative(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Window"), s"native as-of must not plan a window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("left-only filters push below the as-of join; right filters stay") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val filtered = AsofJoin.asof(p, v, "user_id", "ts", "vu", "vts")
+      .where(col("user_id") % 2 === 0)
+    val opt = filtered.queryExecution.optimizedPlan
+    // after pushdown the top node is the as-of join itself, with the
+    // left-side predicate sitting inside its left subtree
+    assert(opt.isInstanceOf[AsofJoinPlan], s"filter not pushed:\n$opt")
+    val leftSide = opt.asInstanceOf[AsofJoinPlan].left.toString
+    assert(leftSide.contains("% 2"), s"left predicate missing below join:\n$leftSide")
+    // a right-side predicate must NOT push (it changes match selection)
+    val rightFiltered = AsofJoin.asof(p, v, "user_id", "ts", "vu", "vts")
+      .where(col("vts").isNotNull)
+    assert(!rightFiltered.queryExecution.optimizedPlan.isInstanceOf[AsofJoinPlan])
+  }
+}
