@@ -506,7 +506,14 @@ object SparkEntry {
     "n12_semantic_search" -> graft.oracles.NlpSql.semanticSearchSql(
       SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
       SemanticSearch.VocabSize, SemanticSearch.Threshold, SemanticSearch.Limit),
-    // e5_approx_distinct: HLL sketches are engine-specific — rows-only.
+    // e5: the estimate itself is engine-specific, but its error contract
+    // is oracle-checkable — exact count + a within-bound flag the oracle
+    // pins to literal true (see EventOps.approxDistinctUsers).
+    "e5_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // s1/s2: TextRank (iterative damped float fixpoint) — rows-only.
     // p1_pipeline: includes the TextRank summary column — rows-only.
     "n10_components"  -> graft.oracles.NlpSql.componentsSql(),

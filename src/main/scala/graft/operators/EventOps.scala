@@ -171,6 +171,14 @@ object EventOps {
     graft.functions.Skew.distinctRewrite(
       Tables.events(spark, sfDir), "event_type", "user_id")
 
+  /** A2 sketch form. HLL++ register contents are engine-specific, so the
+    * raw estimate can't hash-match a DuckDB oracle — but the sketch's
+    * CONTRACT can: the oracle recomputes the exact count and asserts the
+    * estimate landed within a conservative 5× of the requested 1% rsd
+    * (HLL++ error is probabilistic but fixed for a given input set, so the
+    * flag is deterministic). `approx_ok = false` rows would hash-mismatch
+    * the oracle's literal `true`, failing the gate loudly.
+    */
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select("event_type", "user_id")
@@ -178,6 +186,10 @@ object EventOps {
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= greatest(col("exact_users") * 0.05, lit(1.0))).as("approx_ok"))
 
   /** Ordered conversion funnel view → click → purchase: each step counts
     * users whose step event strictly follows their previous step's first
