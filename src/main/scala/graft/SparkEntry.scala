@@ -112,6 +112,7 @@ object SparkEntry {
     "x20_split"        -> (CorpusPrep.qAssignSplit _),
     "x21_packing"      -> (CorpusPrep.qPackOffsets _),
     "x22_c4_filter"    -> (TextQuality.qC4Filter _),
+    "x29_line_dedup"   -> (TextQuality.qLineDedup _),
     "x23_gopher_rules" -> (TextQuality.qGopherRules _),
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
@@ -542,6 +543,7 @@ object SparkEntry {
     "x20_split"        -> graft.oracles.TrainSql.assignSplitSql,
     "x21_packing"      -> graft.oracles.TrainSql.packOffsetsSql(),
     "x22_c4_filter"    -> graft.oracles.TrainSql.c4FilterSql,
+    "x29_line_dedup"   -> graft.oracles.TrainSql.lineDedupSql,
     "x23_gopher_rules" -> graft.oracles.TrainSql.gopherRulesSql,
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,

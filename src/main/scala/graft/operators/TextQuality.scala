@@ -199,6 +199,51 @@ object TextQuality {
         md5(concat_ws("\n", col("__kept")).cast("binary")).as("kept_md5"))
   }
 
+  /** C4's cross-corpus dedup step (Raffel et al. 2020, §2.2: "we discarded
+    * all but one of any three-sentence span occurring more than once",
+    * applied here at line granularity): every line of every document is
+    * deduplicated globally — only its first occurrence (smallest
+    * (doc_id, pos)) survives — and documents are reassembled from their
+    * kept lines. Lines under `minChars` (boilerplate-short: bullets,
+    * headers, blanks) are exempt, both because they aren't the span class
+    * C4 targets and because exempting them keeps the dedup shuffle's
+    * partition key space diverse (a window over billions of identical ""
+    * keys would be one hot partition).
+    *
+    * Scale shape: one shuffle clustering identical lines (key = the line;
+    * within a group the winner is a min, so map-side partial aggregation
+    * applies), one doc_id shuffle to reassemble. Nothing quadratic, no
+    * driver state.
+    */
+  def crossDocLineDedup(docs: DataFrame, minChars: Int = 20): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val participating = lines.where(length(col("line")) >= minChars)
+    val exempt = lines.where(length(col("line")) < minChars)
+    // global first occurrence: min (doc_id, pos) per exact line — an
+    // aggregation (partial-agg friendly), not a row_number window
+    val firsts = participating
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"),
+        col("line"))
+    val kept = exempt.unionByName(firsts)
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("text_dedup"), lit("")).cast("binary")).as("dedup_md5"))
+  }
+
   /** Per-domain provenance stats: extract URLs, reduce each to its
     * lowercased host, and count documents and mentions per domain — the
     * standard "where does this corpus come from" rollup. One scan; the
@@ -333,6 +378,9 @@ object TextQuality {
 
   def qC4Filter(spark: SparkSession, sfDir: String): DataFrame =
     c4LineFilter(Tables.documents(spark, sfDir))
+
+  def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    crossDocLineDedup(Tables.documents(spark, sfDir))
 
   def qGopherRules(spark: SparkSession, sfDir: String): DataFrame =
     gopherRules(Tables.documents(spark, sfDir))

@@ -439,6 +439,32 @@ object TrainSql {
     * punctuation → ≥5-word rules, same document keep rule, digest of the
     * surviving lines joined by newline.
     */
+  /** Cross-corpus line dedup ([[graft.operators.TextQuality.crossDocLineDedup]]). */
+  val lineDedupSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+      |         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+      |  FROM documents),
+      |firsts AS (
+      |  SELECT doc_id, pos, line FROM (
+      |    SELECT doc_id, pos, line,
+      |           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      |    FROM l WHERE length(line) >= 20)
+      |  WHERE rk = 1),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM l WHERE length(line) < 20
+      |  UNION ALL SELECT doc_id, pos, line FROM firsts),
+      |r AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+      |         CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+      |       md5(coalesce(r.text_dedup, '')) AS dedup_md5
+      |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+
   val c4FilterSql: String =
     """WITH l AS (
       |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),

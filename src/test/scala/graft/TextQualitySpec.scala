@@ -9,6 +9,32 @@ class TextQualitySpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("cross-doc line dedup keeps first occurrence, exempts short lines") {
+    val longA = "this is a long repeated boilerplate line here"
+    val longB = "another sufficiently long and unique line of text"
+    val df = Seq(
+      (1L, s"$longA\nshort\n$longB"),
+      (2L, s"intro line that is long enough to participate\n$longA"),
+      (3L, s"$longA\nshort"), // both lines dropped/kept: longA dup, short exempt
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = graft.operators.TextQuality.crossDocLineDedup(df)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 0L),   // first occurrence of longA + exempt + unique
+      (2L, 2L, 1L, 1L),   // longA already seen in doc 1
+      (3L, 2L, 1L, 1L),   // longA dropped, "short" exempt
+      (4L, 1L, 1L, 0L)))  // under minChars: always kept
+    // reassembly preserves original line order of the kept lines
+    val text2 = graft.operators.TextQuality.crossDocLineDedup(df)
+      .where($"doc_id" === 2L).select("dedup_md5").as[String].head()
+    val expect2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("intro line that is long enough to participate".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(text2 == expect2)
+  }
+
   test("repetition stats: duplicate lines counted, empties dropped") {
     val df = Seq(
       (1L, "a line\na line\nanother\n\n  \na line"),
