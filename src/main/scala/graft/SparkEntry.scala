@@ -113,6 +113,7 @@ object SparkEntry {
     "x21_packing"      -> (CorpusPrep.qPackOffsets _),
     "x22_c4_filter"    -> (TextQuality.qC4Filter _),
     "x29_line_dedup"   -> (TextQuality.qLineDedup _),
+    "x13_domain_stats" -> (TextQuality.qDomainStats _),
     "x23_gopher_rules" -> (TextQuality.qGopherRules _),
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
@@ -544,6 +545,20 @@ object SparkEntry {
     "x21_packing"      -> graft.oracles.TrainSql.packOffsetsSql(),
     "x22_c4_filter"    -> graft.oracles.TrainSql.c4FilterSql,
     "x29_line_dedup"   -> graft.oracles.TrainSql.lineDedupSql,
+    "x13_domain_stats" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         list_transform(regexp_extract_all(text, 'https?://[^\s]+'),
+        |           u -> lower(regexp_extract(u, 'https?://([^/\s]+)', 1))) AS hosts
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(hosts) > 0 THEN hosts ELSE [lower(source)] END) AS domain
+        |  FROM h)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_mentions
+        |FROM u GROUP BY domain
+        |ORDER BY n_mentions DESC, domain LIMIT 50""".stripMargin,
     "x23_gopher_rules" -> graft.oracles.TrainSql.gopherRulesSql,
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,

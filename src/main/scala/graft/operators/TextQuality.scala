@@ -246,14 +246,18 @@ object TextQuality {
 
   /** Per-domain provenance stats: extract URLs, reduce each to its
     * lowercased host, and count documents and mentions per domain — the
-    * standard "where does this corpus come from" rollup. One scan; the
-    * aggregate shuffles only (domain, partial counts), never text.
+    * standard "where does this corpus come from" rollup. Documents with no
+    * URL fall back to their `source` tag as the provenance key, so the
+    * rollup covers the whole corpus either way. One scan; the aggregate
+    * shuffles only (domain, partial counts), never text.
     */
   def domainStats(docs: DataFrame, topK: Int = 50): DataFrame = {
     val hosts = transform(
       regexp_extract_all(col("text"), lit(UrlPattern), lit(0)),
       u => lower(regexp_extract(u, "https?://([^/\\s]+)", 1)))
-    docs.select(col("doc_id"), explode(hosts).as("domain"))
+    val provenance = when(size(hosts) > 0, hosts)
+      .otherwise(array(lower(col("source"))))
+    docs.select(col("doc_id"), explode(provenance).as("domain"))
       .groupBy("domain")
       .agg(countDistinct("doc_id").as("n_docs"), count("*").as("n_mentions"))
       .orderBy(col("n_mentions").desc, col("domain"))

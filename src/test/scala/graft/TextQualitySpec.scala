@@ -146,12 +146,14 @@ class TextQualitySpec extends SparkSpec {
 
   test("domain stats roll URLs up to lowercased hosts with doc and mention counts") {
     val df = Seq(
-      (1L, "see https://Example.com/a and https://example.com/b plus http://other.org/x"),
-      (2L, "more at https://example.com/c"),
-      (3L, "no links here")).toDF("doc_id", "text")
+      (1L, "see https://Example.com/a and https://example.com/b plus http://other.org/x", "Web"),
+      (2L, "more at https://example.com/c", "web"),
+      (3L, "no links here", "Forum")).toDF("doc_id", "text", "source")
     val got = TextQuality.domainStats(df)
       .as[(String, Long, Long)].collect()
-    assert(got.toSeq == Seq(("example.com", 2L, 3L), ("other.org", 1L, 1L)))
+    // url-less doc 3 falls back to its lowercased source tag
+    assert(got.toSeq == Seq(
+      ("example.com", 2L, 3L), ("forum", 1L, 1L), ("other.org", 1L, 1L)))
   }
 
   test("Gopher rules: metrics and keep decision per document") {
