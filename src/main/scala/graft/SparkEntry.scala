@@ -527,8 +527,11 @@ object SparkEntry {
     "x3_minhash_lsh"   -> graft.oracles.TrainSql.minhashLshSql(),
     "x4_simhash_pairs" -> graft.oracles.TrainSql.simhashPairsSql(),
     "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
-    // x14: iterative k-means quantizer — recursive SQL can't aggregate in
-    // the recursive term, so rows-only; the spec proves full-probe == x5.
+    // x14: recursive SQL can't aggregate in the recursive term, so the
+    // fixed-iteration Lloyd chain is unrolled as chained CTEs; centroid
+    // coordinates round to 6 decimals each iteration on both sides, which
+    // is what makes the float fixpoint engine-reproducible.
+    "x14_ann_ivf"      -> graft.oracles.TrainSql.ivfTopKSql(),
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,

@@ -254,7 +254,17 @@ object VectorSearch {
         (s1, n1 + n2)
       }.collect()
       val next = centroids.map(_.clone())
-      updated.foreach { case (c, (s, n)) => if (n > 0) next(c) = s.map(_ / n) }
+      // Round each coordinate to 6 decimals per iteration: partition-order
+      // float summation wobbles sit at ~1e-13 relative, far below the
+      // 5e-7 rounding boundary, so the rounded centroids — and therefore
+      // every downstream assignment — are reproducible across partition
+      // counts AND engines (HALF_UP matches DuckDB's half-away-from-zero),
+      // which is what lets x14 carry a full DuckDB oracle of the same
+      // Lloyd chain instead of a rows-only check.
+      updated.foreach { case (c, (s, n)) =>
+        if (n > 0) next(c) = s.map(x =>
+          BigDecimal(x / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
       centroids = next
     }
     centroids

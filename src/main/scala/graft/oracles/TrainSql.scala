@@ -166,6 +166,62 @@ object TrainSql {
        |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
   }
 
+  /** IVF ANN oracle ([[graft.operators.VectorSearch.annIvfTopK]]): the
+    * same fixed-iteration Lloyd chain, unrolled as chained CTEs (recursive
+    * CTEs can't aggregate). Determinism contract shared with the Spark
+    * side: init = first `nCells` vectors by vec_id, ties in the argmin
+    * break to the lower cell, every recomputed centroid coordinate rounds
+    * to 6 decimals (float-sum order wobble ~1e-13 ≪ the 5e-7 boundary),
+    * empty cells carry the previous centroid forward.
+    */
+  def ivfTopKSql(queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16,
+                 nprobe: Int = 3, iters: Int = 5, dim: Int = 64): String = {
+    val sqDist = (vExpr: String, cExpr: String) =>
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($vExpr[i]-$cExpr[i])*($vExpr[i]-$cExpr[i])))"
+    def assign(cTab: String, aTab: String): String =
+      s"""$aTab AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT x.vec_id, x.v, c.cell,
+         |           row_number() OVER (PARTITION BY x.vec_id
+         |             ORDER BY ${sqDist("x.v", "c.c")}, c.cell) AS rk
+         |    FROM v x CROSS JOIN $cTab c)
+         |  WHERE rk = 1)""".stripMargin
+    def recompute(aTab: String, cPrev: String, cNext: String): String =
+      s"""$cNext AS (
+         |  SELECT cell, list(round(m, 6) ORDER BY d) AS c FROM (
+         |    SELECT cell, d, avg(val) AS m FROM (
+         |      SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d
+         |      FROM $aTab)
+         |    GROUP BY cell, d)
+         |  GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, c FROM $cPrev
+         |  WHERE cell NOT IN (SELECT cell FROM $aTab GROUP BY cell))""".stripMargin
+    val iterations = (0 until iters).flatMap { t =>
+      Seq(assign(s"c$t", s"a$t"), recompute(s"a$t", s"c$t", s"c${t + 1}"))
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         v AS c
+       |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $nCells)),
+       |$iterations,
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = $queryVecId),
+       |pr AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${sqDist("q.qv", "c.c")} AS dist
+       |    FROM c$iters c CROSS JOIN q)
+       |  ORDER BY dist, cell LIMIT $nprobe),
+       |${assign(s"c$iters", "fin")}
+       |SELECT f.vec_id, x.label,
+       |       round(list_cosine_similarity(f.v, q.qv), 6) AS sim
+       |FROM fin f JOIN v x USING (vec_id) CROSS JOIN q
+       |WHERE f.cell IN (SELECT cell FROM pr) AND f.vec_id <> $queryVecId
+       |ORDER BY sim DESC, f.vec_id LIMIT $k""".stripMargin
+  }
+
   val annTopKSql: String =
     """SELECT e.vec_id, e.label,
       |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
