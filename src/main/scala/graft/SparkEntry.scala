@@ -89,6 +89,7 @@ object SparkEntry {
     "s1_summaries"    -> (Summarizer.qSummaries _),
     "s2_key_sentences" -> (Summarizer.qKeySentences _),
     "p1_pipeline"     -> (Pipeline.qPipeline _),
+    "p1b_pipeline_graded" -> (Pipeline.qPipelineGraded _),
     "p2_pipeline_stats" -> (Pipeline.qPipelineStats _),
     // training-data pipeline pack (beyond-reference)
     "x1_exact_digest"  -> (Dedup.qExactDups _),
@@ -521,6 +522,7 @@ object SparkEntry {
     "n10_components"  -> graft.oracles.NlpSql.componentsSql(),
     "n11_unique_docs" -> graft.oracles.NlpSql.uniqueDocsSql(),
     "p2_pipeline_stats" -> graft.oracles.NlpSql.pipelineStatsSql(Relevance.Keywords),
+    "p1b_pipeline_graded" -> graft.oracles.NlpSql.pipelineGradedSql(),
 
     "x1_exact_digest"  -> graft.oracles.TrainSql.exactDigestSql,
     "x2_jaccard_pairs" -> graft.oracles.TrainSql.jaccardPairsSql,

@@ -174,13 +174,15 @@ object NlpSql {
        |WHERE round(d.dot / (n.nrm * nt.nrm), 6) >= $threshold""".stripMargin
 
   /** Priority classification on top of the relevance CTEs. */
-  val prioritySql: String = {
+  /** Priority-scoring CTEs (`scored`, `final`) over an existing `rel` CTE —
+    * shared by [[prioritySql]] and [[pipelineGradedSql]].
+    */
+  private val priorityCtes: String = {
     val crit = Priority.CriticalKeywords
       .map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")
     val high = Priority.HighKeywords
       .map(k => s"lower(text) LIKE '%${k.toLowerCase}%'").mkString(" OR ")
-    s"""WITH ${relevanceSql(Relevance.Keywords)},
-       |scored AS (
+    s"""scored AS (
        |  SELECT d.doc_id,
        |         rel.combined AS relevance_score,
        |         CASE WHEN wc < 50 THEN 0.1 WHEN wc < 200 THEN 0.5
@@ -195,20 +197,47 @@ object NlpSql {
        |  SELECT doc_id, relevance_score, length_score, keyword_score,
        |         round(relevance_score * 0.4 + length_score * 0.2 +
        |               keyword_score * 0.3 + 0.5 * 0.1, 6) AS priority_score
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val priorityLevelCase: String =
+    """CASE WHEN priority_score >= 0.85 THEN 'CRITICAL'
+      |     WHEN priority_score >= 0.65 THEN 'HIGH'
+      |     WHEN priority_score >= 0.45 THEN 'MEDIUM'
+      |     WHEN priority_score >= 0.25 THEN 'LOW'
+      |     ELSE 'NONE' END""".stripMargin
+
+  val prioritySql: String =
+    s"""WITH ${relevanceSql(Relevance.Keywords)},
+       |$priorityCtes
        |SELECT doc_id, relevance_score, length_score, keyword_score, priority_score,
-       |       CASE WHEN priority_score >= 0.85 THEN 'CRITICAL'
-       |            WHEN priority_score >= 0.65 THEN 'HIGH'
-       |            WHEN priority_score >= 0.45 THEN 'MEDIUM'
-       |            WHEN priority_score >= 0.25 THEN 'LOW'
-       |            ELSE 'NONE' END AS priority_level,
+       |       $priorityLevelCase AS priority_level,
        |       concat_ws('|',
        |         CASE WHEN keyword_score >= 1.0 THEN 'critical keyword match' END,
        |         CASE WHEN keyword_score = 0.7 THEN 'high-priority keyword match' END,
        |         CASE WHEN relevance_score >= 0.7 THEN 'high relevance' END,
        |         CASE WHEN length_score >= 0.8 THEN 'comprehensive content' END) AS reasons
        |FROM final""".stripMargin
-  }
+
+  /** N32 pipeline (graded form): everything `p1` computes except the
+    * TextRank summary column — relevance over the full corpus, the
+    * duplicate-closure unique filter, priority scores — so the flagship
+    * composition itself is hash-checked, with only the fixpoint column
+    * left to the rows-only entry. Mirrors
+    * [[graft.operators.Pipeline.process]] minus `summary`.
+    */
+  def pipelineGradedSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${relevanceSql(Relevance.Keywords)},
+       |${componentCtes(threshold)},
+       |$priorityCtes
+       |SELECT r.doc_id, substring(d.text, 1, 500) AS text,
+       |       r.combined AS relevance_score,
+       |       f.priority_score,
+       |       $priorityLevelCase AS priority_level
+       |FROM rel r
+       |JOIN (SELECT doc_id FROM cccomp WHERE component = doc_id) u ON r.doc_id = u.doc_id
+       |JOIN final f ON r.doc_id = f.doc_id
+       |JOIN documents d ON r.doc_id = d.doc_id""".stripMargin
 
   /** N30/N31 semantic search: TF-IDF vectors over the top-`vocabSize` corpus
     * terms, query embedded in the same space, cosine ≥ threshold, top-k.
