@@ -572,7 +572,29 @@ object SparkEntry {
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),
     "p3_prep_pipeline" -> graft.oracles.TrainSql.prepPipelineSql,
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
-    // m5: float32 histogram accumulation has no DuckDB equivalent — rows-only.
+    // m5: the float32 histogram IS replicable — counts are exact float32
+    // integers, the one k/n division is IEEE binary32 in both engines
+    // (DuckDB REAL division verified bit-identical to JVM float), the
+    // double widening exact. Byte buckets reduce to unicode(ch)//16 on
+    // this ASCII corpus.
+    "m5_features" ->
+      """WITH spine AS (
+        |  SELECT d.doc_id AS asset_id, b.bucket
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bucket) b),
+        |by AS (
+        |  SELECT doc_id AS asset_id, unicode(text[i+1]) // 16 AS bucket
+        |  FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents)),
+        |cnt AS (SELECT asset_id, bucket, count(*) AS k FROM by GROUP BY 1, 2),
+        |n AS (SELECT doc_id AS asset_id, greatest(length(text), 1) AS n FROM documents)
+        |SELECT s.asset_id,
+        |       CASE WHEN s.asset_id % 3 = 0 THEN 'image'
+        |            WHEN s.asset_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(s.bucket AS BIGINT) AS bucket,
+        |       round(CAST(CAST(coalesce(cnt.k, 0) AS REAL) / CAST(n.n AS REAL)
+        |             AS DOUBLE), 6) AS f
+        |FROM spine s
+        |JOIN n USING (asset_id)
+        |LEFT JOIN cnt ON cnt.asset_id = s.asset_id AND cnt.bucket = s.bucket""".stripMargin,
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
     "m2_decoded_meta"  -> graft.oracles.TrainSql.decodedMetaSql,
     "m3_frames" ->

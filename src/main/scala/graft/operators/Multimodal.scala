@@ -159,9 +159,19 @@ object Multimodal {
       .select(col("asset_id"), col("width"), col("height"),
         length(col("payload")).cast("long").as("n_bytes"))
 
+  /** Long-form feature dump: one row per (asset, bucket) with the float32
+    * histogram value. Oracle-checkable because the whole float path is
+    * replicable: the bucket counts are exact integers (float32 increments
+    * stay exact below 2^24), the single float32 division k/n is IEEE-754
+    * binary32 in any engine (DuckDB REAL division verified bit-identical
+    * to JVM float), and the double widening is exact — no accumulation
+    * order anywhere.
+    */
   def qFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(syntheticAssets(spark, sfDir)).toDF()
       .select(col("asset_id"), col("kind"),
-        round(aggregate(transform(col("features"), x => x.cast("double")),
-          lit(0.0d), (acc, x) => acc + x), 6).as("feature_sum"))
+        posexplode(transform(col("features"), x => x.cast("double")))
+          .as(Seq("bucket", "f")))
+      .select(col("asset_id"), col("kind"),
+        col("bucket").cast("long").as("bucket"), round(col("f"), 6).as("f"))
 }
