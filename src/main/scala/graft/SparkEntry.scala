@@ -40,6 +40,7 @@ object SparkEntry {
     "r11_value_histogram"      -> (Relational.valueHistogram _),
     "r12_type_value_share"     -> (Relational.typeValueShare _),
     "r13_top_types_other"      -> ((s: SparkSession, d: String) => Relational.topTypesWithOther(s, d)),
+    "r14_revenue_rollup"       -> (Relational.revenueRollup _),
     // event-sequence operators
     "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
     "e1b_heatmap_dense"      -> (EventOps.activityHeatmapDense _),
@@ -288,6 +289,19 @@ object SparkEntry {
         |SELECT CASE WHEN rk <= 2 THEN event_type ELSE 'Other' END AS slice,
         |       round(sum(total_value), 2) AS value
         |FROM ranked GROUP BY 1""".stripMargin,
+    "r14_revenue_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(grouping(r_name) AS BIGINT) AS g_region,
+        |       CAST(grouping(n_name) AS BIGINT) AS g_nation
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "e1_activity_heatmap" ->
       """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

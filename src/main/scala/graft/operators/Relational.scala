@@ -74,6 +74,45 @@ object Relational {
            count(lit(1)).as("n_items"))
   }
 
+  /** Multi-level aggregation in one pass: `rollup(region, nation)` emits
+    * the per-nation rows, per-region subtotals, and the grand total from a
+    * single shuffle (Spark expands the grouping sets map-side — no
+    * re-aggregation join, no second scan; the three levels of the
+    * reference's separate summary queries for the price of one).
+    * `grouping()` flags distinguish subtotal rows from real NULLs; labels
+    * are coalesced to 'ALL' for a stable, engine-portable output.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, sfDir))
+    val n = broadcast(Tables.nation(spark, sfDir))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      // narrow before the grouping-set expand: Expand duplicates every
+      // input row per grouping set, so it should carry 3 columns, not 12
+      .select(col("r_name"), col("n_name"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    // SQL form on purpose: in Spark 4.1 the Dataset-API `rollup` on any
+    // join-derived frame false-positives the ambiguous-self-join detector
+    // (the grouping-set Expand duplicates dataset-id-tagged attributes);
+    // GROUP BY ROLLUP through the SQL entry resolves cleanly and plans
+    // the identical Expand + single hash aggregate.
+    joined.createOrReplaceTempView("graft_rollup_input")
+    joined.sparkSession.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       round(sum(rev), 4) AS revenue,
+        |       count(*) AS n_items,
+        |       CAST(grouping(r_name) AS BIGINT) AS g_region,
+        |       CAST(grouping(n_name) AS BIGINT) AS g_nation
+        |FROM graft_rollup_input
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
   /** Manual pivot via conditional aggregation (A4): order counts per
     * priority broken out by status column — the reference's
     * `SUM(CASE WHEN sender=… THEN 1 END)` shape.

@@ -164,6 +164,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rollup plans one Expand + hash aggregate, not unioned re-aggregations") {
+    val df = Relational.revenueRollup(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Union"), s"rollup must not union re-aggregations:\n$plan")
+    // 25 nations + 5 region subtotals + 1 grand total on TPC-H-ish data
+    assert(df.count() == 31)
+  }
+
   test("relational operators run inside whole-stage codegen") {
     // AQE finalizes stages only at execution; run the query, then read the
     // final adaptive plan.
