@@ -52,6 +52,7 @@ object SparkEntry {
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     "e7b_asof_native"        -> (EventOps.asofNative _),
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
+    "e8b_approx_percentiles" -> (EventOps.approxPercentiles _),
     "e9_props_stats"         -> (EventOps.propsStats _),
     "e10_retention"          -> (EventOps.retentionCohorts _),
     "e11_funnel"             -> (EventOps.funnel _),
@@ -310,6 +311,12 @@ object SparkEntry {
         |       round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95,
         |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e8b_approx_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |       true AS p50_ok, true AS p95_ok
         |FROM events GROUP BY event_type""".stripMargin,
     "e1b_heatmap_dense" -> {
       val cols = (0 to 23).map(h =>

@@ -92,6 +92,30 @@ object EventOps {
         round(expr("percentile(value, 0.95)"), 6).as("p95"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
 
+  /** Percentile sketch (KLL-style `approx_percentile`), checked like e5 —
+    * the sketch's internals are engine-specific but its rank-error
+    * contract isn't: each estimate must land between the exact percentiles
+    * at p ± 0.05 (hundreds of times the sketch's 1e-4 rank bound at
+    * accuracy 10000, but tight enough to fail loudly on a broken sketch).
+    * The oracle recomputes the exact values and pins the flags to true.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_type", "value")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("__a95"),
+        expr("percentile(value, 0.45)").as("__lo50"),
+        expr("percentile(value, 0.55)").as("__hi50"),
+        expr("percentile(value, 0.90)").as("__lo95"),
+        expr("percentile(value, 1.0)").as("__hi95"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        col("__a50").between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        col("__a95").between(col("__lo95"), col("__hi95")).as("p95_ok"))
+
   /** A10 dense form: the 7×24 grid as a pivot — one row per day-of-week,
     * 24 zero-filled hour columns (`exper_sql.py:362-406` reindexes to the
     * dense grid in pandas; `pivot` with explicit values does it in-plan,
