@@ -90,6 +90,8 @@ object SparkEntry {
     "n12_semantic_search" -> (SemanticSearch.qSemanticSearch _),
     "s1_summaries"    -> (Summarizer.qSummaries _),
     "s2_key_sentences" -> (Summarizer.qKeySentences _),
+    "s3_sentences"    -> (Summarizer.qSentences _),
+    "s4_sentence_sims" -> (Summarizer.qSentenceSims _),
     "p1_pipeline"     -> (Pipeline.qPipeline _),
     "p1b_pipeline_graded" -> (Pipeline.qPipelineGraded _),
     "p2_pipeline_stats" -> (Pipeline.qPipelineStats _),
@@ -538,8 +540,15 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       true AS approx_ok
         |FROM events GROUP BY event_type""".stripMargin,
-    // s1/s2: TextRank (iterative damped float fixpoint) — rows-only.
-    // p1_pipeline: includes the TextRank summary column — rows-only.
+    // s1/s2/p1: the TextRank damped fixpoint rounds each iteration to 10
+    // decimals (the x14 Lloyd technique), so the oracle replays it as a
+    // DuckDB recursive CTE with the numpy-allclose stop applied per doc
+    // via a windowed bool_and (see NlpSql.textrankCtes).
+    "s1_summaries"     -> graft.oracles.NlpSql.summariesSql,
+    "s2_key_sentences" -> graft.oracles.NlpSql.keySentencesSql,
+    "s3_sentences"     -> graft.oracles.NlpSql.sentencesSql,
+    "s4_sentence_sims" -> graft.oracles.NlpSql.sentenceSimsSql,
+    "p1_pipeline"      -> graft.oracles.NlpSql.pipelineSql(),
     "n10_components"  -> graft.oracles.NlpSql.componentsSql(),
     "n11_unique_docs" -> graft.oracles.NlpSql.uniqueDocsSql(),
     "p2_pipeline_stats" -> graft.oracles.NlpSql.pipelineStatsSql(Relevance.Keywords),

@@ -51,8 +51,13 @@ object TextFns {
     */
   def sentences(text: Column): Column = {
     val raw = split(text, "[.!?]+")
-    val trimmed = transform(raw, s => trim(s))
-    filter(trimmed, s => (s =!= "") && size(split(s, "\\s+")) >= 3)
+    // trim the whitespace set Java's String.trim strips in practice
+    // (space/tab/newline/CR) so the column form, the driver-side
+    // Summarizer.splitSentences, and the DuckDB oracle agree; the word
+    // count ignores empty split tokens like the reference's len(split())
+    val trimmed = transform(raw, s => trim(s, " \t\n\r"))
+    filter(trimmed, s =>
+      (s =!= "") && size(filter(split(s, "\\s+"), w => w =!= "")) >= 3)
   }
 
   /** Whitespace word count (`len(text.split())` of the reference). */

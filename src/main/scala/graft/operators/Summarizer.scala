@@ -26,6 +26,18 @@ object Summarizer {
   val Damping = 0.85
   val MaxIter = 100
 
+  /** Each iteration's scores round to 10 decimals, making the damped
+    * fixpoint engine-reproducible (the x14 Lloyd technique): summation
+    * wobble from evaluation order is ~1e-16 — far below the 5e-11 rounding
+    * boundary — so the rounded score vectors, and therefore the convergence
+    * decisions and sentence rankings, are bit-identical across partition
+    * counts and engines. The perturbation vs the unrounded fixpoint is
+    * bounded by 5e-11/(1-d) ≈ 3e-10, noise against the 1e-6 stopping
+    * tolerance and typical inter-sentence score gaps.
+    */
+  private def round10(x: Double): Double =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private val stop: Set[String] = TextFns.Stopwords.toSet
   private val wordRe = "\\b[a-z]{3,}\\b".r
 
@@ -82,7 +94,7 @@ object Summarizer {
         var acc = 0.0
         var i = 0
         while (i < n) { acc += norm(i)(j) * prev(i); i += 1 }
-        (1 - Damping) / n + Damping * acc
+        round10((1 - Damping) / n + Damping * acc)
       }
       converged = (0 until n).forall(i => math.abs(next(i) - prev(i)) <= 1e-6 + 1e-5 * math.abs(prev(i)))
       scores = next
@@ -125,7 +137,8 @@ object Summarizer {
   val summarizeUdf = udf((text: String, n: Int) => summarize(text, n))
   val nSentencesUdf = udf((text: String) => splitSentences(text).length)
 
-  // --- query entry (no oracle: TextRank is not SQL-expressible) ---
+  // --- query entries (oracle: the damped iteration unrolls into a DuckDB
+  // recursive CTE over the normalized edge list — NlpSql.textrankCtes) ---
 
   def qSummaries(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -140,4 +153,45 @@ object Summarizer {
   def qKeySentences(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), keySentencesUdf(col("text")).as("key_sentences"))
+
+  // --- N11–N13 in distributed relational form (no UDF): the sentence
+  // split is a codegen'd column pipeline, and pairwise similarity comes
+  // from a per-document token inverted index — only co-tokened sentence
+  // pairs ever meet the join, so zero-similarity pairs never materialize
+  // and the shuffle is keyed on (doc_id, token), never quadratic. ---
+
+  /** N11: one row per kept sentence, indexed in document order. */
+  def sentencesDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextFns.sentences(col("text"))).as(Seq("__i", "sentence")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("sidx"),
+        col("sentence"))
+
+  /** N12/N13: token-set cosine for all co-tokened sentence pairs (i < j). */
+  def sentenceSimilaritiesDf(docs: DataFrame): DataFrame = {
+    val toks = sentencesDf(docs)
+      .select(col("doc_id"), col("sidx"),
+        explode(array_distinct(TextFns.tokens(col("sentence")))).as("tok"))
+    val sz = toks.groupBy("doc_id", "sidx").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") === col("b.tok") &&
+          col("a.sidx") < col("b.sidx"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.sidx").as("i"),
+        col("b.sidx").as("j"))
+      .agg(count(lit(1)).as("ncommon"))
+    inter
+      .join(sz.withColumnRenamed("sidx", "i").withColumnRenamed("sz", "sz_i"),
+        Seq("doc_id", "i"))
+      .join(sz.withColumnRenamed("sidx", "j").withColumnRenamed("sz", "sz_j"),
+        Seq("doc_id", "j"))
+      .select(col("doc_id"), col("i"), col("j"),
+        round(col("ncommon") / sqrt(col("sz_i") * col("sz_j")), 6).as("sim"))
+  }
+
+  def qSentences(spark: SparkSession, sfDir: String): DataFrame =
+    sentencesDf(Tables.documents(spark, sfDir))
+
+  def qSentenceSims(spark: SparkSession, sfDir: String): DataFrame =
+    sentenceSimilaritiesDf(Tables.documents(spark, sfDir))
 }

@@ -1,7 +1,7 @@
 package graft.oracles
 
 import graft.functions.TextFns
-import graft.operators.{Priority, Relevance}
+import graft.operators.{Priority, Relevance, Summarizer}
 
 /** DuckDB oracle SQL builders for the NLP operators — the same tokenizer
   * regex, stopword list, normalizations, rounding, and thresholds as the
@@ -238,6 +238,183 @@ object NlpSql {
        |JOIN (SELECT doc_id FROM cccomp WHERE component = doc_id) u ON r.doc_id = u.doc_id
        |JOIN final f ON r.doc_id = f.doc_id
        |JOIN documents d ON r.doc_id = d.doc_id""".stripMargin
+
+  /** TextRank CTE chain (N11–N16): sentence split → per-sentence token
+    * sets → pairwise token-set cosine → row-normalized edge list → the
+    * damped PageRank iteration as a DuckDB recursive CTE, with the
+    * numpy-`allclose` stopping rule applied per document via a windowed
+    * `bool_and` and per-iteration rounding to 10 decimals matching
+    * [[graft.operators.Summarizer.textrank]]'s reproducible fixpoint (the
+    * x14 Lloyd technique — wobble ~1e-16 ≪ the 5e-11 rounding boundary, so
+    * both engines iterate on identical score vectors and stop at identical
+    * iterations).
+    *
+    * Mechanics: zero-weight self-edges keep every sentence flowing through
+    * the per-iteration aggregate (isolated sentences included) and carry
+    * `prev[j]` for the convergence test as `sum(CASE WHEN i = j ...)`;
+    * converged documents stop recursing, so each document's final score
+    * vector is its max-iteration rows (`smfinal`).
+    */
+  /** Sentence split (N11): `[.!?]+` split, trim, keep ≥3-word sentences,
+    * indexed in document order — mirrors
+    * [[graft.operators.Summarizer.splitSentences]].
+    */
+  val sentenceCtes: String =
+    s"""smraw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(text, '[.!?]+')) AS piece,
+       |         unnest(generate_series(1, len(regexp_split_to_array(text, '[.!?]+')))) AS pos
+       |  FROM documents),
+       |smsents AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS sidx, s
+       |  FROM (SELECT doc_id, pos, trim(piece, ' ' || chr(9) || chr(10) || chr(13)) AS s
+       |        FROM smraw)
+       |  WHERE s <> '' AND len(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')) >= 3),
+       |smcount AS (SELECT doc_id, count(*) AS n FROM smsents GROUP BY doc_id)""".stripMargin
+
+  /** Pairwise sentence token-set cosine (N12/N13) via the per-document
+    * token inverted index — only co-tokened pairs meet, so zero-similarity
+    * pairs never materialize.
+    */
+  val sentenceSimCtes: String =
+    s"""smtokf AS (
+       |  SELECT DISTINCT doc_id, sidx, tok FROM (
+       |    SELECT doc_id, sidx, unnest(regexp_extract_all(lower(s), '\\b[a-z]{3,}\\b')) AS tok
+       |    FROM smsents)
+       |  WHERE tok NOT IN ($stop)),
+       |smsz AS (SELECT doc_id, sidx, count(*) AS sz FROM smtokf GROUP BY 1, 2),
+       |sminter AS (
+       |  SELECT a.doc_id, a.sidx AS i, b.sidx AS j, count(*) AS ncommon
+       |  FROM smtokf a JOIN smtokf b ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sidx < b.sidx
+       |  GROUP BY 1, 2, 3),
+       |smsim AS (
+       |  SELECT mi.doc_id, mi.i, mi.j, mi.ncommon / sqrt(ta.sz * tb.sz) AS sim
+       |  FROM sminter mi
+       |  JOIN smsz ta ON mi.doc_id = ta.doc_id AND mi.i = ta.sidx
+       |  JOIN smsz tb ON mi.doc_id = tb.doc_id AND mi.j = tb.sidx)""".stripMargin
+
+  val textrankCtes: String =
+    s"""$sentenceCtes,
+       |$sentenceSimCtes,
+       |smsym AS (
+       |  SELECT doc_id, i, j, sim FROM smsim
+       |  UNION ALL SELECT doc_id, j, i, sim FROM smsim),
+       |smrow AS (SELECT doc_id, i, sum(sim) AS rs FROM smsym GROUP BY 1, 2),
+       |smedges AS (
+       |  SELECT m.doc_id, m.i, m.j, m.sim / r.rs AS w
+       |  FROM smsym m JOIN smrow r ON m.doc_id = r.doc_id AND m.i = r.i
+       |  UNION ALL
+       |  SELECT doc_id, sidx, sidx, 0.0 FROM smsents),
+       |sminit AS (
+       |  SELECT s.doc_id, s.sidx AS j, 1.0 / c.n AS score, 0 AS it, c.n AS n, false AS frozen
+       |  FROM smsents s JOIN smcount c USING (doc_id) WHERE c.n >= 2),
+       |smtr AS (
+       |  SELECT * FROM sminit
+       |  UNION ALL
+       |  SELECT doc_id, j, score, it, n, frozen FROM (
+       |    SELECT doc_id, j, score, prevsc, it, n,
+       |           bool_and(abs(score - prevsc) <= 1e-6 + 1e-5 * abs(prevsc))
+       |             OVER (PARTITION BY doc_id) AS frozen
+       |    FROM (
+       |      SELECT e.doc_id, e.j,
+       |             round((1 - 0.85) / any_value(p.n) + 0.85 * sum(e.w * p.score), 10) AS score,
+       |             sum(CASE WHEN e.i = e.j THEN p.score ELSE 0.0 END) AS prevsc,
+       |             any_value(p.it) + 1 AS it, any_value(p.n) AS n
+       |      FROM smtr p JOIN smedges e ON p.doc_id = e.doc_id AND p.j = e.i
+       |      WHERE NOT p.frozen AND p.it < ${Summarizer.MaxIter}
+       |      GROUP BY e.doc_id, e.j) g) u),
+       |smfinal AS (
+       |  SELECT doc_id, j, score
+       |  FROM (SELECT doc_id, j, score,
+       |               row_number() OVER (PARTITION BY doc_id, j ORDER BY it DESC) AS rn
+       |        FROM smtr) WHERE rn = 1)""".stripMargin
+
+  /** N11 sentence split — mirrors [[graft.operators.Summarizer.sentencesDf]]. */
+  val sentencesSql: String =
+    s"""WITH $sentenceCtes
+       |SELECT doc_id, CAST(sidx AS BIGINT) AS sidx, s AS sentence FROM smsents""".stripMargin
+
+  /** N12/N13 pairwise sentence similarity — mirrors
+    * [[graft.operators.Summarizer.sentenceSimilaritiesDf]].
+    */
+  val sentenceSimsSql: String =
+    s"""WITH $sentenceCtes,
+       |$sentenceSimCtes
+       |SELECT doc_id, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |       round(sim, 6) AS sim
+       |FROM smsim""".stripMargin
+
+  /** Summary CTEs on top of [[textrankCtes]]: top-3 by (score desc, index
+    * desc — numpy's reversed argsort tie-break), re-sorted into document
+    * order; documents with ≤3 sentences short-circuit to all sentences.
+    */
+  val summaryCtes: String =
+    s"""$textrankCtes,
+       |smtop3 AS (
+       |  SELECT f.doc_id, f.j
+       |  FROM (SELECT doc_id, j, score,
+       |               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, j DESC) AS rk
+       |        FROM smfinal) f
+       |  JOIN smcount c USING (doc_id)
+       |  WHERE c.n > 3 AND f.rk <= 3),
+       |smchosen AS (
+       |  SELECT s.doc_id, s.sidx, s.s FROM smsents s JOIN smcount c USING (doc_id) WHERE c.n <= 3
+       |  UNION ALL
+       |  SELECT s.doc_id, s.sidx, s.s FROM smsents s JOIN smtop3 t ON s.doc_id = t.doc_id AND s.sidx = t.j),
+       |smsummary AS (
+       |  SELECT doc_id, string_agg(s, ' ' ORDER BY sidx) AS summary FROM smchosen GROUP BY doc_id)""".stripMargin
+
+  /** N15 extractive summaries — mirrors [[graft.operators.Summarizer.qSummaries]]. */
+  val summariesSql: String =
+    s"""WITH RECURSIVE $summaryCtes
+       |SELECT d.doc_id,
+       |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_sentences,
+       |       coalesce(su.summary, '') AS summary
+       |FROM documents d
+       |LEFT JOIN smcount c USING (doc_id)
+       |LEFT JOIN smsummary su ON d.doc_id = su.doc_id""".stripMargin
+
+  /** N16 key sentences — max-normalized score ≥ 0.5, descending (ties by
+    * index), `|`-joined; single-sentence documents short-circuit. Mirrors
+    * [[graft.operators.Summarizer.qKeySentences]].
+    */
+  val keySentencesSql: String =
+    s"""WITH RECURSIVE $textrankCtes,
+       |smmx AS (SELECT doc_id, max(score) AS mx FROM smfinal GROUP BY doc_id),
+       |smkept AS (
+       |  SELECT f.doc_id, f.j, f.score / m.mx AS rel
+       |  FROM smfinal f JOIN smmx m USING (doc_id)
+       |  WHERE m.mx > 0 AND f.score / m.mx >= 0.5),
+       |smkey AS (
+       |  SELECT k.doc_id, string_agg(s.s, '|' ORDER BY k.rel DESC, k.j) AS ks
+       |  FROM smkept k JOIN smsents s ON k.doc_id = s.doc_id AND k.j = s.sidx
+       |  GROUP BY k.doc_id),
+       |smsingle AS (
+       |  SELECT s.doc_id, s.s AS ks FROM smsents s JOIN smcount c USING (doc_id) WHERE c.n = 1)
+       |SELECT d.doc_id, coalesce(k.ks, sg.ks, '') AS key_sentences
+       |FROM documents d
+       |LEFT JOIN smkey k ON d.doc_id = k.doc_id
+       |LEFT JOIN smsingle sg ON d.doc_id = sg.doc_id""".stripMargin
+
+  /** N32 pipeline, full form: [[pipelineGradedSql]] plus the TextRank
+    * summary column via [[summaryCtes]] — mirrors
+    * [[graft.operators.Pipeline.process]] column-for-column.
+    */
+  def pipelineSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${relevanceSql(Relevance.Keywords)},
+       |${componentCtes(threshold)},
+       |$priorityCtes,
+       |$summaryCtes
+       |SELECT r.doc_id, substring(d.text, 1, 500) AS text,
+       |       r.combined AS relevance_score,
+       |       coalesce(su.summary, '') AS summary,
+       |       f.priority_score,
+       |       $priorityLevelCase AS priority_level
+       |FROM rel r
+       |JOIN (SELECT doc_id FROM cccomp WHERE component = doc_id) u ON r.doc_id = u.doc_id
+       |JOIN final f ON r.doc_id = f.doc_id
+       |JOIN documents d ON r.doc_id = d.doc_id
+       |LEFT JOIN smsummary su ON r.doc_id = su.doc_id""".stripMargin
 
   /** N30/N31 semantic search: TF-IDF vectors over the top-`vocabSize` corpus
     * terms, query embedded in the same space, cosine ≥ threshold, top-k.

@@ -53,4 +53,42 @@ class SummarizerSpec extends SparkSpec {
     val ks = Summarizer.keySentences(longText, 0.3)
     assert(ks.nonEmpty)
   }
+
+  test("fixpoint scores land exactly on the 10-decimal grid") {
+    // engine reproducibility rests on every iteration emitting scores
+    // already rounded to 10 decimals, so the oracle's round(…, 10) sees
+    // identical values; verify the final vector is a fixed point of round10
+    val sentences = Summarizer.splitSentences(longText)
+    val scores = Summarizer.textrank(Summarizer.similarityMatrix(sentences))
+    scores.foreach { s =>
+      val r = BigDecimal(s).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r == s, s"score $s not on the 10-dp grid")
+    }
+  }
+
+  test("sentencesDf matches driver-side splitSentences on every doc") {
+    val got = Summarizer.sentencesDf(sampleDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    sampleTexts.zipWithIndex.foreach { case (t, i) =>
+      val want = Summarizer.splitSentences(t).toSeq
+      assert(got.getOrElse(i.toLong, Seq.empty) == want, s"doc $i")
+    }
+  }
+
+  test("sentenceSimilaritiesDf matches driver-side sentenceSimilarity") {
+    import spark.implicits._
+    val docs = Seq((0L, longText), (1L, sampleTexts.head)).toDF("doc_id", "text")
+    val got = Summarizer.sentenceSimilaritiesDf(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val sents = Summarizer.splitSentences(longText)
+    for (i <- sents.indices; j <- sents.indices if i < j) {
+      val want = Summarizer.sentenceSimilarity(sents(i), sents(j))
+      val key = (0L, i + 1L, j + 1L)
+      if (want > 0)
+        assert(math.abs(got(key) - want) < 1e-6, s"pair $key")
+      else
+        assert(!got.contains(key), s"zero pair $key materialized")
+    }
+  }
 }
