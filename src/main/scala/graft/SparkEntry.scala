@@ -105,6 +105,7 @@ object SparkEntry {
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
     "x14_ann_ivf"      -> (VectorSearch.qAnnIvf _),
     "x15_quantized"    -> (VectorSearch.qQuantized _),
+    "x30_semantic_dedup" -> (VectorSearch.qSemanticDedup _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),
@@ -564,6 +565,9 @@ object SparkEntry {
     // coordinates round to 6 decimals each iteration on both sides, which
     // is what makes the float fixpoint engine-reproducible.
     "x14_ann_ivf"      -> graft.oracles.TrainSql.ivfTopKSql(),
+    // x30: same Lloyd chain as x14, then within-cell pairwise cosine and
+    // the greedy first-occurrence keep rule (deterministic on both sides).
+    "x30_semantic_dedup" -> graft.oracles.TrainSql.semanticDedupSql(),
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,

@@ -310,6 +310,42 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the k-means
+    * coarse quantizer, then deduplicate *within* clusters only — the
+    * cluster bound is what keeps the pairwise step sub-quadratic
+    * (O(n²/k) vs O(n²); the paper runs k = 50k on LAION so each cell is
+    * thousands, not millions). Keep rule is greedy first-occurrence: a
+    * vector is pruned iff a lower-id vector in its cell is within
+    * `threshold` cosine — the same deterministic convention as the x29
+    * cross-corpus line dedup, which is what makes the result (and the
+    * DuckDB oracle) engine-reproducible where the paper's random keep
+    * would not be.
+    *
+    * Plan shape: the centroid matrix rides as literals (k×dim from the
+    * driver — the only driver-side data), assignment streams with the
+    * scan, the within-cell pair step is an *equi* self-join on the cell
+    * id (shuffle-partitioned by cell — never a nested-loop), and the
+    * keep flag is a left join on the pruned-id set. At 100 TB the cell
+    * id is the only shuffle key and k scales with corpus size, keeping
+    * per-cell work bounded.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5,
+                    threshold: Double = 0.45): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val withCell = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellOf(col("v"), centroids))
+    val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
+      .join(withCell.select(col("vec_id").as("id2"), col("v").as("v2"), col("cell")), Seq("cell"))
+      .where(col("id1") < col("id2") &&
+        round(cosineSim(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    withCell.select(col("vec_id"), col("cell"))
+      .join(pruned.withColumn("__pruned", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("__pruned").isNull.as("kept"))
+  }
+
   // --- scalar int8 quantization: the memory side of ANN at scale ---
 
   /** Symmetric per-vector int8 quantization: q_i = round(v_i / scale) with
@@ -387,6 +423,9 @@ object VectorSearch {
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  def qSemanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, sfDir))
 
   /** Quantization codes in long form (vec_id, dim, q, scale) — array
     * columns stay out of the dump so the driver's value hash sees scalars.

@@ -166,52 +166,69 @@ object TrainSql {
        |ORDER BY sim DESC, e.vec_id LIMIT $k""".stripMargin
   }
 
-  /** IVF ANN oracle ([[graft.operators.VectorSearch.annIvfTopK]]): the
-    * same fixed-iteration Lloyd chain, unrolled as chained CTEs (recursive
-    * CTEs can't aggregate). Determinism contract shared with the Spark
-    * side: init = first `nCells` vectors by vec_id, ties in the argmin
-    * break to the lower cell, every recomputed centroid coordinate rounds
-    * to 6 decimals (float-sum order wobble ~1e-13 ≪ the 5e-7 boundary),
-    * empty cells carry the previous centroid forward.
+  private def sqDist(vExpr: String, cExpr: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($vExpr[i]-$cExpr[i])*($vExpr[i]-$cExpr[i])))"
+
+  /** `aTab AS (…)`: nearest-centroid assignment of every vector in CTE `v`
+    * against centroid table `cTab`; argmin ties break to the lower cell
+    * (matching Spark's `array_position` first-match).
     */
-  def ivfTopKSql(queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16,
-                 nprobe: Int = 3, iters: Int = 5, dim: Int = 64): String = {
-    val sqDist = (vExpr: String, cExpr: String) =>
-      s"list_sum(list_transform(range(1, ${dim + 1}), " +
-        s"i -> ($vExpr[i]-$cExpr[i])*($vExpr[i]-$cExpr[i])))"
-    def assign(cTab: String, aTab: String): String =
-      s"""$aTab AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT x.vec_id, x.v, c.cell,
-         |           row_number() OVER (PARTITION BY x.vec_id
-         |             ORDER BY ${sqDist("x.v", "c.c")}, c.cell) AS rk
-         |    FROM v x CROSS JOIN $cTab c)
-         |  WHERE rk = 1)""".stripMargin
-    def recompute(aTab: String, cPrev: String, cNext: String): String =
-      s"""$cNext AS (
-         |  SELECT cell, list(round(m, 6) ORDER BY d) AS c FROM (
-         |    SELECT cell, d, avg(val) AS m FROM (
-         |      SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d
-         |      FROM $aTab)
-         |    GROUP BY cell, d)
-         |  GROUP BY cell
-         |  UNION ALL
-         |  SELECT cell, c FROM $cPrev
-         |  WHERE cell NOT IN (SELECT cell FROM $aTab GROUP BY cell))""".stripMargin
+  private def assignCte(cTab: String, aTab: String, dim: Int): String =
+    s"""$aTab AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT x.vec_id, x.v, c.cell,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY ${sqDist("x.v", "c.c", dim)}, c.cell) AS rk
+       |    FROM v x CROSS JOIN $cTab c)
+       |  WHERE rk = 1)""".stripMargin
+
+  private def recomputeCte(aTab: String, cPrev: String, cNext: String): String =
+    s"""$cNext AS (
+       |  SELECT cell, list(round(m, 6) ORDER BY d) AS c FROM (
+       |    SELECT cell, d, avg(val) AS m FROM (
+       |      SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d
+       |      FROM $aTab)
+       |    GROUP BY cell, d)
+       |  GROUP BY cell
+       |  UNION ALL
+       |  SELECT cell, c FROM $cPrev
+       |  WHERE cell NOT IN (SELECT cell FROM $aTab GROUP BY cell))""".stripMargin
+
+  /** Shared WITH-prefix for the k-means family: `v` (double-widened
+    * embeddings), `c0` (init = first `nCells` vectors by vec_id), and the
+    * unrolled Lloyd chain a0/c1 … a{iters-1}/c{iters} (recursive CTEs can't
+    * aggregate). Determinism contract shared with
+    * [[graft.operators.VectorSearch.kmeansCentroids]]: argmin ties break to
+    * the lower cell, every recomputed centroid coordinate rounds to
+    * 6 decimals (float-sum order wobble ~1e-13 ≪ the 5e-7 boundary), empty
+    * cells carry the previous centroid forward.
+    */
+  private def lloydChain(nCells: Int, iters: Int, dim: Int): String = {
     val iterations = (0 until iters).flatMap { t =>
-      Seq(assign(s"c$t", s"a$t"), recompute(s"a$t", s"c$t", s"c${t + 1}"))
+      Seq(assignCte(s"c$t", s"a$t", dim), recomputeCte(s"a$t", s"c$t", s"c${t + 1}"))
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         v AS c
        |  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT $nCells)),
-       |$iterations,
+       |$iterations""".stripMargin
+  }
+
+  /** IVF ANN oracle ([[graft.operators.VectorSearch.annIvfTopK]]): the
+    * same fixed-iteration Lloyd chain as the engine (see [[lloydChain]]),
+    * nprobe cell pruning, exact cosine within the probed cells.
+    */
+  def ivfTopKSql(queryVecId: Long = 0L, k: Int = 10, nCells: Int = 16,
+                 nprobe: Int = 3, iters: Int = 5, dim: Int = 64): String = {
+    def assign(cTab: String, aTab: String): String = assignCte(cTab, aTab, dim)
+    s"""WITH ${lloydChain(nCells, iters, dim)},
        |q AS (SELECT v AS qv FROM v WHERE vec_id = $queryVecId),
        |pr AS (
        |  SELECT cell FROM (
-       |    SELECT c.cell, ${sqDist("q.qv", "c.c")} AS dist
+       |    SELECT c.cell, ${sqDist("q.qv", "c.c", dim)} AS dist
        |    FROM c$iters c CROSS JOIN q)
        |  ORDER BY dist, cell LIMIT $nprobe),
        |${assign(s"c$iters", "fin")}
@@ -221,6 +238,24 @@ object TrainSql {
        |WHERE f.cell IN (SELECT cell FROM pr) AND f.vec_id <> $queryVecId
        |ORDER BY sim DESC, f.vec_id LIMIT $k""".stripMargin
   }
+
+  /** SemDeDup-style semantic dedup oracle
+    * ([[graft.operators.VectorSearch.semanticDedup]]): the same Lloyd chain
+    * as x14, final cell assignment, within-cell pairwise cosine, greedy
+    * first-occurrence keep — a vector is pruned iff a lower-id vector in
+    * its cell is within `threshold` (same convention as the x29 line
+    * dedup).
+    */
+  def semanticDedupSql(nCells: Int = 16, iters: Int = 5,
+                       threshold: Double = 0.45, dim: Int = 64): String =
+    s"""WITH ${lloydChain(nCells, iters, dim)},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $threshold)
+       |SELECT f.vec_id, f.cell, (p.vec_id IS NULL) AS kept
+       |FROM fin f LEFT JOIN pruned p USING (vec_id)""".stripMargin
 
   val annTopKSql: String =
     """SELECT e.vec_id, e.label,

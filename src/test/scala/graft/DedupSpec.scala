@@ -159,6 +159,32 @@ class DedupSpec extends SparkSpec {
     assert((exact & quant).size >= 8, s"recall too low: ${(exact & quant).size}/10")
   }
 
+  test("semantic dedup matches an in-memory greedy reference; no nested-loop join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = VectorSearch.semanticDedup(emb, nCells = 8, iters = 3, threshold = 0.4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"within-cell dedup must stay an equi join, plan:\n$plan")
+    val rows = out.select("vec_id", "cell", "kept").as[(Long, Int, Boolean)].collect()
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    assert(rows.length == vecs.size && rows.exists(!_._3) && rows.exists(_._3))
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    rows.groupBy(_._2).values.foreach { cellRows =>
+      val ids = cellRows.map(_._1).sorted.toSeq
+      val pruned = ids.filter(id => ids.exists(o => o < id &&
+        BigDecimal(sim(vecs(o), vecs(id)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.4)).toSet
+      cellRows.foreach { case (id, _, kept) =>
+        assert(kept == !pruned.contains(id), s"vec $id kept=$kept disagrees with reference")
+      }
+    }
+  }
+
   test("IVF ANN with partial probes returns valid ordered approximations") {
     val ivf = VectorSearch.annIvfTopK(Tables.embeddings(spark, sf0001), 0L, 10)
       .select("vec_id", "sim").as[(Long, Double)].collect()
