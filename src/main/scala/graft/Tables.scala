@@ -13,8 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantic-search vector store.
   */
 object Tables {
+  // Memoized per (session, path): `spark.read.parquet` eagerly lists the
+  // directory and reads a footer for the schema, so a 100+-query suite
+  // pays that per query per table without this. The tables are immutable
+  // test fixtures, so reusing the resolved relation is safe; the map holds
+  // one DataFrame per table per session (a handful of entries — harness
+  // processes are short-lived, so no eviction).
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "nation")

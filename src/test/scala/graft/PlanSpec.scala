@@ -185,4 +185,43 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan(Views.userSummary(spark, sf0001)).contains("*("))
     assert(finalPlan(Relational.pricingSummary(spark, sf0001)).contains("*("))
   }
+
+  test("no registered query plans a cartesian product or an unjustified nested-loop join") {
+    // A BroadcastNestedLoopJoin is scale-safe only when its build side is a
+    // deliberately broadcast handful of rows (a 1-row query vector, a ≤k-row
+    // query batch, a one-row bound): the probe side then streams once with
+    // no shuffle — that is the *intended* plan for these queries. Everything
+    // else must plan equi/semi/sort-merge joins; a CartesianProduct is never
+    // acceptable.
+    val broadcastTinyBuild = Set(
+      "x5_ann_topk",        // 1-row query vector rides a broadcast cross join
+      "x14_ann_ivf",        // same 1-row query-vector pattern, cell-pruned scan
+      "x26_knn_join",       // broadcast ≤n/50-row query batch vs corpus stream
+      "n7_near_dups",       // 1-row target document vs corpus
+      "n12_semantic_search",// 1-row query TF-IDF vector vs doc vectors
+      "w6_dense_daily",     // 1-row (min,max) bounds row exploded into the spine
+      "d9_vocab_unique",    // 1-row vocab-array build side
+      // the scalar-broadcast family: a grouping-free 1-row aggregate
+      // (corpus doc count N for IDF and everything downstream of it; total
+      // word count for the unigram LM) crossJoin(broadcast(_))-ed onto the
+      // stream — Spark plans any non-equi broadcast join as BNLJ, but a
+      // 1-row build side is a constant, not a blow-up
+      "n2_idf", "n3_tfidf_top", "n4_relevance", "n5_rank",
+      "n8_priority", "n9_priority_distribution",
+      "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
+      "x25_unigram_lm"
+    )
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !broadcastTinyBuild(name)
+        if (cart || bnlj)
+          Some(s"$name(${Seq(if (cart) "cartesian" else "", if (bnlj) "bnlj" else "")
+            .filter(_.nonEmpty).mkString(",")})")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer join strategies in: ${offenders.mkString(", ")}")
+  }
 }
