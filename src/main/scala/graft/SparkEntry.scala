@@ -81,6 +81,7 @@ object SparkEntry {
     "n3_tfidf_top"    -> (Relevance.qTfidfTop _),
     "n4_relevance"    -> (Relevance.qRelevance _),
     "n5_rank"         -> (Relevance.qRank _),
+    "n13_bm25"        -> (Relevance.qBm25 _),
     "n6_dup_pairs"    -> (Duplicates.qDupPairs _),
     "n7_near_dups"    -> (Duplicates.qNearDups _),
     "n8_priority"     -> (Priority.qClassify _),
@@ -526,6 +527,7 @@ object SparkEntry {
     "n3_tfidf_top" -> graft.oracles.NlpSql.tfidfTopSql,
     "n4_relevance" -> graft.oracles.NlpSql.relevanceQuerySql,
     "n5_rank"      -> graft.oracles.NlpSql.rankQuerySql,
+    "n13_bm25"     -> graft.oracles.NlpSql.bm25Sql(graft.operators.Relevance.Keywords),
     "n6_dup_pairs" -> graft.oracles.NlpSql.dupPairsSql(),
     "n7_near_dups" -> graft.oracles.NlpSql.nearDupsSql(),
     "n8_priority"  -> graft.oracles.NlpSql.prioritySql,

@@ -111,6 +111,46 @@ object Relevance {
           .as("combined"))
   }
 
+  /** BM25 ranking (Okapi, with Lucene's non-negative idf form):
+    * `Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) · cnt·(k1+1)/(cnt + k1·(1 − b + b·dl/avgdl))`
+    * over the query terms, using raw term counts (BM25 does its own length
+    * normalization — no TF max-norm), dl = token count of the document,
+    * avgdl = total token count / N (zero-token documents count in N).
+    * Zero-match documents score 0, like [[relevanceScores]].
+    *
+    * Scale shape: the keyword filter cuts the (doc, term) frame to ≤|q|
+    * rows per doc before any join; df and the (N, avgdl) scalars are tiny
+    * broadcast sides; one per-doc sum, then TakeOrderedAndProject.
+    */
+  def bm25Rank(docs: DataFrame, keywords: Seq[String] = Keywords,
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
+    val kw = keywords.map(_.toLowerCase)
+    val kwArr = lit(kw.toArray)
+    val counts = termCounts(docs).cache()
+    val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
+      .select(col("n_docs"),
+        (col("tot_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val dfs = counts.where(array_contains(kwArr, col("token")))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val scores = counts.where(array_contains(kwArr, col("token")))
+      .join(broadcast(dfs), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("cnt") * lit(k1 + 1.0)) /
+          (col("cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    docs.select("doc_id")
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), round(coalesce(col("score"), lit(0.0)), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(topK)
+  }
+
   /** N10: ranked corpus, top-k by combined score (tie-broken on doc_id). */
   def rankDocuments(docs: DataFrame, keywords: Seq[String] = Keywords,
                     topK: Int = 100): DataFrame =
@@ -139,4 +179,7 @@ object Relevance {
 
   def qRank(spark: SparkSession, sfDir: String): DataFrame =
     rankDocuments(Tables.documents(spark, sfDir))
+
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Rank(Tables.documents(spark, sfDir))
 }

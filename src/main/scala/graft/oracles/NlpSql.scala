@@ -87,6 +87,35 @@ object NlpSql {
        |SELECT doc_id, density, coverage, tfidf_score, combined FROM rel
        |ORDER BY combined DESC, doc_id LIMIT 100""".stripMargin
 
+  /** BM25 oracle ([[graft.operators.Relevance.bm25Rank]]): same Okapi
+    * formula with Lucene's non-negative idf, raw term counts, dl from the
+    * counts CTE, avgdl = total tokens / corpus count (zero-token docs in
+    * the denominator), zero-match docs at 0.
+    */
+  def bm25Sql(kws: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+              topK: Int = 100): String = {
+    val in = kwList(kws.map(_.toLowerCase))
+    s"""WITH $baseCtes,
+       |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnts GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT sum(cnt) FROM cnts) * 1.0
+       |           / (SELECT count(*) FROM documents) AS avgdl),
+       |dfs AS (SELECT token, count(*) AS df FROM cnts
+       |        WHERE token IN $in GROUP BY token),
+       |s AS (
+       |  SELECT c.doc_id,
+       |         sum(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |             (c.cnt * ${k1 + 1.0}) /
+       |             (c.cnt + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))) AS score
+       |  FROM cnts c JOIN dfs f USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats st
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, round(coalesce(s.score, 0.0), 6) AS bm25
+       |FROM documents d LEFT JOIN s USING (doc_id)
+       |ORDER BY bm25 DESC, d.doc_id LIMIT $topK""".stripMargin
+  }
+
   /** Sum-normalized TF + inverted-index cosine pairs ≥ θ on rounded sim. */
   def dupPairsSql(threshold: Double = 0.8): String =
     s"""WITH $baseCtes,

@@ -115,6 +115,40 @@ class NlpSpec extends SparkSpec {
     assert(scores.map(_._3).max <= 2.0 / 7 + 1e-9)
   }
 
+  test("BM25 matches an independent in-memory computation; zero-match docs score 0") {
+    val docs = Seq(
+      (0L, "spark joins the query stream and window functions"),
+      (1L, "spark spark spark query"),
+      (2L, "completely unrelated prose about gardens and flowers"),
+      (3L, "window window window window stream"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Relevance.bm25Rank(docs, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    // independent reference: plain-Scala Okapi over the same tokenizer
+    val kw = Relevance.Keywords
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val n = toks.size
+    val dl = toks.map { case (id, t) => id -> t.size }
+    val avgdl = dl.values.sum.toDouble / n
+    val dfm = kw.map(k => k -> toks.values.count(_.contains(k))).toMap
+    val expect = toks.map { case (id, t) =>
+      val s = kw.map { k =>
+        val cnt = t.count(_ == k)
+        if (cnt == 0) 0.0
+        else math.log(1.0 + (n - dfm(k) + 0.5) / (dfm(k) + 0.5)) *
+          (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sum
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expectRanked = expect.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got == expectRanked, s"got $got expected $expectRanked")
+    // zero-match docs present, at score 0
+    assert(got.filter(_._2 == 0.0).map(_._1).toSet == Set(2L, 4L))
+  }
+
   // --- priority (tests/test_priority_classifier.py:59-67 boundaries) ---
 
   test("priority level thresholds: 0.95→CRITICAL, 0.70→HIGH, 0.50→MEDIUM, 0.30→LOW, 0.10→NONE") {

@@ -206,7 +206,7 @@ class PlanSpec extends SparkSpec {
       // word count for the unigram LM) crossJoin(broadcast(_))-ed onto the
       // stream — Spark plans any non-equi broadcast join as BNLJ, but a
       // 1-row build side is a constant, not a blow-up
-      "n2_idf", "n3_tfidf_top", "n4_relevance", "n5_rank",
+      "n2_idf", "n3_tfidf_top", "n4_relevance", "n5_rank", "n13_bm25",
       "n8_priority", "n9_priority_distribution",
       "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
       "x25_unigram_lm"
