@@ -124,6 +124,7 @@ object SparkEntry {
     "x23_gopher_rules" -> (TextQuality.qGopherRules _),
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
+    "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
@@ -603,6 +604,7 @@ object SparkEntry {
     "x23_gopher_rules" -> graft.oracles.TrainSql.gopherRulesSql,
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,
+    "x31_ccnet_buckets" -> graft.oracles.TrainSql.ccnetBucketsSql,
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),

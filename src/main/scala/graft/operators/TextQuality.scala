@@ -287,6 +287,30 @@ object TextQuality {
           6).as("mean_logprob"))
   }
 
+  /** CCNet-style quality buckets (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): score each
+    * document with the corpus unigram LM ([[unigramLogprob]] — the paper
+    * uses a wiki-trained KenLM; the add-one unigram is the deterministic
+    * in-engine stand-in) and split every source's documents into
+    * head/middle/tail score terciles; downstream mixing keeps or reweights
+    * buckets per the paper. `ntile(3)` over (score DESC, doc_id) is the
+    * SQL-standard tercile — deterministic and engine-identical on the
+    * 6-dp-rounded score. Zero-token documents carry no score and are
+    * excluded (the same inner join as x25). At 100 TB only the narrow
+    * (doc_id, source, score) frame reaches the per-source window; the
+    * text never leaves the scan stage.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(desc("mean_logprob"), asc("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(unigramLogprob(docs).select("doc_id", "mean_logprob"), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("mean_logprob"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail").as("bucket"))
+  }
+
   /** N-gram repetition signals (the rest of Gopher's repetition family
     * beyond [[repetitionStats]]' duplicate lines): per document, the share
     * of n-gram occurrences taken by the single most frequent n-gram and
@@ -397,4 +421,7 @@ object TextQuality {
 
   def qNgramRepetition(spark: SparkSession, sfDir: String): DataFrame =
     ngramRepetition(Tables.documents(spark, sfDir))
+
+  def qCcnetBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ccnetBuckets(Tables.documents(spark, sfDir))
 }

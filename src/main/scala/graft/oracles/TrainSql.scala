@@ -588,6 +588,33 @@ object TrainSql {
        |FROM toks JOIN model USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
+  /** CCNet quality-bucket oracle ([[TextQuality.ccnetBuckets]]): the x25
+    * unigram score, then per-source `ntile(3)` over the 6-dp-rounded
+    * score (DESC, doc_id) — the tie order both engines share.
+    */
+  val ccnetBucketsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |model AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM model),
+       |sc AS (
+       |  SELECT doc_id,
+       |         round(sum(ln((cnt + 1) / (n_total + n_vocab))) / count(*), 6)
+       |           AS mean_logprob
+       |  FROM toks JOIN model USING (word), tot
+       |  GROUP BY doc_id),
+       |b AS (
+       |  SELECT d.doc_id, d.source, sc.mean_logprob,
+       |         ntile(3) OVER (PARTITION BY d.source
+       |                        ORDER BY sc.mean_logprob DESC, d.doc_id) AS t
+       |  FROM documents d JOIN sc USING (doc_id))
+       |SELECT doc_id, source, mean_logprob,
+       |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM b""".stripMargin
+
   /** N-gram repetition fractions ([[TextQuality.ngramRepetition]], n=2):
     * same bigram grid, grouped by the gram string (the Spark side groups
     * by an internal xxhash64 of it — counts agree, the hash is never

@@ -187,6 +187,23 @@ class TextQualitySpec extends SparkSpec {
     assert(got(1L) == "en" && got(2L) == "fr")
   }
 
+  test("CCNet buckets: per-source terciles balanced, head outscores tail") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = TextQuality.ccnetBuckets(docs)
+      .select("doc_id", "source", "mean_logprob", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(rows.nonEmpty && rows.map(_._4).toSet == Set("head", "middle", "tail"))
+    rows.groupBy(_._2).values.foreach { src =>
+      val sizes = src.groupBy(_._4).view.mapValues(_.size).toMap
+      // ntile terciles differ by at most one document
+      assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+      // every head score >= every tail score within the source
+      val head = src.filter(_._4 == "head").map(_._3)
+      val tail = src.filter(_._4 == "tail").map(_._3)
+      assert(head.min >= tail.max, "head tercile scored below tail")
+    }
+  }
+
   private implicit class Tuple4Map(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
