@@ -125,6 +125,7 @@ object SparkEntry {
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
+    "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
@@ -605,6 +606,7 @@ object SparkEntry {
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,
     "x31_ccnet_buckets" -> graft.oracles.TrainSql.ccnetBucketsSql,
+    "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),

@@ -141,6 +141,31 @@ object CorpusPrep {
       .withColumn("accept", col("n_copies") >= 1)
   }
 
+  /** Token-budget corpus selection: the selection step downstream of
+    * quality scoring — each source keeps its highest-quality documents
+    * until a per-source token budget is exhausted (the per-domain token
+    * caps of budgeted pretraining mixes, cf. SlimPajama / data-constrained
+    * scaling recipes). Order is (quality DESC, doc_id) on the
+    * 6-dp-rounded x10 score — deterministic; a document is selected while
+    * the running total *before* it is under budget, so the first
+    * over-budget document still lands (greedy-until-exceeded — budgets
+    * stay reachable when a single document exceeds them).
+    *
+    * Scale shape: only the narrow (doc_id, source, quality, tokens) frame
+    * enters the per-source window cumsum — text stays at the scan; each
+    * source's ordered pass is a range partition at cluster scale.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetPerSource: Long = 10000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    TextQuality.qualityScore(docs).select("doc_id", "quality")
+      .join(TextQuality.tokenCounts(docs).select("doc_id", "ws_tokens"), "doc_id")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("cum_before", coalesce(sum("ws_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("quality"), col("ws_tokens"),
+        (col("cum_before") < budgetPerSource).as("selected"))
+  }
+
   // --- query entries ---
 
   /** Stand-in benchmark: every 20th document is "the eval set". Both
@@ -186,6 +211,11 @@ object CorpusPrep {
       .agg(count("*").as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("split")
   }
+
+  /** Budget 1000 tokens/source ≈ 2/3 of a sf0.01 source's tokens, so both
+    * flag values appear at every test scale. */
+  def qTokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(spark, sfDir), budgetPerSource = 1000L)
 
   /** Mixing rates cycle 0.25 / 0.5 / 1.0 / 2.5 over the src<i> sources. */
   def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {

@@ -572,6 +572,26 @@ object TrainSql {
       |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5
       |FROM k""".stripMargin
 
+  /** Token-budget selection oracle ([[CorpusPrep.tokenBudgetSelect]]):
+    * composes the x10 quality and x11 token-count queries as CTEs (DuckDB
+    * allows a CTE body to carry its own WITH), then the same per-source
+    * greedy-until-exceeded window cumsum.
+    */
+  def tokenBudgetSql(budgetPerSource: Long = 10000L): String =
+    s"""WITH q AS ($qualitySql),
+       |t AS ($tokenCountsSql),
+       |j AS (
+       |  SELECT d.doc_id, d.source, q.quality, t.ws_tokens
+       |  FROM documents d JOIN q USING (doc_id) JOIN t USING (doc_id)),
+       |c AS (
+       |  SELECT *, coalesce(sum(ws_tokens) OVER (
+       |    PARTITION BY source ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM j)
+       |SELECT doc_id, source, quality, CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       |       (cum_before < $budgetPerSource) AS selected
+       |FROM c""".stripMargin
+
   /** Unigram LM scoring ([[TextQuality.unigramLogprob]]): add-one smoothed
     * corpus unigram model, mean natural-log probability per document.
     */

@@ -143,6 +143,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got(4L) == ((4L, "b", 12L, 0L, 0L, 2L))) // shard b starts at its own pack 0
   }
 
+  test("token budget: greedy prefix per source, first over-budget doc lands") {
+    val budget = 500L
+    val rows = CorpusPrep.tokenBudgetSelect(Tables.documents(spark, sf0001), budget)
+      .select("doc_id", "source", "quality", "ws_tokens", "selected")
+      .as[(Long, String, Double, Long, Boolean)].collect()
+    assert(rows.nonEmpty && rows.exists(_._5) && rows.exists(!_._5))
+    rows.groupBy(_._2).values.foreach { src =>
+      // replay the greedy in order: selected must be exactly the prefix
+      // whose pre-inclusion cumsum is under budget
+      val ordered = src.sortBy(r => (-r._3, r._1))
+      var cum = 0L
+      ordered.foreach { case (id, _, _, toks, selected) =>
+        assert(selected == (cum < budget), s"doc $id selected=$selected at cum=$cum")
+        cum += toks
+      }
+      // selection is a prefix: no selected doc after the first unselected
+      val flags = ordered.map(_._5)
+      assert(!flags.dropWhile(identity).contains(true))
+    }
+  }
+
   test("packing: empty documents occupy zero packs at the current offset") {
     val docs = Seq(
       (1L, "a", "alpha bravo charlie"),
