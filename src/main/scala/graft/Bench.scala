@@ -44,7 +44,11 @@ object Bench {
         (if (i == 1) name else s"$name#$i") -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal JVM would print "0,123" and break the JSON contract
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver keeps only the tail of stdout, so the expensive per-query
@@ -58,7 +62,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_file":"$sidecar","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","nqueries":${results.size},"queries_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
   }
 }

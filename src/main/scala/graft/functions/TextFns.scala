@@ -51,11 +51,13 @@ object TextFns {
     */
   def sentences(text: Column): Column = {
     val raw = split(text, "[.!?]+")
-    // trim the whitespace set Java's String.trim strips in practice
-    // (space/tab/newline/CR) so the column form, the driver-side
-    // Summarizer.splitSentences, and the DuckDB oracle agree; the word
+    // trim exactly Java String.trim's set (every char <= U+0020) so the
+    // column form, the driver-side Summarizer.splitSentences (which uses
+    // String.trim), and the DuckDB oracle agree on any input — a plain
+    // char-list trim of " \t\n\r" would diverge on \x0B/\f etc.; the word
     // count ignores empty split tokens like the reference's len(split())
-    val trimmed = transform(raw, s => trim(s, " \t\n\r"))
+    val trimmed = transform(raw, s =>
+      regexp_replace(regexp_replace(s, "^[\\x00-\\x20]+", ""), "[\\x00-\\x20]+$", ""))
     filter(trimmed, s =>
       (s =!= "") && size(filter(split(s, "\\s+"), w => w =!= "")) >= 3)
   }

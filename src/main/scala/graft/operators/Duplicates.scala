@@ -246,7 +246,9 @@ object Duplicates {
     val key0 = planMemoKey(docs)
     val key = if (key0.nonEmpty) s"$key0|t=$threshold" else ""
     val hit = if (key.nonEmpty) edgeMemo.get(key) else null
-    if (hit != null) {
+    // honor the caller's cap even on a memo hit: an explicit small cap is
+    // a request to avoid the driver path, not just a cost heuristic
+    if (hit != null && hit.length <= maxCollectEdges) {
       lastComponentsPath = "collect"
       return unionFindLabels(docs, hit)
     }

@@ -101,16 +101,21 @@ object Relational {
     // (the grouping-set Expand duplicates dataset-id-tagged attributes);
     // GROUP BY ROLLUP through the SQL entry resolves cleanly and plans
     // the identical Expand + single hash aggregate.
-    joined.createOrReplaceTempView("graft_rollup_input")
-    joined.sparkSession.sql(
-      """SELECT coalesce(r_name, 'ALL') AS region,
-        |       coalesce(n_name, 'ALL') AS nation,
-        |       round(sum(rev), 4) AS revenue,
-        |       count(*) AS n_items,
-        |       CAST(grouping(r_name) AS BIGINT) AS g_region,
-        |       CAST(grouping(n_name) AS BIGINT) AS g_nation
-        |FROM graft_rollup_input
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    // per-call unique view name, dropped right after the (eager) analysis
+    // of sql(): a fixed name would be session-global shared state — two
+    // callers on one session could silently aggregate each other's input
+    val view = s"graft_rollup_input_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.createOrReplaceTempView(view)
+    try joined.sparkSession.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+         |       coalesce(n_name, 'ALL') AS nation,
+         |       round(sum(rev), 4) AS revenue,
+         |       count(*) AS n_items,
+         |       CAST(grouping(r_name) AS BIGINT) AS g_region,
+         |       CAST(grouping(n_name) AS BIGINT) AS g_nation
+         |FROM $view
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+    finally joined.sparkSession.catalog.dropTempView(view)
   }
 
   /** Manual pivot via conditional aggregation (A4): order counts per

@@ -192,6 +192,15 @@ object Summarizer {
   def qSentences(spark: SparkSession, sfDir: String): DataFrame =
     sentencesDf(Tables.documents(spark, sfDir))
 
-  def qSentenceSims(spark: SparkSession, sfDir: String): DataFrame =
-    sentenceSimilaritiesDf(Tables.documents(spark, sfDir))
+  /** The synthetic corpus has no sentence punctuation (each doc is one
+    * long sentence), which would make the pairwise query vacuously empty —
+    * so the registered entry first inserts a deterministic boundary every
+    * 12 words (a pure regex both engines replicate), giving the
+    * inverted-index pair path real multi-sentence input to verify.
+    */
+  def qSentenceSims(spark: SparkSession, sfDir: String): DataFrame = {
+    val sentencified = Tables.documents(spark, sfDir).select(col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+\\s+){12})", "$1. ").as("text"))
+    sentenceSimilaritiesDf(sentencified)
+  }
 }

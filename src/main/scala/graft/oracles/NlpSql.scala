@@ -288,18 +288,22 @@ object NlpSql {
     * indexed in document order — mirrors
     * [[graft.operators.Summarizer.splitSentences]].
     */
-  val sentenceCtes: String =
+  def sentenceCtesFrom(src: String): String =
     s"""smraw AS (
        |  SELECT doc_id,
        |         unnest(regexp_split_to_array(text, '[.!?]+')) AS piece,
        |         unnest(generate_series(1, len(regexp_split_to_array(text, '[.!?]+')))) AS pos
-       |  FROM documents),
+       |  FROM $src),
        |smsents AS (
        |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS sidx, s
-       |  FROM (SELECT doc_id, pos, trim(piece, ' ' || chr(9) || chr(10) || chr(13)) AS s
+       |  FROM (SELECT doc_id, pos,
+       |               regexp_replace(regexp_replace(piece, '^[\\x00-\\x20]+', ''),
+       |                              '[\\x00-\\x20]+$$', '') AS s
        |        FROM smraw)
        |  WHERE s <> '' AND len(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')) >= 3),
        |smcount AS (SELECT doc_id, count(*) AS n FROM smsents GROUP BY doc_id)""".stripMargin
+
+  val sentenceCtes: String = sentenceCtesFrom("documents")
 
   /** Pairwise sentence token-set cosine (N12/N13) via the per-document
     * token inverted index — only co-tokened pairs meet, so zero-similarity
@@ -366,8 +370,18 @@ object NlpSql {
   /** N12/N13 pairwise sentence similarity — mirrors
     * [[graft.operators.Summarizer.sentenceSimilaritiesDf]].
     */
+  /** s4 runs over a "sentencified" corpus: the synthetic documents carry no
+    * sentence punctuation (each doc is one long sentence, so the pairwise
+    * query would be vacuously empty); a deterministic boundary every 12
+    * words — the same regex both engines replicate, DuckDB needing the 'g'
+    * flag to match Java's replace-all — gives the pair path real input.
+    */
   val sentenceSimsSql: String =
-    s"""WITH $sentenceCtes,
+    s"""WITH sdocs AS (
+       |  SELECT doc_id,
+       |         regexp_replace(text, '(\\S+\\s+){12}', '\\0. ', 'g') AS text
+       |  FROM documents),
+       |${sentenceCtesFrom("sdocs")},
        |$sentenceSimCtes
        |SELECT doc_id, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        |       round(sim, 6) AS sim

@@ -251,8 +251,12 @@ object Ingest {
         col("m.model"), col("m.order_index"))
   }
 
-  /** Committed raw-export fixtures (testdata ships no raw exports). */
-  val FixtureDir = "/root/repo/src/main/resources/ingest"
+  /** Committed raw-export fixtures (testdata ships no raw exports).
+    * Resolved against the working directory so any checkout location
+    * works; SPARK_GRAFT_FIXTURE_DIR overrides.
+    */
+  val FixtureDir: String = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR",
+    new java.io.File(sys.props("user.dir"), "src/main/resources/ingest").getPath)
 
   /** Co-located storage for repeated same-key joins/aggregations: bucket a
     * table by its join key so every later equi-join or groupBy on that key
@@ -290,8 +294,15 @@ object Ingest {
       .write.mode("overwrite").parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     fs.delete(old, true)
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
+    // rename() signals failure by returning false, not throwing — a
+    // missed check here would let the trailing delete destroy the only
+    // surviving copy
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // restore; best effort — old copy still intact
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+    }
     fs.delete(old, true)
   }
 }

@@ -6,7 +6,7 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Cast, Expression, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, Cast, Expression, JoinedRow, PredicateHelper, SortOrder, UnixDate, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -200,7 +200,10 @@ object AsofJoin {
         s"asof column '$name' not found among ${out.map(_.name).mkString(", ")}"))
     def widen(e: Attribute): Expression = e.dataType match {
       case LongType | TimestampType => e
-      case IntegerType | DateType   => Cast(e, LongType)
+      case IntegerType              => Cast(e, LongType)
+      // date→numeric casts fail analysis since Spark 3.0; UnixDate reads
+      // the physical day count (monotonic, which is all the merge needs)
+      case DateType                 => Cast(UnixDate(e), LongType)
       case t => throw new IllegalArgumentException(
         s"asof key/time must be long-comparable, got $t for ${e.name}")
     }

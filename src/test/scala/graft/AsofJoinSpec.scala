@@ -33,6 +33,16 @@ class AsofJoinSpec extends SparkSpec {
       "t1" -> Some(101.0), "t2" -> Some(102.0), "t3" -> None, "t4" -> None))
   }
 
+  test("date-typed time columns widen via UnixDate and match by day order") {
+    val l = Seq((1L, "2024-03-10", "a"), (1L, "2024-03-01", "b"))
+      .toDF("k", "d", "tag").select(col("k"), to_date(col("d")).as("d"), col("tag"))
+    val r = Seq((1L, "2024-03-05", 5.0), (1L, "2024-02-28", 2.0))
+      .toDF("rk", "rd", "v").select(col("rk"), to_date(col("rd")).as("rd"), col("v"))
+    val got = AsofJoin.asof(l, r, "k", "d", "rk", "rd")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(5.0), "b" -> Some(2.0)))
+  }
+
   test("right rows with null time sort first and never match") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "tag")
     val r = Seq(
