@@ -98,4 +98,29 @@ class PropertySpec extends SparkSpec {
       .agg(max("d")).head().getDouble(0)
     assert(diff < 1e-12)
   }
+
+  test("token budget selection is monotone in the budget") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    def selected(b: Long): Set[Long] =
+      graft.operators.CorpusPrep.tokenBudgetSelect(docs, b)
+        .where(col("selected")).select("doc_id").as[Long].collect().toSet
+    val (small, mid, large) = (selected(300), selected(800), selected(100000))
+    assert(small.nonEmpty && small.subsetOf(mid) && mid.subsetOf(large))
+    // an unbounded budget selects everything that carries a score row
+    assert(large.size == docs.count())
+  }
+
+  test("semantic dedup pruning is monotone in the threshold") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    def pruned(t: Double): Set[Long] =
+      graft.operators.VectorSearch.semanticDedup(emb, nCells = 8, iters = 2, t)
+        .where(!col("kept")).select("vec_id").as[Long].collect().toSet
+    // a stricter (higher) threshold can only prune fewer vectors, and the
+    // cells are identical across calls (same centroids), so subset holds
+    val loose = pruned(0.3)
+    val strict = pruned(0.6)
+    assert(strict.subsetOf(loose) && loose.size > strict.size)
+  }
 }
