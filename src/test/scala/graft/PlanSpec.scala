@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{DocOps, Relational, Views}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression guards: the scale-critical plan properties
   * (broadcast dimension joins, predicate pushdown into the parquet scan,
@@ -184,6 +185,31 @@ class PlanSpec extends SparkSpec {
     // codegen stages print as `*(n) Operator` in the final plan string
     assert(finalPlan(Views.userSummary(spark, sf0001)).contains("*("))
     assert(finalPlan(Relational.pricingSummary(spark, sf0001)).contains("*("))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim-side predicate should reach the fact scan
+    // as a runtime bloom filter (row-level runtime filtering, Spark 3.5+).
+    // The size thresholds exist for small inputs, so lower them to prove
+    // the injection fires on this join shape; broadcast is disabled because
+    // BHJ needs no bloom (the hash table IS the filter).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf0001).where(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf0001)
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom-filter runtime predicate on the fact side:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("no registered query plans a cartesian product or an unjustified nested-loop join") {
