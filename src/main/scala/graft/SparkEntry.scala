@@ -209,8 +209,8 @@ object SparkEntry {
     "r1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_extendedprice), 6) AS avg_price,
         |       count(*) AS count_order
@@ -218,7 +218,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "r2_top_revenue_orders" ->
       """SELECT o.o_orderkey,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
         |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -228,7 +228,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "r3_region_revenue" ->
       """SELECT r_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -253,7 +253,7 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
     "r7_customer_order_stats" ->
       """SELECT c.c_custkey, c.c_name, count(o.o_totalprice) AS n_orders,
-        |       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+        |       coalesce(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE), 0) AS total_spent
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_name""".stripMargin,
     "r8_top_parts_per_brand" ->
@@ -264,11 +264,11 @@ object SparkEntry {
         |  FROM part) WHERE rk <= 3""".stripMargin,
     "r9_monthly_revenue" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
     "r10_supplier_nation_stats" ->
       """SELECT n_name, count(*) AS n_suppliers,
-        |       round(sum(s_acctbal), 2) AS total_balance,
+        |       CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_balance,
         |       round(avg(s_acctbal), 6) AS avg_balance
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -299,7 +299,7 @@ object SparkEntry {
     "r14_revenue_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,
         |       coalesce(n_name, 'ALL') AS nation,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items,
         |       CAST(grouping(r_name) AS BIGINT) AS g_region,
         |       CAST(grouping(n_name) AS BIGINT) AS g_nation

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,14 +23,26 @@ object Relational {
   /** Pricing summary (A1/A3/A4 shapes; classic scan→agg). Filter is pushed
     * to the parquet scan; single shuffle on the 6-value grouping key.
     */
+  /** Exact engine-portable money sum: each double term is cast to
+    * DECIMAL(18,4) (deterministic per-row rounding of the same IEEE double
+    * in any engine), summed exactly in decimal — independent of
+    * partitioning and summation order — and emitted as the double nearest
+    * that exact decimal. A plain double sum rounds its accumulated ~1-ulp
+    * order wobble straight into the output and flips the last digit
+    * whenever a group's total lands on a rounding boundary (observed on
+    * r3/r14 at sf0.1: …582.02955 → .0296 Spark vs .0295 DuckDB).
+    */
+  private[graft] def moneySum(term: Column, scale: Int): Column =
+    round(sum(term.cast("decimal(18,4)")), scale).cast("double")
+
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .where(col("l_shipdate") <= lit("2000-12-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -49,7 +61,7 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
            date_format(first(col("o_orderdate")), "yyyy-MM-dd").as("o_orderdate"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
@@ -70,7 +82,7 @@ object Relational {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
            count(lit(1)).as("n_items"))
   }
 
@@ -95,7 +107,11 @@ object Relational {
       // narrow before the grouping-set expand: Expand duplicates every
       // input row per grouping set, so it should carry 3 columns, not 12
       .select(col("r_name"), col("n_name"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        // decimal per item before the Expand: see moneySum — the rollup's
+        // grand total is the biggest sum in the suite and the most
+        // boundary-prone
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
     // SQL form on purpose: in Spark 4.1 the Dataset-API `rollup` on any
     // join-derived frame false-positives the ambiguous-self-join detector
     // (the grouping-set Expand duplicates dataset-id-tagged attributes);
@@ -109,7 +125,7 @@ object Relational {
     try joined.sparkSession.sql(
       s"""SELECT coalesce(r_name, 'ALL') AS region,
          |       coalesce(n_name, 'ALL') AS nation,
-         |       round(sum(rev), 4) AS revenue,
+         |       CAST(round(sum(rev), 4) AS DOUBLE) AS revenue,
          |       count(*) AS n_items,
          |       CAST(grouping(r_name) AS BIGINT) AS g_region,
          |       CAST(grouping(n_name) AS BIGINT) AS g_nation
@@ -159,7 +175,7 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
       .groupBy("c_custkey", "c_name")
       .agg(count(col("o_totalprice")).as("n_orders"),
-           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+           coalesce(moneySum(col("o_totalprice"), 2), lit(0.0)).as("total_spent"))
   }
 
   /** Top-3 parts per brand by retail price — top-k-per-group via window
@@ -179,7 +195,7 @@ object Relational {
     Tables.orders(spark, sfDir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("revenue"))
+           moneySum(col("o_totalprice"), 2).as("revenue"))
 
   /** Supplier account stats per nation (J1 + A3 with broadcast dim). */
   def supplierNationStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -188,7 +204,7 @@ object Relational {
     s.join(n, s("s_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_suppliers"),
-           round(sum(col("s_acctbal")), 2).as("total_balance"),
+           moneySum(col("s_acctbal"), 2).as("total_balance"),
            round(avg(col("s_acctbal")), 6).as("avg_balance"))
   }
 
