@@ -44,7 +44,10 @@ object Relational {
         moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        // exact decimal sum → one deterministic double division (a plain
+        // double avg inherits the sum's order wobble; see moneySum)
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
 
   /** Top-10 revenue orders for one market segment (J1 chain + T1 top-k).
