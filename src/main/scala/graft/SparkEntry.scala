@@ -144,6 +144,7 @@ object SparkEntry {
     "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
     "w5_sliding_counts" -> (graft.streaming.EventStream.qSlidingCounts _),
     "w6_dense_daily"   -> (graft.streaming.EventStream.qDenseDailySeries _),
+    "w7_locf_fill"     -> (graft.streaming.EventStream.qLocfFill _),
     // raw-export ingest end-to-end (committed fixtures — testdata ships no raw exports)
     "i1_ingest_normalize" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qIngestNormalize(s, d)),
@@ -656,6 +657,7 @@ object SparkEntry {
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,
     "w6_dense_daily"   -> graft.oracles.TrainSql.denseDailySeriesSql,
+    "w7_locf_fill"     -> graft.oracles.TrainSql.locfFillSql,
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
     "e11_funnel"       -> graft.oracles.TrainSql.funnelSql,

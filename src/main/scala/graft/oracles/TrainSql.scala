@@ -788,6 +788,33 @@ object TrainSql {
       |       coalesce(daily.total_value, 0.0) AS total_value
       |FROM spine s LEFT JOIN daily ON s.d = daily.d""".stripMargin
 
+  /** LOCF gap fill ([[graft.streaming.EventStream.qLocfFill]]): per-type
+    * dense spine, sparse high-value daily totals (exact decimal sums),
+    * `last_value IGNORE NULLS` carry-forward, 0 before first observation.
+    */
+  val locfFillSql: String =
+    """WITH b AS (
+      |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+      |types AS (
+      |  SELECT DISTINCT event_type FROM events
+      |  WHERE event_type IS NOT NULL AND event_type <> ''),
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS day_value
+      |  FROM events WHERE value > 200 GROUP BY 1, 2),
+      |g AS (
+      |  SELECT t.event_type, s.d, daily.day_value
+      |  FROM types t CROSS JOIN spine s
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS date, day_value,
+      |       coalesce(last_value(day_value IGNORE NULLS) OVER (
+      |         PARTITION BY event_type ORDER BY d
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+      |FROM g""".stripMargin
+
   /** 7-day moving average ([[graft.streaming.EventStream.qMovingAvgDaily]]). */
   val movingAvgDailySql: String =
     """WITH d AS (

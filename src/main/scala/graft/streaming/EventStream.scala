@@ -131,6 +131,38 @@ object EventStream {
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  /** w7: LOCF gap fill over the dense spine — the time-series
+    * "carry last observation forward" reindex (pandas `.ffill`) as a pure
+    * window op. Per event type, the dense date spine left-joins a sparse
+    * daily aggregate (high-value days only, so gaps are real); then
+    * `last(_, ignoreNulls)` over (type, day order, unbounded preceding)
+    * carries the last seen daily total forward, 0 before the first
+    * observation. The window partitions on the series key, so at cluster
+    * scale each series fills independently — never a single global sort.
+    * The spine side of the cross join is a broadcast handful of rows
+    * (one per calendar day).
+    */
+  def qLocfFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val spine = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val types = ev.select("event_type")
+      .where(col("event_type").isNotNull && col("event_type") =!= "").distinct()
+    val daily = ev.where(col("value") > 200)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(graft.operators.Relational.moneySum(col("value"), 2).as("day_value"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("date"),
+        col("day_value"),
+        coalesce(last(col("day_value"), ignoreNulls = true).over(w), lit(0.0))
+          .as("filled_value"))
+  }
+
   // --- sessionization (beyond-reference: gap-based user sessions) ---
 
   /** Default session gap: a new session starts when ≥ 30 minutes pass

@@ -80,4 +80,17 @@ class EventOpsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("LOCF fill carries the last observation forward per series") {
+    val rows = EventStream.qLocfFill(spark, sf0001)
+      .as[(String, String, Option[Double], Double)].collect()
+    assert(rows.nonEmpty && rows.exists(_._3.isEmpty) && rows.exists(_._3.nonEmpty))
+    rows.groupBy(_._1).values.foreach { series =>
+      var carry = 0.0
+      series.sortBy(_._2).foreach { case (et, date, raw, filled) =>
+        carry = raw.getOrElse(carry)
+        assert(filled == carry, s"($et, $date): filled=$filled expected=$carry")
+      }
+    }
+  }
 }

@@ -226,6 +226,7 @@ class PlanSpec extends SparkSpec {
       "n7_near_dups",       // 1-row target document vs corpus
       "n12_semantic_search",// 1-row query TF-IDF vector vs doc vectors
       "w6_dense_daily",     // 1-row (min,max) bounds row exploded into the spine
+      "w7_locf_fill",       // broadcast day-spine side of the types × days cross
       "d9_vocab_unique",    // 1-row vocab-array build side
       // the scalar-broadcast family: a grouping-free 1-row aggregate
       // (corpus doc count N for IDF and everything downstream of it; total
