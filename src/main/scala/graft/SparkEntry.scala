@@ -41,6 +41,7 @@ object SparkEntry {
     "r12_type_value_share"     -> (Relational.typeValueShare _),
     "r13_top_types_other"      -> ((s: SparkSession, d: String) => Relational.topTypesWithOther(s, d)),
     "r14_revenue_rollup"       -> (Relational.revenueRollup _),
+    "r15_revenue_cube"         -> (Relational.revenueCube _),
     // event-sequence operators
     "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
     "e1b_heatmap_dense"      -> (EventOps.activityHeatmapDense _),
@@ -310,6 +311,19 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "r15_revenue_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(grouping(r_name) AS BIGINT) AS g_region,
+        |       CAST(grouping(n_name) AS BIGINT) AS g_nation
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)""".stripMargin,
     "e1_activity_heatmap" ->
       """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -97,32 +97,36 @@ object Relational {
     * `grouping()` flags distinguish subtotal rows from real NULLs; labels
     * are coalesced to 'ALL' for a stable, engine-portable output.
     */
-  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Narrow (r_name, n_name, rev-as-decimal) join frame shared by the
+    * grouping-set aggregations: Expand duplicates every input row per
+    * grouping set, so it should carry 3 columns, not 12; rev is decimal
+    * per item before the Expand (see moneySum — the grand total is the
+    * biggest sum in the suite and the most boundary-prone).
+    */
+  private def revenueGroupingInput(spark: SparkSession, sfDir: String): DataFrame = {
     val r = broadcast(Tables.region(spark, sfDir))
     val n = broadcast(Tables.nation(spark, sfDir))
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
-    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
-      // narrow before the grouping-set expand: Expand duplicates every
-      // input row per grouping set, so it should carry 3 columns, not 12
       .select(col("r_name"), col("n_name"),
-        // decimal per item before the Expand: see moneySum — the rollup's
-        // grand total is the biggest sum in the suite and the most
-        // boundary-prone
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)").as("rev"))
-    // SQL form on purpose: in Spark 4.1 the Dataset-API `rollup` on any
-    // join-derived frame false-positives the ambiguous-self-join detector
-    // (the grouping-set Expand duplicates dataset-id-tagged attributes);
-    // GROUP BY ROLLUP through the SQL entry resolves cleanly and plans
-    // the identical Expand + single hash aggregate.
-    // per-call unique view name, dropped right after the (eager) analysis
-    // of sql(): a fixed name would be session-global shared state — two
-    // callers on one session could silently aggregate each other's input
+  }
+
+  /** SQL form on purpose: in Spark 4.1 the Dataset-API `rollup`/`cube` on
+    * any join-derived frame false-positives the ambiguous-self-join
+    * detector (the grouping-set Expand duplicates dataset-id-tagged
+    * attributes); GROUP BY ROLLUP/CUBE through a SQL entry resolves
+    * cleanly and plans the identical Expand + single hash aggregate.
+    * Per-call unique view name, dropped right after the (eager) analysis
+    * of sql() — a fixed name would be session-global shared state.
+    */
+  private def groupingSetsQuery(joined: DataFrame, groupByClause: String): DataFrame = {
     val view = s"graft_rollup_input_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     joined.createOrReplaceTempView(view)
     try joined.sparkSession.sql(
@@ -133,9 +137,22 @@ object Relational {
          |       CAST(grouping(r_name) AS BIGINT) AS g_region,
          |       CAST(grouping(n_name) AS BIGINT) AS g_nation
          |FROM $view
-         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+         |GROUP BY $groupByClause""".stripMargin)
     finally joined.sparkSession.catalog.dropTempView(view)
   }
+
+  /** Multi-level aggregation in one pass (see class comment on the SQL
+    * entry): rollup = per-nation rows, per-region subtotals, grand total,
+    * all from one Expand + hash aggregate.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    groupingSetsQuery(revenueGroupingInput(spark, sfDir), "ROLLUP (r_name, n_name)")
+
+  /** CUBE adds the nation-only slice to the rollup's grouping sets — all
+    * four (r,n)/(r)/(n)/() summaries from the same single-shuffle Expand.
+    */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    groupingSetsQuery(revenueGroupingInput(spark, sfDir), "CUBE (r_name, n_name)")
 
   /** Manual pivot via conditional aggregation (A4): order counts per
     * priority broken out by status column — the reference's
