@@ -149,6 +149,8 @@ object SparkEntry {
     // raw-export ingest end-to-end (committed fixtures — testdata ships no raw exports)
     "i1_ingest_normalize" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qIngestNormalize(s, d)),
+    "i2_tree_stats" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qTreeStats(s, d)),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -667,6 +669,8 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "i1_ingest_normalize" ->
       graft.oracles.IngestSql.ingestNormalizeSql(graft.sources.Ingest.FixtureDir),
+    "i2_tree_stats" ->
+      graft.oracles.IngestSql.treeStatsSql(graft.sources.Ingest.FixtureDir),
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,

@@ -27,6 +27,49 @@ object IngestSql {
   private def fmtEpoch(c: String): String =
     s"strftime(make_timestamp(CAST(floor($c) AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S')"
 
+  /** i2 tree stats ([[graft.sources.Ingest.chatgptTreeStats]]): the mapping
+    * exploded per conversation, shape counts from the children arrays, and
+    * BFS depth as a recursive CTE (every listed child id gets a level;
+    * expansion continues only through existing nodes — same contract as
+    * the Spark walk). Conversations deduped by id like the reader.
+    */
+  def treeStatsSql(fixtureDir: String): String =
+    s"""WITH RECURSIVE
+       |graw AS (
+       |  SELECT * FROM read_json('$fixtureDir/chatgpt_export.json',
+       |    columns={id:'VARCHAR', title:'VARCHAR', create_time:'DOUBLE', update_time:'DOUBLE',
+       |             mapping:'MAP(VARCHAR, STRUCT(parent VARCHAR, children VARCHAR[],
+       |               message STRUCT(author STRUCT(role VARCHAR),
+       |                              content STRUCT(parts VARCHAR[]),
+       |                              create_time DOUBLE,
+       |                              metadata STRUCT(model_slug VARCHAR))))'})
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY id) = 1
+       |),
+       |gnodes AS (
+       |  SELECT conv_id, e.key AS node_id, e.value.parent AS parent,
+       |         e.value.children AS children
+       |  FROM (SELECT id AS conv_id, unnest(map_entries(mapping)) AS e FROM graw)
+       |),
+       |lvls AS (
+       |  SELECT conv_id, node_id, 1 AS lvl FROM gnodes WHERE parent IS NULL
+       |  UNION ALL
+       |  SELECT l.conv_id, c.child AS node_id, l.lvl + 1 AS lvl
+       |  FROM lvls l
+       |  JOIN (SELECT conv_id, node_id, unnest(children) AS child FROM gnodes) c
+       |    ON c.conv_id = l.conv_id AND c.node_id = l.node_id
+       |),
+       |depths AS (SELECT conv_id, CAST(max(lvl) AS BIGINT) AS max_depth
+       |           FROM lvls GROUP BY 1)
+       |SELECT g.conv_id AS conversation_id,
+       |       CAST(count(*) AS BIGINT) AS n_nodes,
+       |       CAST(count(*) FILTER (g.parent IS NULL) AS BIGINT) AS n_roots,
+       |       CAST(count(*) FILTER (coalesce(len(g.children), 0) = 0) AS BIGINT) AS n_leaves,
+       |       CAST(count(*) FILTER (coalesce(len(g.children), 0) >= 2) AS BIGINT) AS n_branching,
+       |       CAST(max(coalesce(len(g.children), 0)) AS BIGINT) AS max_fanout,
+       |       d.max_depth
+       |FROM gnodes g JOIN depths d USING (conv_id)
+       |GROUP BY g.conv_id, d.max_depth""".stripMargin
+
   def ingestNormalizeSql(fixtureDir: String): String =
     s"""WITH RECURSIVE
        |craw AS (

@@ -187,6 +187,52 @@ object Ingest {
                            create_time: Option[Double], metadata: GptRawMeta)
   case class GptRawNode(parent: String, children: Seq[String], message: GptRawMessage)
 
+  case class TreeStats(conversation_id: String, n_nodes: Long, n_roots: Long,
+                       n_leaves: Long, n_branching: Long, max_fanout: Long,
+                       max_depth: Long)
+
+  /** i2: per-conversation tree-shape statistics over the raw ChatGPT
+    * mapping — S4's graph summarized instead of flattened: node / root /
+    * leaf / branching-node counts, max fan-out, and BFS depth (root
+    * level = 1). Each conversation's tree lives inside its own row, so
+    * the computation is a row-local `map` — embarrassingly parallel at
+    * any scale, no join and no shuffle. The oracle replays the same walk
+    * as a recursive CTE over the exploded mapping, so levels count every
+    * child id a node lists (a well-formed export only lists existing
+    * nodes; traversal expands only through existing ones).
+    */
+  def chatgptTreeStats(spark: SparkSession, raw: DataFrame): Dataset[TreeStats] = {
+    import spark.implicits._
+    val typed = raw.dropDuplicates("id").select(col("id"), col("mapping"))
+      .as[(String, Map[String, GptRawNode])]
+    typed.map { case (convId, mapping) =>
+      def childrenOf(id: String): Seq[String] =
+        mapping.get(id).flatMap(n => Option(n.children)).getOrElse(Seq.empty)
+      val roots = mapping.collect { case (k, v) if v.parent == null => k }.toSeq
+      var depth = 0L
+      var frontier = roots
+      val seen = scala.collection.mutable.Set[String]()
+      while (frontier.nonEmpty) {
+        depth += 1
+        seen ++= frontier
+        frontier = frontier.flatMap(childrenOf).distinct.filterNot(seen.contains)
+      }
+      val fanouts = mapping.values.map(n => Option(n.children).map(_.size).getOrElse(0))
+      TreeStats(convId,
+        n_nodes = mapping.size.toLong,
+        n_roots = roots.size.toLong,
+        n_leaves = fanouts.count(_ == 0).toLong,
+        n_branching = fanouts.count(_ >= 2).toLong,
+        max_fanout = if (fanouts.isEmpty) 0L else fanouts.max.toLong,
+        max_depth = depth)
+    }
+  }
+
+  def qTreeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", FixtureDir)
+    chatgptTreeStats(spark, readChatgpt(spark, s"$base/chatgpt_export.json")).toDF()
+  }
+
   // --- S2 platform detection + S7 validation ---
 
   /** Dialect sniff (S2, `uni_parse.py:88-123`): presence of the marker keys. */

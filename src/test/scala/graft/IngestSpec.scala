@@ -54,6 +54,24 @@ class IngestSpec extends SparkSpec {
     assert(msgs.head.getAs[String]("sender") == "human")
   }
 
+  test("chatgpt tree stats: depth, branching, fan-out on a hand-built tree") {
+    // root → a → (b, c); b → d  — depth 4, one branching node, fanout 2
+    val export =
+      """[{"id": "t-1", "title": "T", "create_time": 1709290800.0, "update_time": 1709294400.0,
+        |  "mapping": {
+        |    "root": {"parent": null, "children": ["a"], "message": null},
+        |    "a": {"parent": "root", "children": ["b", "c"], "message": null},
+        |    "b": {"parent": "a", "children": ["d"], "message": null},
+        |    "c": {"parent": "a", "children": [], "message": null},
+        |    "d": {"parent": "b", "children": [], "message": null}
+        |  }}]""".stripMargin
+    val raw = Ingest.readChatgpt(spark, writeFixture("tree.json", export))
+    val s = Ingest.chatgptTreeStats(spark, raw).collect().head
+    assert(s.conversation_id == "t-1")
+    assert(s.n_nodes == 5 && s.n_roots == 1 && s.n_leaves == 2)
+    assert(s.n_branching == 1 && s.max_fanout == 2 && s.max_depth == 4)
+  }
+
   test("chatgpt export → BFS-flattened messages with role normalization") {
     val path = writeFixture("chatgpt.json", chatgptExport)
     val raw = Ingest.readChatgpt(spark, path)
