@@ -29,9 +29,12 @@ object IngestSql {
 
   /** i2 tree stats ([[graft.sources.Ingest.chatgptTreeStats]]): the mapping
     * exploded per conversation, shape counts from the children arrays, and
-    * BFS depth as a recursive CTE (every listed child id gets a level;
-    * expansion continues only through existing nodes — same contract as
-    * the Spark walk). Conversations deduped by id like the reader.
+    * BFS depth as a recursive CTE. Parity contracts with the Spark walk:
+    * a per-path visited array stops the recursion on cyclic (malformed)
+    * mappings; a node reachable by several paths takes its MIN level
+    * (BFS first-visit semantics, not longest path); conversations with no
+    * parentless node — or no mapping at all — keep a row with depth 0 via
+    * the left joins. Conversations deduped by id like the reader.
     */
   def treeStatsSql(fixtureDir: String): String =
     s"""WITH RECURSIVE
@@ -51,24 +54,38 @@ object IngestSql {
        |  FROM (SELECT id AS conv_id, unnest(map_entries(mapping)) AS e FROM graw)
        |),
        |lvls AS (
-       |  SELECT conv_id, node_id, 1 AS lvl FROM gnodes WHERE parent IS NULL
+       |  SELECT conv_id, node_id, 1 AS lvl, [node_id] AS path
+       |  FROM gnodes WHERE parent IS NULL
        |  UNION ALL
-       |  SELECT l.conv_id, c.child AS node_id, l.lvl + 1 AS lvl
+       |  SELECT l.conv_id, c.child AS node_id, l.lvl + 1 AS lvl,
+       |         list_append(l.path, c.child) AS path
        |  FROM lvls l
        |  JOIN (SELECT conv_id, node_id, unnest(children) AS child FROM gnodes) c
        |    ON c.conv_id = l.conv_id AND c.node_id = l.node_id
+       |  WHERE NOT list_contains(l.path, c.child)
        |),
-       |depths AS (SELECT conv_id, CAST(max(lvl) AS BIGINT) AS max_depth
-       |           FROM lvls GROUP BY 1)
-       |SELECT g.conv_id AS conversation_id,
-       |       CAST(count(*) AS BIGINT) AS n_nodes,
-       |       CAST(count(*) FILTER (g.parent IS NULL) AS BIGINT) AS n_roots,
-       |       CAST(count(*) FILTER (coalesce(len(g.children), 0) = 0) AS BIGINT) AS n_leaves,
-       |       CAST(count(*) FILTER (coalesce(len(g.children), 0) >= 2) AS BIGINT) AS n_branching,
-       |       CAST(max(coalesce(len(g.children), 0)) AS BIGINT) AS max_fanout,
-       |       d.max_depth
-       |FROM gnodes g JOIN depths d USING (conv_id)
-       |GROUP BY g.conv_id, d.max_depth""".stripMargin
+       |depths AS (
+       |  SELECT conv_id, CAST(max(lvl) AS BIGINT) AS max_depth
+       |  FROM (SELECT conv_id, node_id, min(lvl) AS lvl FROM lvls GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |nstats AS (
+       |  SELECT conv_id,
+       |         CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(count(*) FILTER (parent IS NULL) AS BIGINT) AS n_roots,
+       |         CAST(count(*) FILTER (coalesce(len(children), 0) = 0) AS BIGINT) AS n_leaves,
+       |         CAST(count(*) FILTER (coalesce(len(children), 0) >= 2) AS BIGINT) AS n_branching,
+       |         CAST(max(coalesce(len(children), 0)) AS BIGINT) AS max_fanout
+       |  FROM gnodes GROUP BY 1)
+       |SELECT g.id AS conversation_id,
+       |       coalesce(n.n_nodes, 0) AS n_nodes,
+       |       coalesce(n.n_roots, 0) AS n_roots,
+       |       coalesce(n.n_leaves, 0) AS n_leaves,
+       |       coalesce(n.n_branching, 0) AS n_branching,
+       |       coalesce(n.max_fanout, 0) AS max_fanout,
+       |       coalesce(d.max_depth, 0) AS max_depth
+       |FROM graw g
+       |LEFT JOIN nstats n ON n.conv_id = g.id
+       |LEFT JOIN depths d ON d.conv_id = g.id""".stripMargin
 
   def ingestNormalizeSql(fixtureDir: String): String =
     s"""WITH RECURSIVE

@@ -205,7 +205,10 @@ object Ingest {
     import spark.implicits._
     val typed = raw.dropDuplicates("id").select(col("id"), col("mapping"))
       .as[(String, Map[String, GptRawNode])]
-    typed.map { case (convId, mapping) =>
+    typed.map { case (convId, rawMapping) =>
+      // a conversation without a mapping key decodes to null: degenerate
+      // stats row, not a task NPE
+      val mapping = Option(rawMapping).getOrElse(Map.empty[String, GptRawNode])
       def childrenOf(id: String): Seq[String] =
         mapping.get(id).flatMap(n => Option(n.children)).getOrElse(Seq.empty)
       val roots = mapping.collect { case (k, v) if v.parent == null => k }.toSeq
@@ -228,10 +231,9 @@ object Ingest {
     }
   }
 
-  def qTreeStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", FixtureDir)
-    chatgptTreeStats(spark, readChatgpt(spark, s"$base/chatgpt_export.json")).toDF()
-  }
+  def qTreeStats(spark: SparkSession, sfDir: String): DataFrame =
+    chatgptTreeStats(spark,
+      readChatgpt(spark, s"$FixtureDir/chatgpt_export.json")).toDF()
 
   // --- S2 platform detection + S7 validation ---
 
@@ -276,9 +278,9 @@ object Ingest {
     * role-less root, empty `parts`, and null/missing `model_slug`.
     */
   def qIngestNormalize(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", FixtureDir)
-    val cRaw = readClaude(spark, s"$base/claude_export.json")
-    val gRaw = readChatgpt(spark, s"$base/chatgpt_export.json")
+    // FixtureDir already resolves SPARK_GRAFT_FIXTURE_DIR
+    val cRaw = readClaude(spark, s"$FixtureDir/claude_export.json")
+    val gRaw = readChatgpt(spark, s"$FixtureDir/chatgpt_export.json")
     val conv = claudeConversations(cRaw).drop("original_id")
       .unionByName(chatgptConversations(gRaw).drop("original_id"))
     val msgCols = Seq("id", "conversation_id", "parent_id", "sender", "role",

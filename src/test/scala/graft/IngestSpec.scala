@@ -72,6 +72,26 @@ class IngestSpec extends SparkSpec {
     assert(s.n_branching == 1 && s.max_fanout == 2 && s.max_depth == 4)
   }
 
+  test("chatgpt tree stats: diamond gets BFS first-visit depth; missing mapping → zero row") {
+    // r → (a, x); a → b; b → x  — x first visited at level 2, not 4
+    val export =
+      """[{"id": "d-1", "title": "D", "create_time": 1709290800.0, "update_time": 1709294400.0,
+        |  "mapping": {
+        |    "r": {"parent": null, "children": ["a", "x"], "message": null},
+        |    "a": {"parent": "r", "children": ["b"], "message": null},
+        |    "b": {"parent": "a", "children": ["x"], "message": null},
+        |    "x": {"parent": "r", "children": [], "message": null}
+        |  }},
+        | {"id": "d-2", "title": "E", "create_time": 1709290800.0, "update_time": 1709294400.0}]""".stripMargin
+    val raw = Ingest.readChatgpt(spark, writeFixture("diamond.json", export))
+    val byId = Ingest.chatgptTreeStats(spark, raw).collect()
+      .map(s => s.conversation_id -> s).toMap
+    assert(byId("d-1").max_depth == 3) // r=1, {a,x}=2, b=3; x not revisited
+    assert(byId("d-1").n_nodes == 4 && byId("d-1").n_branching == 1)
+    val empty = byId("d-2")
+    assert(empty.n_nodes == 0 && empty.n_roots == 0 && empty.max_depth == 0)
+  }
+
   test("chatgpt export → BFS-flattened messages with role normalization") {
     val path = writeFixture("chatgpt.json", chatgptExport)
     val raw = Ingest.readChatgpt(spark, path)

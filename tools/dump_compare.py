@@ -15,9 +15,12 @@ def main() -> None:
     names = sorted(p.name for p in a.iterdir() if p.is_dir())
     names_b = {p.name for p in b.iterdir() if p.is_dir()}
     missing = [n for n in names if n not in names_b]
+    extra = sorted(names_b - set(names))
     if missing:
         print("missing in B:", missing)
-    bad = 0
+    if extra:
+        print("only in B:", extra)
+    bad = len(missing) + len(extra)
     for n in names:
         if n not in names_b:
             continue
@@ -36,7 +39,9 @@ def main() -> None:
             bad += 1
         else:
             print(f"[ok] {n}")
-    print(f"== {len(names) - bad}/{len(names)} identical ==")
+    total = len(set(names) | names_b)
+    print(f"== {total - bad}/{total} identical ==")
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
