@@ -99,6 +99,20 @@ class PropertySpec extends SparkSpec {
     assert(diff < 1e-12)
   }
 
+  test("moneySum: partition-invariant and equal to the exact decimal reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(5000)(
+      (rnd.nextInt(100000000).toDouble / 100.0) * (if (rnd.nextBoolean()) 1 else -1))
+    def run(parts: Int): Double = vals.toDF("v").repartition(parts)
+      .agg(graft.operators.Relational.moneySum(col("v"), 2).as("s"))
+      .head().getDouble(0)
+    val expected = vals
+      .map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(1) == expected && run(32) == expected)
+  }
+
   test("token budget selection is monotone in the budget") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
