@@ -102,6 +102,7 @@ object SparkEntry {
     "x2_jaccard_pairs" -> (Dedup.qJaccardPairs _),
     "x3_minhash_lsh"   -> (Dedup.qMinhashLsh _),
     "x4_simhash_pairs" -> (Dedup.qSimhashPairs _),
+    "x33_dup_spans"    -> (Dedup.qDupSpans _),
     "x5_ann_topk"      -> (VectorSearch.qAnnTopK _),
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
@@ -580,6 +581,7 @@ object SparkEntry {
     "x2_jaccard_pairs" -> graft.oracles.TrainSql.jaccardPairsSql,
     "x3_minhash_lsh"   -> graft.oracles.TrainSql.minhashLshSql(),
     "x4_simhash_pairs" -> graft.oracles.TrainSql.simhashPairsSql(),
+    "x33_dup_spans"    -> graft.oracles.TrainSql.dupSpansSql(),
     "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
     // x14: recursive SQL can't aggregate in the recursive term, so the
     // fixed-iteration Lloyd chain is unrolled as chained CTEs; centroid

@@ -99,6 +99,37 @@ object TrainSql {
        |        >= $minEstJaccard""".stripMargin
   }
 
+  /** Longest shared token run per LSH candidate pair
+    * ([[Dedup.longestDupSpans]]): the x3 query as a CTE, token positions
+    * from the same filtered list, diagonal gaps-and-islands. Positions are
+    * 1-based here vs Spark's 0-based posexplode — only differences enter
+    * the diagonal and run keys, so the offset cancels.
+    */
+  def dupSpansSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH mh AS (${minhashLshSql(minEstJaccard)}),
+       |toksl2 AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |ptoks AS (
+       |  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+       |  FROM toksl2),
+       |m AS (
+       |  SELECT mh.id1, mh.id2, a.pos AS i, a.pos - b.pos AS diag
+       |  FROM mh
+       |  JOIN ptoks a ON a.doc_id = mh.id1
+       |  JOIN ptoks b ON b.doc_id = mh.id2 AND b.tok = a.tok),
+       |runs AS (
+       |  SELECT id1, id2, diag,
+       |         i - row_number() OVER (PARTITION BY id1, id2, diag ORDER BY i) AS run
+       |  FROM m),
+       |lens AS (
+       |  SELECT id1, id2, count(*) AS len
+       |  FROM runs GROUP BY id1, id2, diag, run)
+       |SELECT id1, id2, CAST(max(len) AS BIGINT) AS longest_span
+       |FROM lens GROUP BY id1, id2""".stripMargin
+
   /** SimHash near-dup pairs, mirroring [[Dedup.simhashPairs]]: md5-60
     * token hash, ±count per bit, 60-bit fingerprint, 4×15-bit chunk
     * candidates, Hamming via bit_count(xor).

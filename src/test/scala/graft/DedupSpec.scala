@@ -159,6 +159,20 @@ class DedupSpec extends SparkSpec {
     assert((exact & quant).size >= 8, s"recall too low: ${(exact & quant).size}/10")
   }
 
+  test("longest dup span equals the planted overlap length") {
+    // 30 distinct non-stopword tokens; doc 1 replaces position 16 —
+    // longest shared consecutive run = positions 1..15
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until 30).map(i => s"tok${letters(i % 26)}${letters(i / 26)}word")
+    val d0 = words.mkString(" ")
+    val d1 = words.updated(15, "replacedword").mkString(" ")
+    val docs = Seq((0L, d0), (1L, d1), (2L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.longestDupSpans(docs, minEstJaccard = 0.3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((0L, 1L, 15L)), s"got $spans")
+  }
+
   test("semantic dedup matches an in-memory greedy reference; no nested-loop join") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = VectorSearch.semanticDedup(emb, nCells = 8, iters = 3, threshold = 0.4)
