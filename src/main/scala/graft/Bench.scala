@@ -13,8 +13,13 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
     // Dev-only A/B knob (unset in driver runs): "k=v;k=v" session confs.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v)
+        case _ if kv.trim.isEmpty           => ()
+        case _ => System.err.println(s"ignoring malformed SPARK_GRAFT_EXTRA_CONF entry: '$kv'")
+      }
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/codegen/parquet-footer costs land here, not

@@ -16,14 +16,16 @@ object Tables {
   // Memoized per (session, path): `spark.read.parquet` eagerly lists the
   // directory and reads a footer for the schema, so a 100+-query suite
   // pays that per query per table without this. The tables are immutable
-  // test fixtures, so reusing the resolved relation is safe; the map holds
-  // one DataFrame per table per session (a handful of entries — harness
-  // processes are short-lived, so no eviction).
+  // test fixtures, so reusing the resolved relation is safe; entries of
+  // stopped sessions are dropped on the next lookup so neither they nor
+  // their DataFrames outlive the session in multi-session processes.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "nation")

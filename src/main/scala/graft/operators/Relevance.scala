@@ -126,6 +126,13 @@ object Relevance {
                k1: Double = 1.2, b: Double = 0.75, topK: Int = 100): DataFrame = {
     val kw = keywords.map(_.toLowerCase)
     val kwArr = lit(kw.toArray)
+    // cache-and-leave by design: the CacheManager dedupes this entry with
+    // every other consumer of the same canonical termCounts plan (n1–n5,
+    // the dedup pack), so unpersisting here would evict a shared subtree.
+    // Per-doc scores are a float sum over ≤|keywords| term contributions
+    // rounded afterwards — summation order could flip the 6th decimal only
+    // on an exact rounding boundary; with ≤8 terms per doc the risk is
+    // negligible (if n13 ever wobbles, round per-term contributions first).
     val counts = termCounts(docs).cache()
     val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))

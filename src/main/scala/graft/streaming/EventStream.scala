@@ -433,7 +433,7 @@ object EventStream {
       .parquet(dir)
     withTs(src)
       .select(col("user_id"), col("event_type"),
-        (col("ts").cast("double") * 1e6).cast("long").as("ts_micros"))
+        unix_micros(col("ts")).as("ts_micros"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {

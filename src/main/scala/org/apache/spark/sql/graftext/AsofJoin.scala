@@ -207,9 +207,22 @@ object AsofJoin {
       case t => throw new IllegalArgumentException(
         s"asof key/time must be long-comparable, got $t for ${e.name}")
     }
-    classic.Dataset.ofRows(spark, AsofJoinPlan(
-      lPlan, rPlan,
-      widen(attr(lPlan.output, leftKey)), widen(attr(rPlan.output, rightKey)),
-      widen(attr(lPlan.output, leftTime)), widen(attr(rPlan.output, rightTime))))
+    // A Date column widens to *days* while a Timestamp widens to *epoch
+    // micros*; pairing them would analyze fine but compare incompatible
+    // units and silently match garbage. Date→Timestamp promotion is also
+    // not done implicitly — midnight is timezone-dependent, so the caller
+    // must cast explicitly and own that choice.
+    def widenPair(a: Attribute, b: Attribute): (Expression, Expression) = {
+      val types = Set(a.dataType, b.dataType)
+      if (types == Set[org.apache.spark.sql.types.DataType](DateType, TimestampType))
+        throw new IllegalArgumentException(
+          s"asof columns '${a.name}' (${a.dataType.simpleString}) and '${b.name}' " +
+          s"(${b.dataType.simpleString}) mix DateType and TimestampType, which widen " +
+          "to different units (days vs epoch micros); cast one side explicitly")
+      (widen(a), widen(b))
+    }
+    val (lKey, rKey) = widenPair(attr(lPlan.output, leftKey), attr(rPlan.output, rightKey))
+    val (lTime, rTime) = widenPair(attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+    classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
   }
 }

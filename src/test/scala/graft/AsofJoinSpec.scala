@@ -43,6 +43,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Map("a" -> Some(5.0), "b" -> Some(2.0)))
   }
 
+  test("mixed Date/Timestamp time columns are rejected, not silently mismatched") {
+    // Date widens to days, Timestamp to epoch micros — comparing them as raw
+    // longs would match garbage, so the pairing must fail loudly
+    val l = Seq((1L, ts("2024-03-10 00:00:00"), "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, "2024-03-05", 5.0))
+      .toDF("rk", "rd", "v").select(col("rk"), to_date(col("rd")).as("rd"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "t", "rk", "rd")
+    }
+    assert(e.getMessage.contains("mix DateType and TimestampType"))
+  }
+
   test("right rows with null time sort first and never match") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "tag")
     val r = Seq(

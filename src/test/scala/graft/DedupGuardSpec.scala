@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hot-key guards for the scale-dedup pack: a duplicate-heavy corpus is the
+  * one dedup exists for, and it is exactly the one whose content-derived
+  * join keys (shingles, LSH band buckets, SimHash chunks) go hot. These
+  * specs plant the pathologies — a corpus-wide boilerplate shingle, a giant
+  * identical-document family — and assert the capped paths bound candidate
+  * generation while still finding the genuine near-duplicates, with scores
+  * identical to exact mode.
+  */
+class DedupGuardSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val letters = "abcdefghijklmnopqrstuvwxyz"
+  private def uniq(i: Int) = s"uniq${letters(i % 26)}${letters(i / 26)}word"
+
+  /** 40 docs all sharing a 6-token boilerplate header (⇒ every pair meets
+    * through its shingles) with per-doc unique tails, plus a planted
+    * near-dup pair (40, 41) whose overlap is mostly *rare* shingles.
+    */
+  private def hotShingleDocs: DataFrame = {
+    val boiler = "commonzz headerzz boilerzz platezz markerzz everywherezz"
+    val base = (0 until 40).map { i =>
+      (i.toLong, s"$boiler ${uniq(i)} ${uniq(i + 40)} ${uniq(i + 80)} ${uniq(i + 120)}")
+    }
+    val shared = "rarezz sharedzz sequencezz tokenszz herezz paddingzz wordszz longzz"
+    val pair = Seq(
+      (40L, s"$boiler $shared onlyfortyzz"),
+      (41L, s"$boiler $shared onlyfortyonezz"))
+    (base ++ pair).toDF("doc_id", "text")
+  }
+
+  test("df-capped shingle index prunes the boilerplate key's quadratic fan-out") {
+    val docs = hotShingleDocs
+    val ds = docs.select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
+      .select(col("doc_id"), Dedup.md5Long60(col("shingle")).as("h60"))
+      .distinct()
+    // uncapped: the boilerplate shingles alone connect every pair — C(42,2)
+    val exact = Dedup.shingleCandidates(ds, maxShingleDf = 0).count()
+    assert(exact == 42L * 41 / 2, s"boilerplate should connect all pairs, got $exact")
+    // capped at df 10: only pairs sharing a rare (df ≤ 10) shingle survive
+    val capped = Dedup.shingleCandidates(ds, maxShingleDf = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((40L, 41L)), "planted rare-shingle pair must stay a candidate")
+    assert(capped.size < 5, s"capped candidates should be near-empty, got ${capped.size}")
+    // the dropped keys are precisely the corpus-hot shingles
+    val hot = Dedup.oversizedBuckets(ds, Seq("h60"), 10).count()
+    assert(hot > 0 && hot < 10, s"only the boilerplate shingles should be hot, got $hot")
+  }
+
+  test("capped jaccardPairs reports the exact-mode similarity for surviving pairs") {
+    val docs = hotShingleDocs
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toMap2
+    val capped = Dedup.jaccardPairs(docs, threshold = 0.5, maxShingleDf = 10)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(capped.contains((40L, 41L)), "planted near-dup pair found in capped mode")
+    // phase 2 recomputes the intersection over ALL shingles (hot included),
+    // so every capped score must equal the exact mode's for the same pair
+    capped.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k capped=$v != exact=${exact.get(k)}")
+    }
+  }
+
+  implicit private class Pairs3[T](rows: Array[(Long, Long, T)]) {
+    def toMap2: Map[(Long, Long), T] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
+
+  /** A 30-copy identical-document family (every LSH band / SimHash chunk
+    * bucket gets 30 members) plus a distinct near-identical pair (100, 101)
+    * in buckets of size 2.
+    */
+  private def hotFamilyDocs: DataFrame = {
+    val family = "familyzz doczz contentzz repeatedzz manyzz timeszz acrosszz corpuszz"
+    val fam = (0 until 30).map(i => (i.toLong, family))
+    val pair = Seq(
+      (100L, "distinctzz pairzz documentzz sharingzz almostzz everythingzz togetherzz"),
+      (101L, "distinctzz pairzz documentzz sharingzz almostzz everythingzz togetherzz"))
+    (fam ++ pair).toDF("doc_id", "text")
+  }
+
+  test("LSH bucket cap drops the identical family but keeps the small pair") {
+    val docs = hotFamilyDocs
+    val uncapped = Dedup.minhashLshPairs(docs).as[(Long, Long, Double)].collect()
+    assert(uncapped.count { case (a, b, _) => a < 30 && b < 30 } == 30 * 29 / 2,
+      "uncapped: the family is quadratic within its band buckets")
+    val capped = Dedup.minhashLshPairs(docs, maxBucketSize = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(!capped.exists { case (a, b, _) => a < 30 && b < 30 },
+      "capped: oversized family buckets must not generate candidates")
+    assert(capped.exists { case (a, b, j) => a == 100L && b == 101L && j == 1.0 },
+      "capped: the small near-dup pair's size-2 buckets are untouched")
+  }
+
+  test("simhash chunk cap drops the identical family but keeps the small pair") {
+    val docs = hotFamilyDocs
+    val uncapped = Dedup.simhashPairs(docs).as[(Long, Long, Long)].collect()
+    assert(uncapped.count { case (a, b, _) => a < 30 && b < 30 } == 30 * 29 / 2)
+    val capped = Dedup.simhashPairs(docs, maxBucketSize = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(!capped.exists { case (a, b, _) => a < 30 && b < 30 })
+    assert(capped.exists { case (a, b, h) => a == 100L && b == 101L && h == 0L })
+  }
+
+  test("span-match matrix is bounded by maxTokensPerDoc² per pair") {
+    // worst case: one token repeated L times matches positionally L² ways
+    val text = Seq.fill(300)("repzz").mkString(" ")
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("id1", "id2")
+    assert(Dedup.spanMatches(docs, pairs).count() == 300L * 300,
+      "uncapped: the planted pair's match matrix is quadratic in doc length")
+    assert(Dedup.spanMatches(docs, pairs, maxTokensPerDoc = 20).count() == 20L * 20,
+      "capped: both documents truncate to the prefix window before the join")
+    val spans = Dedup.longestDupSpans(docs, minEstJaccard = 0.5, maxTokensPerDoc = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((0L, 1L, 20L)), s"capped span = window length, got $spans")
+  }
+}

@@ -132,9 +132,11 @@ class PropertySpec extends SparkSpec {
       graft.operators.VectorSearch.semanticDedup(emb, nCells = 8, iters = 2, t)
         .where(!col("kept")).select("vec_id").as[Long].collect().toSet
     // a stricter (higher) threshold can only prune fewer vectors, and the
-    // cells are identical across calls (same centroids), so subset holds
+    // cells are identical across calls (same centroids), so subset holds;
+    // >= (not >) — strictness depends on the fixture having a pair with
+    // cosine in [0.3, 0.6), which a data refresh need not guarantee
     val loose = pruned(0.3)
     val strict = pruned(0.6)
-    assert(strict.subsetOf(loose) && loose.size > strict.size)
+    assert(strict.subsetOf(loose) && loose.size >= strict.size)
   }
 }
