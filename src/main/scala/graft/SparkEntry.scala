@@ -152,6 +152,9 @@ object SparkEntry {
       graft.sources.Ingest.qIngestNormalize(s, d)),
     "i2_tree_stats" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qTreeStats(s, d)),
+    "i3_validation_report" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qValidationReport(s, d)),
+    "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -673,6 +676,16 @@ object SparkEntry {
       graft.oracles.IngestSql.ingestNormalizeSql(graft.sources.Ingest.FixtureDir),
     "i2_tree_stats" ->
       graft.oracles.IngestSql.treeStatsSql(graft.sources.Ingest.FixtureDir),
+    "i3_validation_report" ->
+      graft.oracles.IngestSql.validationReportSql(graft.sources.Ingest.FixtureDir),
+    // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
+    // the exported projection straight from parquet, so a hash match means
+    // the sink preserved every value exactly
+    "d19_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       CAST(length(text) AS BIGINT) AS text_len,
+        |       substr(text, 1, 80) AS head
+        |FROM documents""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,

@@ -85,7 +85,35 @@ object Export {
     */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode("overwrite").option("header", "true").csv(path)
+    out.write.mode("overwrite").option("header", "true")
+      // faithful values: Spark's CSV writer trims cell whitespace by
+      // default, which would make the sink lossy for text-derived columns
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+  }
+
+  /** d19 (S9, oracle-checkable): push a deterministic per-document export
+    * through the CSV sink and read it back with an explicit schema — the
+    * dump the driver hashes is the *round-tripped* data, so the oracle
+    * compare proves the sink preserves values (quoting, embedded commas
+    * and quotes, whitespace) rather than just that it wrote files.
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      length(col("text")).cast("long").as("text_len"),
+      substring(col("text"), 1, 80).as("head"))
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_csv_roundtrip_" + Integer.toHexString(sfDir.hashCode)).getPath
+    writeCsv(out, dir)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("text_len", LongType), StructField("head", StringType))))
+      .option("header", "true").csv(dir)
   }
 
   /** S10: JSON-lines sink (one conversation document per line). */
@@ -102,4 +130,7 @@ object Export {
 
   def qHtml(spark: SparkSession, sfDir: String): DataFrame =
     htmlDocs(Tables.documents(spark, sfDir))
+
+  def qCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    csvRoundtrip(spark, sfDir)
 }

@@ -87,6 +87,30 @@ object IngestSql {
        |LEFT JOIN nstats n ON n.conv_id = g.id
        |LEFT JOIN depths d ON d.conv_id = g.id""".stripMargin
 
+  /** i3 validation report ([[graft.sources.Ingest.validationReport]]): the
+    * corrupt JSONL fixture split into lines, each line's validity decided by
+    * a strict JSON cast (DuckDB's grammar vs Spark's Jackson agree on the
+    * fixture's failure modes: plain garbage, a truncated string, a missing
+    * value). The id comes from the parsed document for valid rows only —
+    * Spark PERMISSIVE may salvage leading fields of a corrupt record, which
+    * strict parsing can't see, so the Spark side masks them the same way.
+    */
+  def validationReportSql(fixtureDir: String): String =
+    s"""WITH lines AS (
+       |  SELECT unnest(string_split(content, chr(10))) AS line
+       |  FROM read_text('$fixtureDir/claude_export_corrupt.jsonl')
+       |),
+       |parsed AS (
+       |  SELECT try_cast(line AS JSON) AS j
+       |  FROM lines WHERE trim(line) <> ''
+       |)
+       |SELECT json_extract_string(j, '$$.uuid') AS id,
+       |       j IS NOT NULL AS valid,
+       |       CASE WHEN j IS NOT NULL
+       |            THEN CAST(coalesce(json_array_length(j, '$$.chat_messages'), 0) AS BIGINT)
+       |       END AS n_messages
+       |FROM parsed""".stripMargin
+
   def ingestNormalizeSql(fixtureDir: String): String =
     s"""WITH RECURSIVE
        |craw AS (

@@ -259,6 +259,129 @@ object Ingest {
       // result so validation reports can filter on it.
       .cache()
 
+  /** S7 (report form, oracle-checkable): per-record validation over a
+    * line-delimited export — one row per input line with the parsed id
+    * (valid rows only; PERMISSIVE mode may salvage leading fields of a
+    * truncated record, which an oracle can't reproduce, so corrupt rows
+    * report a null id), a validity flag, and the message count. The scan is
+    * a stateless per-line parse: embarrassingly parallel at any scale and
+    * streaming-compatible.
+    */
+  def validationReport(spark: SparkSession, path: String): DataFrame =
+    validateJson(spark, path, claudeSchema)
+      .select(
+        when(col("_corrupt_record").isNull, col("uuid")).as("id"),
+        col("_corrupt_record").isNull.as("valid"),
+        when(col("_corrupt_record").isNull,
+          coalesce(size(col("chat_messages")), lit(0)).cast("long")).as("n_messages"))
+
+  /** i3: validation report over the committed corrupt JSONL fixture (3 of
+    * its 10 lines are malformed: plain garbage, a truncated record, an
+    * unbalanced value).
+    */
+  def qValidationReport(spark: SparkSession, sfDir: String): DataFrame =
+    validationReport(spark, s"$FixtureDir/claude_export_corrupt.jsonl")
+
+  case class RepairResult(success: Boolean, message: String, items: Int,
+                          outputPath: Option[String])
+
+  /** S7 (active repair): best-effort fixer for a malformed one-big-array
+    * JSON export, the `json_clean.py:105-230` behavior re-expressed as a
+    * constant-memory streaming pass: require the file to start with `[` and
+    * end with `]`, then scan character-by-character tracking string /
+    * escape / brace state, buffer each complete top-level `{...}` object,
+    * and emit the objects with exactly one comma between them — repairing
+    * missing commas, doubled commas, and trailing commas. Like the
+    * reference, stray non-whitespace characters *between* objects are
+    * carried into the next object's buffer (quirk preserved: garbage is not
+    * silently eaten — it makes the output fail the final validation pass
+    * and the repair report says so). The fixed file is then re-validated
+    * with a streaming token parse (no DOM), so arbitrarily large exports
+    * repair in O(1) memory.
+    *
+    * This is a driver-side single-file utility by design (one export file,
+    * inherently sequential char-level state); the *distributed* validation
+    * path for line-delimited corpora is [[validationReport]].
+    */
+  def repairJsonArray(inPath: String, outPath0: String = null): RepairResult = {
+    val outPath = Option(outPath0).getOrElse {
+      val dot = inPath.lastIndexOf('.')
+      if (dot > 0) inPath.substring(0, dot) + "_fixed" + inPath.substring(dot)
+      else inPath + "_fixed"
+    }
+    val in = new java.io.File(inPath)
+    if (!in.isFile) return RepairResult(false, s"no such file: $inPath", 0, None)
+    def reader() = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(in),
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)))
+    // precheck: first char '[' and last non-space char ']'
+    val r0 = reader()
+    val firstChar = try r0.read() finally r0.close()
+    if (firstChar != '[')
+      return RepairResult(false, "File doesn't start with '['", 0, None)
+    var lastChar = -1
+    val r1 = reader()
+    try {
+      var c = r1.read()
+      while (c != -1) { if (!Character.isWhitespace(c)) lastChar = c; c = r1.read() }
+    } finally r1.close()
+    if (lastChar != ']')
+      return RepairResult(false, "File doesn't end with ']'", 0, None)
+    val r = reader()
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(outPath), java.nio.charset.StandardCharsets.UTF_8))
+    var items = 0
+    try {
+      out.write("[\n")
+      r.read() // skip the opening '['
+      val buffer = new StringBuilder
+      var braceLevel = 0
+      var inString = false
+      var escapeNext = false
+      var c = r.read()
+      while (c != -1) {
+        val ch = c.toChar
+        if (escapeNext) { escapeNext = false; buffer.append(ch) }
+        else if (ch == '\\') { escapeNext = true; buffer.append(ch) }
+        else if (ch == '"') { inString = !inString; buffer.append(ch) }
+        else if (!inString) {
+          ch match {
+            case '{' =>
+              braceLevel += 1; buffer.append(ch)
+            case '}' =>
+              braceLevel -= 1; buffer.append(ch)
+              if (braceLevel == 0) {
+                // complete top-level object: comma-prefix all but the first
+                if (items > 0) out.write(",\n")
+                out.write(buffer.toString)
+                items += 1
+                buffer.clear()
+              }
+            case ',' | '\n' | ' ' | '\t' | '\r' =>
+              if (braceLevel > 0) buffer.append(ch)
+            case _ => buffer.append(ch)
+          }
+        } else buffer.append(ch)
+        c = r.read()
+      }
+      out.write("\n]")
+    } finally { r.close(); out.close() }
+    // streaming re-validation of the fixed file (json.load analog)
+    try {
+      val p = new com.fasterxml.jackson.core.JsonFactory()
+        .createParser(new java.io.File(outPath))
+      try { while (p.nextToken() != null) () } finally p.close()
+      RepairResult(true,
+        s"Successfully fixed and validated JSON file. Items: $items", items, Some(outPath))
+    } catch {
+      case e: Exception =>
+        RepairResult(false, s"Fixed file is still invalid: ${e.getMessage}", items,
+          Some(outPath))
+    }
+  }
+
   /** S6: idempotent normalized write — PK-deduped, overwritten, partitioned
     * by platform so platform predicates prune at the source.
     */

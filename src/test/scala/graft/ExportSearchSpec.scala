@@ -54,6 +54,20 @@ class ExportSearchSpec extends SparkSpec {
     assert(back.count() == 5 && back.columns.toSeq == Seq("id", "dbl"))
   }
 
+  test("csv round-trip preserves embedded commas, quotes, and edge whitespace") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val vals = Seq("plain", "with, comma", "a \"quoted\" word", " leading and trailing ")
+    Export.writeCsv(vals.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"), dir)
+    val back = spark.read
+      .schema("id LONG, s STRING").option("header", "true").csv(dir)
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(back == vals, s"lossy sink: $back")
+    // and the oracle-checked d19 entry round-trips real document rows
+    val rt = Export.csvRoundtrip(spark, sf0001)
+    assert(rt.count() == Tables.documents(spark, sf0001).count())
+  }
+
   test("boolean query parser: NOT extraction, OR detection, AND default") {
     import graft.functions.BooleanQuery._
     assert(parse("a AND b NOT c") == Parsed(Seq("a", "b"), Seq("c"), isOr = false))

@@ -140,6 +140,51 @@ class IngestSpec extends SparkSpec {
     assert(df.where(df("_corrupt_record").isNotNull).count() >= 1)
   }
 
+  test("validation report: one row per line, ids only for valid rows") {
+    val report = Ingest.qValidationReport(spark, sf0001)
+      .as[(Option[String], Boolean, Option[Long])].collect()
+    assert(report.length == 10, s"10 fixture lines, got ${report.length}")
+    assert(report.count(!_._2) == 3, "3 planted corrupt lines")
+    // corrupt rows never leak a (possibly salvaged) id or message count
+    assert(report.filter(!_._2).forall(r => r._1.isEmpty && r._3.isEmpty))
+    val valid = report.filter(_._2)
+    assert(valid.flatMap(_._1).sorted.toSeq ==
+      Seq("c1", "c2", "c3", "c4", "c6", "c7"), "NoUuid row is valid with null id")
+    assert(valid.map(_._3.get).sum == 1 + 2 + 0 + 1 + 1 + 3 + 1)
+  }
+
+  test("json repair: fixes missing/doubled/trailing commas, counts items") {
+    val broken = s"${Ingest.FixtureDir}/claude_export_broken.json"
+    // the committed fixture is genuinely malformed
+    val pre = Ingest.validateJson(spark, broken, Ingest.claudeSchema)
+      .where($"_corrupt_record".isNotNull).count()
+    assert(pre >= 1, "broken fixture must not parse as-is")
+    val out = Files.createTempDirectory("graft-repair").resolve("fixed.json").toString
+    val res = Ingest.repairJsonArray(broken, out)
+    assert(res.success, res.message)
+    assert(res.items == 3, s"3 top-level objects, got ${res.items}")
+    assert(res.message.contains("Items: 3"))
+    val rows = Ingest.claudeConversations(Ingest.readClaude(spark, out))
+    assert(rows.select("id").as[String].collect().sorted.toSeq == Seq("b1", "b2", "b3"))
+    // brace-in-string content survived the char-level scan intact
+    val texts = Ingest.claudeMessages(Ingest.readClaude(spark, out))
+      .select("content").as[String].collect().toSet
+    assert(texts.contains("some code: if (x) { return y; }"))
+    assert(texts.contains("escaped \"quote\" and brace } in string"))
+  }
+
+  test("json repair: refuses non-array files; flags unfixable garbage") {
+    val notArray = writeFixture("notarray.json", "{\"uuid\": \"x\"}")
+    assert(!Ingest.repairJsonArray(notArray).success)
+    val noClose = writeFixture("noclose.json", "[{\"uuid\": \"x\"}")
+    assert(!Ingest.repairJsonArray(noClose).success)
+    // reference quirk: stray tokens between objects ride into the next
+    // object's buffer, so the fixed file fails re-validation and says so
+    val stray = writeFixture("stray.json", "[{\"a\": 1} junk {\"b\": 2}]")
+    val res = Ingest.repairJsonArray(stray)
+    assert(!res.success && res.message.startsWith("Fixed file is still invalid"))
+  }
+
   test("compaction collapses a many-file directory, preserving the data") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-compact").toString + "/t"
