@@ -89,6 +89,58 @@ class SkewSpec extends SparkSpec {
       s"capped candidate join must stay linear, saw $cappedJoinRows rows")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Division of labor with Skew.saltedJoin, demonstrated live:
+    //  - AQE skew-join (this test) is the default tool — it measures real
+    //    partition sizes after the shuffle and splits hot partitions at
+    //    runtime, no query rewrite, exact results. Rely on it whenever the
+    //    skewed exchange feeds a plain shuffle join.
+    //  - Manual salting (Skew.saltedJoin / saltedTwoStage) is for the
+    //    shapes AQE cannot rewrite: a skewed key feeding a *stateful*
+    //    streaming stage, a bucketed/pre-partitioned layout that must be
+    //    preserved, an aggregation that carries its inputs (collect_list),
+    //    or AQE-disabled clusters.
+    // The size thresholds below only shrink "skewed" to fixture scale;
+    // factor/threshold semantics are what production uses.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one key owns 90% of the fact side; 200 tail keys share the rest
+      val fact = spark.range(0, 200000).select(
+        when(col("id") < 180000, lit(0L))
+          .otherwise(pmod(col("id"), lit(200L)) + 1).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 201).select(
+        col("id").as("k"), concat(lit("t"), col("id")).as("tag"))
+      val joined = fact.join(dim, "k")
+      // AQE decides from runtime stats, so THIS queryExecution must run
+      // (count() would plan a separate execution and leave this one cold)
+      assert(joined.collect().length == 200000, "skew split must not change results")
+      def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec        => s +: flatten(s.plan)
+        case other                    => other +: other.children.flatMap(flatten)
+      }
+      val smjs = flatten(joined.queryExecution.executedPlan)
+        .collect { case s: SortMergeJoinExec => s }
+      assert(smjs.nonEmpty, "expected a sort-merge join with broadcast disabled")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE skew split did not fire:\n${joined.queryExecution.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("distinct rewrite equals countDistinct") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy("event_type").agg(countDistinct("user_id").as("d"))
