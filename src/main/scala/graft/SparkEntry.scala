@@ -154,7 +154,12 @@ object SparkEntry {
       graft.sources.Ingest.qTreeStats(s, d)),
     "i3_validation_report" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qValidationReport(s, d)),
+    "i4_ingest_large" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qIngestNormalizeLarge(s, d)),
+    "i5_tree_stats_large" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qTreeStatsLarge(s, d)),
     "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
+    "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -678,6 +683,16 @@ object SparkEntry {
       graft.oracles.IngestSql.treeStatsSql(graft.sources.Ingest.FixtureDir),
     "i3_validation_report" ->
       graft.oracles.IngestSql.validationReportSql(graft.sources.Ingest.FixtureDir),
+    "i4_ingest_large" ->
+      graft.oracles.IngestSql.ingestNormalizeSql(s"${graft.sources.Ingest.FixtureDir}/large"),
+    "i5_tree_stats_large" ->
+      graft.oracles.IngestSql.treeStatsSql(s"${graft.sources.Ingest.FixtureDir}/large"),
+    // streaming end-to-end: the dump is the memory-sink contents of a real
+    // StreamingQuery; the oracle is the batch equivalent over the same data
+    "w8_stream_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

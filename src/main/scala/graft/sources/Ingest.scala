@@ -235,6 +235,14 @@ object Ingest {
     chatgptTreeStats(spark,
       readChatgpt(spark, s"$FixtureDir/chatgpt_export.json")).toDF()
 
+  /** i5: the same tree statistics over the ~100× generated fixture
+    * (`tools/gen_large_export.py`) — 200 conversations with branching
+    * trees, the non-trivial ingest bench row.
+    */
+  def qTreeStatsLarge(spark: SparkSession, sfDir: String): DataFrame =
+    chatgptTreeStats(spark,
+      readChatgpt(spark, s"$FixtureDir/large/chatgpt_export.json")).toDF()
+
   // --- S2 platform detection + S7 validation ---
 
   /** Dialect sniff (S2, `uni_parse.py:88-123`): presence of the marker keys. */
@@ -400,10 +408,20 @@ object Ingest {
     * (S6 dedup), null message text, a branching ChatGPT tree with a
     * role-less root, empty `parts`, and null/missing `model_slug`.
     */
-  def qIngestNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+  def qIngestNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    ingestNormalizeAt(spark, FixtureDir)
+
+  /** i4: the end-to-end normalization over the ~100× generated fixtures
+    * (305 claude entries incl. planted duplicates, 200 branching chatgpt
+    * trees — `tools/gen_large_export.py`).
+    */
+  def qIngestNormalizeLarge(spark: SparkSession, sfDir: String): DataFrame =
+    ingestNormalizeAt(spark, s"$FixtureDir/large")
+
+  private def ingestNormalizeAt(spark: SparkSession, fixtureDir: String): DataFrame = {
     // FixtureDir already resolves SPARK_GRAFT_FIXTURE_DIR
-    val cRaw = readClaude(spark, s"$FixtureDir/claude_export.json")
-    val gRaw = readChatgpt(spark, s"$FixtureDir/chatgpt_export.json")
+    val cRaw = readClaude(spark, s"$fixtureDir/claude_export.json")
+    val gRaw = readChatgpt(spark, s"$fixtureDir/chatgpt_export.json")
     val conv = claudeConversations(cRaw).drop("original_id")
       .unionByName(chatgptConversations(gRaw).drop("original_id"))
     val msgCols = Seq("id", "conversation_id", "parent_id", "sender", "role",

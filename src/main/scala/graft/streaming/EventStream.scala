@@ -473,4 +473,46 @@ object EventStream {
   /** Query entry for the sessionizer (relational form; SQL-expressible). */
   def qSessions(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeBatch(spark, sfDir)
+
+  /** w8: the end-to-end Structured Streaming demo registered as a real
+    * query — readStream over the events parquet → 1 h watermark → tumbling
+    * daily window → memory sink, replayed to completion, and the *sink
+    * contents* are what the driver hashes against the batch oracle. Counts
+    * only, deliberately: a streaming replay accumulates partials in
+    * micro-batch order, so a float sum could flip a rounding boundary the
+    * batch oracle never sees; counts are order-free. Unlike w1 (the batch
+    * form of this plan), a failure here means the streaming machinery —
+    * source, watermark bookkeeping, state store, sink — changed results.
+    */
+  def streamDailyDemo(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema).parquet(dir)
+    withTs(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("date"),
+              col("event_type"), col("n"))
+  }
+
+  def qStreamDailyDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    // the streaming file source only accepts directories; the testdata
+    // table is a single parquet file, so expose it through a linked dir
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val dir =
+      if (src.isDirectory) src.getPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_w8_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val q = streamDailyDemo(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("w8_stream_daily")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("w8_stream_daily")
+  }
 }

@@ -185,6 +185,20 @@ class IngestSpec extends SparkSpec {
     assert(!res.success && res.message.startsWith("Fixed file is still invalid"))
   }
 
+  test("large generated fixtures: duplicates deduped, trees traversed") {
+    val conv = Ingest.claudeConversations(
+      Ingest.readClaude(spark, s"${Ingest.FixtureDir}/large/claude_export.json"))
+    // generator plants 305 entries, 5 of them full duplicates
+    assert(conv.count() == 300)
+    val stats = Ingest.qTreeStatsLarge(spark, sf0001)
+    assert(stats.count() == 200)
+    // every tree has one role-less root and at least one dead side-branch
+    import spark.implicits._
+    val shapes = stats.select("n_roots", "n_branching", "max_depth")
+      .as[(Long, Long, Long)].collect()
+    assert(shapes.forall { case (r, b, d) => r == 1 && b >= 1 && d >= 9 })
+  }
+
   test("compaction collapses a many-file directory, preserving the data") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-compact").toString + "/t"
