@@ -113,7 +113,14 @@ object Export {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("source", StringType), StructField("n_chars", LongType),
         StructField("text_len", LongType), StructField("head", StringType))))
-      .option("header", "true").csv(dir)
+      .option("header", "true")
+      // the writer quotes embedded newlines correctly; reading them back
+      // needs multiLine (default line-split mode would break the record).
+      // Fine here — the round-trip proof is small; a 100 TB CSV *read*
+      // should avoid multiLine (it serializes per-file) by not putting
+      // raw multiline text in CSV at all
+      .option("multiLine", "true")
+      .csv(dir)
   }
 
   /** S10: JSON-lines sink (one conversation document per line). */

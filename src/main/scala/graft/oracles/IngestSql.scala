@@ -94,6 +94,14 @@ object IngestSql {
     * value). The id comes from the parsed document for valid rows only —
     * Spark PERMISSIVE may salvage leading fields of a corrupt record, which
     * strict parsing can't see, so the Spark side masks them the same way.
+    *
+    * Validity requires a JSON *object*, not just valid JSON: Spark parses
+    * each line against a struct schema, so a bare scalar (`42`) is corrupt
+    * there while `try_cast AS JSON` alone would accept it. (A line holding
+    * a top-level *array* of objects is outside the report's contract
+    * entirely — Spark's JSON source flattens it into one row per element,
+    * which no per-line oracle can mirror; the fixture must not contain
+    * one.)
     */
   def validationReportSql(fixtureDir: String): String =
     s"""WITH lines AS (
@@ -103,13 +111,16 @@ object IngestSql {
        |parsed AS (
        |  SELECT try_cast(line AS JSON) AS j
        |  FROM lines WHERE trim(line) <> ''
+       |),
+       |checked AS (
+       |  SELECT j, (j IS NOT NULL AND json_type(j) = 'OBJECT') AS ok FROM parsed
        |)
-       |SELECT json_extract_string(j, '$$.uuid') AS id,
-       |       j IS NOT NULL AS valid,
-       |       CASE WHEN j IS NOT NULL
+       |SELECT CASE WHEN ok THEN json_extract_string(j, '$$.uuid') END AS id,
+       |       ok AS valid,
+       |       CASE WHEN ok
        |            THEN CAST(coalesce(json_array_length(j, '$$.chat_messages'), 0) AS BIGINT)
        |       END AS n_messages
-       |FROM parsed""".stripMargin
+       |FROM checked""".stripMargin
 
   def ingestNormalizeSql(fixtureDir: String): String =
     s"""WITH RECURSIVE

@@ -283,15 +283,16 @@ object Ingest {
         when(col("_corrupt_record").isNull,
           coalesce(size(col("chat_messages")), lit(0)).cast("long")).as("n_messages"))
 
-  /** i3: validation report over the committed corrupt JSONL fixture (3 of
-    * its 10 lines are malformed: plain garbage, a truncated record, an
-    * unbalanced value).
+  /** i3: validation report over the committed corrupt JSONL fixture (4 of
+    * its 11 lines are invalid: plain garbage, a truncated record, an
+    * unbalanced value, and a bare scalar — valid JSON but not an object,
+    * so struct parsing rejects it).
     */
   def qValidationReport(spark: SparkSession, sfDir: String): DataFrame =
     validationReport(spark, s"$FixtureDir/claude_export_corrupt.jsonl")
 
   case class RepairResult(success: Boolean, message: String, items: Int,
-                          outputPath: Option[String])
+                          outputPath: Option[String], droppedChars: Int = 0)
 
   /** S7 (active repair): best-effort fixer for a malformed one-big-array
     * JSON export, the `json_clean.py:105-230` behavior re-expressed as a
@@ -301,11 +302,15 @@ object Ingest {
     * and emit the objects with exactly one comma between them — repairing
     * missing commas, doubled commas, and trailing commas. Like the
     * reference, stray non-whitespace characters *between* objects are
-    * carried into the next object's buffer (quirk preserved: garbage is not
-    * silently eaten — it makes the output fail the final validation pass
-    * and the repair report says so). The fixed file is then re-validated
-    * with a streaming token parse (no DOM), so arbitrarily large exports
-    * repair in O(1) memory.
+    * carried into the next object's buffer (quirk preserved): if the stray
+    * text merely prefixes the next object it corrupts that object and the
+    * final validation pass fails; if it unbalances the brace/quote state
+    * (a lone `}`, an unterminated string) everything after it stays
+    * buffered to EOF and would be *silently dropped while the output
+    * validates clean* — so the repair additionally reports any unflushed
+    * tail as `droppedChars` and refuses success when content was lost.
+    * The fixed file is re-validated with a streaming token parse (no DOM),
+    * so arbitrarily large exports repair in O(1) memory.
     *
     * This is a driver-side single-file utility by design (one export file,
     * inherently sequential char-level state); the *distributed* validation
@@ -324,23 +329,24 @@ object Ingest {
       java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)))
-    // precheck: first char '[' and last non-space char ']'
+    // precheck in ONE pass: first char '[' and last non-space char ']'
     val r0 = reader()
-    val firstChar = try r0.read() finally r0.close()
+    val (firstChar, lastChar) = try {
+      val first = r0.read()
+      var last = if (first != -1 && !Character.isWhitespace(first)) first else -1
+      var c = if (first == -1) -1 else r0.read()
+      while (c != -1) { if (!Character.isWhitespace(c)) last = c; c = r0.read() }
+      (first, last)
+    } finally r0.close()
     if (firstChar != '[')
       return RepairResult(false, "File doesn't start with '['", 0, None)
-    var lastChar = -1
-    val r1 = reader()
-    try {
-      var c = r1.read()
-      while (c != -1) { if (!Character.isWhitespace(c)) lastChar = c; c = r1.read() }
-    } finally r1.close()
     if (lastChar != ']')
       return RepairResult(false, "File doesn't end with ']'", 0, None)
     val r = reader()
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(outPath), java.nio.charset.StandardCharsets.UTF_8))
     var items = 0
+    var droppedChars = 0
     try {
       out.write("[\n")
       r.read() // skip the opening '['
@@ -375,18 +381,30 @@ object Ingest {
         c = r.read()
       }
       out.write("\n]")
+      // an unbalanced brace/quote leaves everything after it buffered to
+      // EOF; a well-formed tail leaves only the closing ']' here. Anything
+      // else is content the repair could not place — count it so the
+      // caller learns data was lost even though the output parses clean.
+      val leftover = buffer.toString.trim
+      if (leftover.nonEmpty && leftover != "]") droppedChars = leftover.length
     } finally { r.close(); out.close() }
     // streaming re-validation of the fixed file (json.load analog)
     try {
       val p = new com.fasterxml.jackson.core.JsonFactory()
         .createParser(new java.io.File(outPath))
       try { while (p.nextToken() != null) () } finally p.close()
-      RepairResult(true,
-        s"Successfully fixed and validated JSON file. Items: $items", items, Some(outPath))
+      if (droppedChars > 0)
+        RepairResult(false,
+          s"Fixed file validates but $droppedChars chars of unparseable trailing " +
+          s"content were dropped. Items: $items", items, Some(outPath), droppedChars)
+      else
+        RepairResult(true,
+          s"Successfully fixed and validated JSON file. Items: $items", items,
+          Some(outPath))
     } catch {
       case e: Exception =>
         RepairResult(false, s"Fixed file is still invalid: ${e.getMessage}", items,
-          Some(outPath))
+          Some(outPath), droppedChars)
     }
   }
 

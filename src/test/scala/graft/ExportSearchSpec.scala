@@ -57,10 +57,12 @@ class ExportSearchSpec extends SparkSpec {
   test("csv round-trip preserves embedded commas, quotes, and edge whitespace") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
-    val vals = Seq("plain", "with, comma", "a \"quoted\" word", " leading and trailing ")
+    val vals = Seq("plain", "with, comma", "a \"quoted\" word", " leading and trailing ",
+      "embedded\nnewline")
     Export.writeCsv(vals.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"), dir)
     val back = spark.read
-      .schema("id LONG, s STRING").option("header", "true").csv(dir)
+      .schema("id LONG, s STRING").option("header", "true")
+      .option("multiLine", "true").csv(dir)
       .as[(Long, String)].collect().sortBy(_._1).map(_._2).toSeq
     assert(back == vals, s"lossy sink: $back")
     // and the oracle-checked d19 entry round-trips real document rows

@@ -143,8 +143,10 @@ class IngestSpec extends SparkSpec {
   test("validation report: one row per line, ids only for valid rows") {
     val report = Ingest.qValidationReport(spark, sf0001)
       .as[(Option[String], Boolean, Option[Long])].collect()
-    assert(report.length == 10, s"10 fixture lines, got ${report.length}")
-    assert(report.count(!_._2) == 3, "3 planted corrupt lines")
+    assert(report.length == 11, s"11 fixture lines, got ${report.length}")
+    // garbage, truncated record, unbalanced value, and a bare scalar (valid
+    // JSON but not an object — struct parsing and the oracle both reject it)
+    assert(report.count(!_._2) == 4, "4 planted corrupt lines")
     // corrupt rows never leak a (possibly salvaged) id or message count
     assert(report.filter(!_._2).forall(r => r._1.isEmpty && r._3.isEmpty))
     val valid = report.filter(_._2)
@@ -183,6 +185,21 @@ class IngestSpec extends SparkSpec {
     val stray = writeFixture("stray.json", "[{\"a\": 1} junk {\"b\": 2}]")
     val res = Ingest.repairJsonArray(stray)
     assert(!res.success && res.message.startsWith("Fixed file is still invalid"))
+  }
+
+  test("json repair: unbalanced garbage that drops content is not success") {
+    // a lone '}' unbalances the brace state: everything after stays
+    // buffered to EOF, the output validates clean, but content was lost —
+    // the report must say so instead of claiming success
+    val unbal = writeFixture("unbal.json", "[{\"a\": 1}},{\"b\": 2}]")
+    val res = Ingest.repairJsonArray(unbal)
+    assert(!res.success && res.droppedChars > 0 && res.items == 1,
+      s"got $res")
+    assert(res.message.contains("dropped"))
+    // an unterminated string swallows the tail the same way
+    val unterm = writeFixture("unterm.json", "[{\"a\": 1},{\"b\": \"oops}]")
+    val res2 = Ingest.repairJsonArray(unterm)
+    assert(!res2.success && res2.droppedChars > 0, s"got $res2")
   }
 
   test("large generated fixtures: duplicates deduped, trees traversed") {
