@@ -41,11 +41,12 @@ class DedupGuardSpec extends SparkSpec {
       .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
       .select(col("doc_id"), Dedup.md5Long60(col("shingle")).as("h60"))
       .distinct()
-    // uncapped: the boilerplate shingles alone connect every pair — C(42,2)
-    val exact = Dedup.shingleCandidates(ds, maxShingleDf = 0).count()
+    // uncapped full index (t = 0 degenerates the prefix to the whole set):
+    // the boilerplate shingles alone connect every pair — C(42,2)
+    val exact = Dedup.prefixCandidates(ds, threshold = 0.0).count()
     assert(exact == 42L * 41 / 2, s"boilerplate should connect all pairs, got $exact")
     // capped at df 10: only pairs sharing a rare (df ≤ 10) shingle survive
-    val capped = Dedup.shingleCandidates(ds, maxShingleDf = 10)
+    val capped = Dedup.prefixCandidates(ds, threshold = 0.0, maxShingleDf = 10)
       .as[(Long, Long)].collect().toSet
     assert(capped.contains((40L, 41L)), "planted rare-shingle pair must stay a candidate")
     assert(capped.size < 5, s"capped candidates should be near-empty, got ${capped.size}")
@@ -70,6 +71,31 @@ class DedupGuardSpec extends SparkSpec {
 
   implicit private class Pairs3[T](rows: Array[(Long, Long, T)]) {
     def toMap2: Map[(Long, Long), T] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs join at every threshold") {
+    // exactness of the PPJoin-style candidate pruning: same pairs, same
+    // values as the single-join form the DuckDB oracle runs
+    val corpora = Seq(
+      Tables.documents(spark, sf0001),
+      hotShingleDocs,
+      sampleDocs)
+    for (docs <- corpora; t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.jaccardPairsNaive(docs, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val prefix = Dedup.jaccardPairs(docs, t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(prefix == naive, s"divergence at t=$t: " +
+        s"missing=${naive.diff(prefix).take(3)} extra=${prefix.diff(naive).take(3)}")
+    }
+    // and the prefix index is genuinely smaller than the full index at t>0
+    val ds = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), Dedup.md5Long60(col("sh")).as("h60")).distinct()
+    val full = Dedup.prefixCandidates(ds, 0.0).count()
+    val pruned = Dedup.prefixCandidates(ds, 0.8).count()
+    assert(pruned < full, s"prefix at t=0.8 must prune candidates: $pruned vs $full")
   }
 
   /** A 30-copy identical-document family (every LSH band / SimHash chunk
