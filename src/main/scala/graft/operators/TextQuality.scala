@@ -273,17 +273,24 @@ object TextQuality {
     * side is Zipf-small next to the corpus.
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-    val model = toks.groupBy("word").agg(count("*").as("cnt"))
-    val totals = model.agg(sum("cnt").as("n_total"), count("*").as("n_vocab"))
-    toks.join(model, "word")
+    // Built from the suite-shared cached termCounts frame instead of a
+    // private per-occurrence explode: the model join then carries one row
+    // per distinct (doc, token) weighted by its count — at corpus scale
+    // the shuffle shrinks from total tokens to distinct pairs, and the
+    // tokenize pass is the same cached subtree n1–n5/x-family already use.
+    // Σ_occurrences ln p ≡ Σ_tokens cnt·ln p (the oracle uses the same
+    // weighted form so both engines sum the identical term multiset).
+    val counts = graft.operators.Relevance.termCounts(docs).cache()
+    val model = counts.groupBy("token").agg(sum("cnt").as("gcnt"))
+    val totals = model.agg(sum("gcnt").as("n_total"), count("*").as("n_vocab"))
+    counts.join(model, "token")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
-      .agg(count("*").as("n_tokens"),
+      .agg(sum("cnt").as("n_tokens"),
         round(
-          sum(log((col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))) /
-            count("*"),
+          sum(col("cnt") *
+            log((col("gcnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))) /
+            sum("cnt"),
           6).as("mean_logprob"))
   }
 

@@ -632,11 +632,13 @@ object TrainSql {
        |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
        |                w -> w NOT IN ($stop))) AS word
        |  FROM documents),
-       |model AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
-       |tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM model)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |       round(sum(ln((cnt + 1) / (n_total + n_vocab))) / count(*), 6) AS mean_logprob
-       |FROM toks JOIN model USING (word), tot
+       |dtc AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |model AS (SELECT word, sum(cnt) AS gcnt FROM dtc GROUP BY 1),
+       |tot AS (SELECT sum(gcnt) AS n_total, count(*) AS n_vocab FROM model)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |       round(sum(cnt * ln((gcnt + 1) / (n_total + n_vocab))) / sum(cnt), 6)
+       |         AS mean_logprob
+       |FROM dtc JOIN model USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
   /** CCNet quality-bucket oracle ([[TextQuality.ccnetBuckets]]): the x25
@@ -649,13 +651,14 @@ object TrainSql {
        |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
        |                w -> w NOT IN ($stop))) AS word
        |  FROM documents),
-       |model AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
-       |tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM model),
+       |dtc AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |model AS (SELECT word, sum(cnt) AS gcnt FROM dtc GROUP BY 1),
+       |tot AS (SELECT sum(gcnt) AS n_total, count(*) AS n_vocab FROM model),
        |sc AS (
        |  SELECT doc_id,
-       |         round(sum(ln((cnt + 1) / (n_total + n_vocab))) / count(*), 6)
+       |         round(sum(cnt * ln((gcnt + 1) / (n_total + n_vocab))) / sum(cnt), 6)
        |           AS mean_logprob
-       |  FROM toks JOIN model USING (word), tot
+       |  FROM dtc JOIN model USING (word), tot
        |  GROUP BY doc_id),
        |b AS (
        |  SELECT d.doc_id, d.source, sc.mean_logprob,
