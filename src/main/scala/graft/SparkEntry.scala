@@ -118,6 +118,7 @@ object SparkEntry {
     "x17_redact_pii"   -> (TextQuality.qRedactPii _),
     "x18_chunks"       -> (TextQuality.qChunks _),
     "x19_decontaminate" -> (CorpusPrep.qDecontaminate _),
+    "x34_decontaminate_bloom" -> (CorpusPrep.qDecontaminateBloom _),
     "x20_split"        -> (CorpusPrep.qAssignSplit _),
     "x21_packing"      -> (CorpusPrep.qPackOffsets _),
     "x22_c4_filter"    -> (TextQuality.qC4Filter _),
@@ -611,6 +612,9 @@ object SparkEntry {
     "x17_redact_pii"   -> graft.oracles.TrainSql.redactPiiSql,
     "x18_chunks"       -> graft.oracles.TrainSql.chunksSql(),
     "x19_decontaminate" -> graft.oracles.TrainSql.decontaminateSql(),
+    // bloom prefilter + exact verify is result-identical to the exact
+    // join, so x34 shares x19's oracle semantics
+    "x34_decontaminate_bloom" -> graft.oracles.TrainSql.decontaminateSql(),
     "x20_split"        -> graft.oracles.TrainSql.assignSplitSql,
     "x21_packing"      -> graft.oracles.TrainSql.packOffsetsSql(),
     "x22_c4_filter"    -> graft.oracles.TrainSql.c4FilterSql,

@@ -65,6 +65,47 @@ object CorpusPrep {
         round(col("n_hits") / col("n_ngrams"), 6).as("contamination"))
   }
 
+  /** Decontamination for eval sets too large to broadcast exactly: a
+    * compact bloom sketch of the eval n-gram hashes is built distributed
+    * (`BloomFilterAggregate` — the planner's own runtime-filter machinery,
+    * declared explicitly here because no join for the optimizer to infer
+    * it from exists until phase two), broadcast as one binary row, and
+    * probe-filters the corpus grams in the scan stage. Bloom filters admit
+    * NO false negatives, so the surviving sliver — expected-case ~fpp of
+    * the corpus — exact-verifies against the full eval set with an
+    * ordinary shuffle equi-join, making the result row-identical to
+    * [[decontaminate]] while nothing eval-sized is ever broadcast and the
+    * verify shuffle carries only bloom-positive grams.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+                         expectedItems: Long = 4L * 1024 * 1024,
+                         numBits: Long = 32L * 1024 * 1024): DataFrame = {
+    val corpusGrams = distinctNgramHashes(corpus, n)
+    val evalGrams = distinctNgramHashes(evalSet, n)
+    decontaminateGramsBloom(corpusGrams, evalGrams, expectedItems, numBits)
+  }
+
+  private[graft] def decontaminateGramsBloom(corpusGrams: DataFrame,
+                                             evalGrams: DataFrame,
+                                             expectedItems: Long,
+                                             numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graftext.BloomFns
+    val evalHashes = evalGrams.select("h").distinct()
+    val sketch = evalHashes.agg(
+      BloomFns.bloomAgg(col("h"), expectedItems, numBits).as("bf"))
+    val sizes = corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams"))
+    val candidates = corpusGrams
+      // might_contain requires a constant/scalar-subquery sketch — the
+      // same plan shape the optimizer's own runtime filters use
+      .where(BloomFns.mightContain(BloomFns.scalar(sketch), col("h")))
+      .select("doc_id", "h")
+    candidates.join(evalHashes, "h") // exact verify: shuffle only the sliver
+      .groupBy("doc_id").agg(count("*").as("n_hits"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
+        round(col("n_hits") / col("n_ngrams"), 6).as("contamination"))
+  }
+
   /** Deterministic split assignment: salted md5-60 bucket in [0, 10000),
     * train < 9000 ≤ validation < 9500 ≤ test. Per-row arithmetic only.
     */
@@ -177,6 +218,17 @@ object CorpusPrep {
     val grams = distinctNgramHashes(Tables.documents(spark, sfDir), 5).cache()
     decontaminateGrams(grams.where(col("doc_id") % 20 =!= 0),
       grams.where(col("doc_id") % 20 === 0))
+  }
+
+  /** x34: same corpus/eval split as [[qDecontaminate]], through the bloom
+    * prefilter + exact-verify path — result-identical by construction, so
+    * the two queries share oracle semantics.
+    */
+  def qDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = distinctNgramHashes(Tables.documents(spark, sfDir), 5).cache()
+    decontaminateGramsBloom(grams.where(col("doc_id") % 20 =!= 0),
+      grams.where(col("doc_id") % 20 === 0),
+      expectedItems = 1L * 1024 * 1024, numBits = 8L * 1024 * 1024)
   }
 
   def qAssignSplit(spark: SparkSession, sfDir: String): DataFrame =

@@ -23,6 +23,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(math.abs(frac - 1.0 / 6) < 1e-6)
   }
 
+  test("bloom-prefiltered decontamination equals the exact broadcast join") {
+    // bloom admits no false negatives, so prefilter + exact verify must be
+    // row-identical to the exact path — on the planted corpus and testdata
+    val evalSet = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha bravo charlie delta echo then more trailing words"),
+      (2L, "completely unrelated content about gardens and weather patterns today"),
+      (3L, "alpha bravo charlie")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(canon(CorpusPrep.decontaminateBloom(corpus, evalSet, n = 5)) ==
+           canon(CorpusPrep.decontaminate(corpus, evalSet, n = 5)))
+    val docs = Tables.documents(spark, sf0001)
+    val c = docs.where(col("doc_id") % 20 =!= 0)
+    val e = docs.where(col("doc_id") % 20 === 0)
+    val exact = canon(CorpusPrep.decontaminate(c, e))
+    val bloom = canon(CorpusPrep.decontaminateBloom(c, e))
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("split assignment is deterministic, bucketed, and consistently named") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = CorpusPrep.assignSplit(docs).as[(Long, Long, String)].collect().sortBy(_._1)
