@@ -52,6 +52,8 @@ object SparkEntry {
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     "e7b_asof_native"        -> (EventOps.asofNative _),
+    "e7c_asof_forward"       -> (EventOps.asofForward _),
+    "e7d_asof_nearest"       -> (EventOps.asofNearest _),
     "e8_value_percentiles"   -> (EventOps.valuePercentiles _),
     "e8b_approx_percentiles" -> (EventOps.approxPercentiles _),
     "e9_props_stats"         -> (EventOps.propsStats _),
@@ -413,6 +415,51 @@ object SparkEntry {
         |       CAST(floor(epoch(ts)) AS BIGINT)
         |         - CAST(floor(epoch(vts)) AS BIGINT) AS view_to_purchase_s
         |FROM m""".stripMargin,
+
+    // forward as-of with a 1-hour tolerance; the oracle's min(ts >= p.ts)
+    // over the bounded window is tie-proof because only the TIME is output
+    "e7c_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.ts, min(v.ts) AS vts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+        |    AND v.ts <= p.ts + INTERVAL 1 HOUR
+        |  GROUP BY p.user_id, p.event_id, p.ts)
+        |SELECT user_id, event_id AS purchase_event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+        |       CAST(floor(epoch(vts)) AS BIGINT)
+        |         - CAST(floor(epoch(ts)) AS BIGINT) AS purchase_to_view_s
+        |FROM m""".stripMargin,
+
+    // nearest as-of: closer of the backward/forward candidates, micros
+    // distance, exact tie -> the earlier (backward) view
+    "e7d_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |         max(CASE WHEN v.ts <= p.ts THEN v.ts END) AS bts,
+        |         min(CASE WHEN v.ts >= p.ts THEN v.ts END) AS fts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  GROUP BY p.user_id, p.event_id, p.ts),
+        |c AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN bts IS NULL THEN fts
+        |              WHEN fts IS NULL THEN bts
+        |              WHEN epoch_us(ts) - epoch_us(bts)
+        |                     <= epoch_us(fts) - epoch_us(ts) THEN bts
+        |              ELSE fts END AS vts
+        |  FROM m)
+        |SELECT user_id, event_id AS purchase_event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(vts, '%Y-%m-%d %H:%M:%S') AS nearest_view_ts,
+        |       abs(CAST(floor(epoch(vts)) AS BIGINT)
+        |         - CAST(floor(epoch(ts)) AS BIGINT)) AS distance_s
+        |FROM c""".stripMargin,
 
     "d1_word_frequency" ->
       s"""WITH toks AS (${toksSql("documents")})

@@ -185,6 +185,54 @@ object EventOps {
           .as("view_to_purchase_s"))
   }
 
+  /** Forward as-of with a tolerance window: the first view at-or-after
+    * each purchase, but only within one hour — "did the buyer come back to
+    * look?". Exercises [[org.apache.spark.sql.graftext.AsofDirection.Forward]]
+    * and the tolerance bound (micros) on the native merge operator; same
+    * single-shuffle-per-side plan as the backward form. The output carries
+    * only the matched TIME (not payload), so equal-time view duplicates
+    * cannot make the result nondeterministic.
+    */
+  def asofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("view_ts"))
+    org.apache.spark.sql.graftext.AsofJoin
+      .asof(purchases, views, "user_id", "ts", "v_uid", "view_ts",
+        direction = "forward", tolerance = 3600L * 1000000L)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("next_view_ts"),
+        (unix_timestamp(col("view_ts")) - unix_timestamp(col("ts")))
+          .as("purchase_to_view_s"))
+  }
+
+  /** Nearest as-of: the view closest in time to each purchase, on either
+    * side, exact-distance ties resolving to the earlier (backward) view.
+    * Distances compare in epoch micros.
+    */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("view_ts"))
+    org.apache.spark.sql.graftext.AsofJoin
+      .asof(purchases, views, "user_id", "ts", "v_uid", "view_ts",
+        direction = "nearest")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("nearest_view_ts"),
+        abs(unix_timestamp(col("view_ts")) - unix_timestamp(col("ts")))
+          .as("distance_s"))
+  }
+
   /** A2 skew-safe exact form: `event_type` has only a handful of hot
     * values, so a direct COUNT(DISTINCT user_id) shuffles every row to ≤5
     * reducers; deduping on the high-cardinality (type, user) composite

@@ -30,10 +30,32 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampTyp
   * [[graft.operators.EventOps.asofViewBeforePurchase]] for the windowed
   * composition kept as the oracle baseline).
   */
+/** Match direction: which side of the left time qualifying right rows sit
+  * on. `Backward` (the default, and the only form most engines ship) takes
+  * the greatest right time ≤ left time; `Forward` the least right time ≥
+  * left time; `Nearest` whichever of the two is closer, ties resolved
+  * backward (the earlier row) so results stay deterministic.
+  */
+sealed trait AsofDirection extends Serializable
+object AsofDirection {
+  case object Backward extends AsofDirection
+  case object Forward extends AsofDirection
+  case object Nearest extends AsofDirection
+  def parse(s: String): AsofDirection = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsofDirection = AsofDirection.Backward,
+    tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -63,8 +85,8 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +102,9 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsofDirection = AsofDirection.Backward,
+    tolerance: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,10 +157,15 @@ case class AsofJoinExec(
         } else rHead = null
       advanceRight()
 
-      // latest qualifying right row for the key currently being merged
+      // latest consumed same-key right row — the backward candidate; the
+      // un-consumed lookahead `rHead` (first same-key row with time >
+      // lTime) doubles as the forward candidate
       var matchRow: InternalRow = null
       var matchKey = 0L
+      var matchTime = 0L
       var hasMatch = false
+      val dir = direction
+      val tol = tolerance
 
       lIter.map { lRow =>
         val k = lkProj(lRow)
@@ -145,18 +174,38 @@ case class AsofJoinExec(
           val lKey = k.getLong(0); val lTime = k.getLong(1)
           // consume right rows that can never match a later left row:
           // null keys / null times sort first, smaller keys are passed,
-          // and same-key rows with time ≤ lTime become the newest match
-          // (left is also time-sorted, so the pointer never backs up)
+          // and same-key rows with time ≤ lTime become the newest backward
+          // candidate (left is also time-sorted, so the pointer never backs
+          // up; forward rows stay un-consumed — a later left row may need
+          // the same one)
           var advance = true
           while (advance && rHead != null) {
             if (rKeyNull || rKey < lKey || (rKey == lKey && rTimeNull)) advanceRight()
             else if (rKey == lKey && !lTimeNull && rTime <= lTime) {
-              matchRow = rHead.copy(); matchKey = rKey; hasMatch = true
+              matchRow = rHead.copy(); matchKey = rKey; matchTime = rTime
+              hasMatch = true
               advanceRight()
             } else advance = false
           }
-          if (hasMatch && matchKey == lKey) joined(lRow, matchRow)
-          else joined(lRow, nullRight)
+          // distances are non-negative by construction; tolerance < 0 = none
+          val bOk = hasMatch && matchKey == lKey && !lTimeNull &&
+            (tol < 0L || lTime - matchTime <= tol)
+          val fOk = rHead != null && !rKeyNull && rKey == lKey && !lTimeNull &&
+            (tol < 0L || rTime - lTime <= tol)
+          val chosen: InternalRow = dir match {
+            case AsofDirection.Backward => if (bOk) matchRow else null
+            case AsofDirection.Forward  =>
+              // a consumed equal-time row is a distance-0 forward match
+              if (bOk && matchTime == lTime) matchRow
+              else if (fOk) rHead else null
+            case AsofDirection.Nearest  =>
+              if (bOk && fOk) {
+                if (lTime - matchTime <= rTime - lTime) matchRow else rHead
+              } else if (bOk) matchRow
+              else if (fOk) rHead
+              else null
+          }
+          if (chosen != null) joined(lRow, chosen) else joined(lRow, nullRight)
         } else joined(lRow, nullRight)
         numOutputRows += 1
         result(joined)
@@ -186,10 +235,23 @@ object AsofJoin {
     * widen to long so the merge compares primitives. The right side is
     * re-aliased so self-joins (both sides off one scan) keep distinct
     * attribute ids.
+    *
+    * `direction` selects which side of the left time qualifies:
+    * `backward` (greatest right time ≤ left time — the default), `forward`
+    * (least right time ≥ left time), or `nearest` (the closer of the two;
+    * an exact distance tie resolves backward). `tolerance` (< 0 = none)
+    * bounds the absolute time distance of a match, expressed in the
+    * *widened* unit of the time columns — epoch micros for timestamps/
+    * longs, days for dates. Among several right rows at the identical
+    * qualifying time the matched row's non-time payload is whichever the
+    * sort delivered — callers needing a deterministic payload should
+    * pre-aggregate equal-time right rows.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
-           rightKey: String, rightTime: String): DataFrame = {
+           rightKey: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Long = -1L): DataFrame = {
     val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -223,6 +285,7 @@ object AsofJoin {
     }
     val (lKey, rKey) = widenPair(attr(lPlan.output, leftKey), attr(rPlan.output, rightKey))
     val (lTime, rTime) = widenPair(attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
-    classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
+    classic.Dataset.ofRows(spark, AsofJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime,
+      AsofDirection.parse(direction), tolerance))
   }
 }

@@ -90,6 +90,94 @@ class AsofJoinSpec extends SparkSpec {
     assert(nativeFull == brute)
   }
 
+  test("forward picks the least right time >= left time; rows are shared") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"), // both a and b match the same quote
+      (1L, ts("2024-01-01 10:00:03"), "b"),
+      (1L, ts("2024-01-01 10:00:05"), "c"), // inclusive tie at 10:00:05
+      (1L, ts("2024-01-01 10:00:06"), "d")  // nothing after: no match
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1.0), // before everything: never forward
+      (1L, ts("2024-01-01 10:00:05"), 2.0)
+    ).toDF("rk", "rt", "v")
+    val got = AsofJoin.asof(l, r, "k", "t", "rk", "rt", direction = "forward")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(2.0), "b" -> Some(2.0), "c" -> Some(2.0), "d" -> None))
+  }
+
+  test("tolerance bounds the match distance in widened units (micros)") {
+    val l = Seq((1L, ts("2024-01-01 10:00:10"), "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("rk", "rt", "v")
+    def run(dir: String, tolMicros: Long) =
+      AsofJoin.asof(l, r, "k", "t", "rk", "rt", dir, tolMicros)
+        .select("v").as[Option[Double]].collect().head
+    assert(run("backward", 10L * 1000000L) == Some(1.0)) // exactly 10 s away
+    assert(run("backward", 9L * 1000000L) == None)
+    assert(run("nearest", 9L * 1000000L) == None)
+  }
+
+  test("nearest picks the closer side; an exact distance tie goes backward") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:10"), "closer_fwd"),  // 4 s back vs 2 s fwd
+      (1L, ts("2024-01-01 10:00:18"), "closer_back"), // 6 s back vs 42 s fwd
+      (1L, ts("2024-01-01 10:01:00"), "tie")          // 48 s to both
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:06"), 1.0),
+      (1L, ts("2024-01-01 10:00:12"), 2.0),
+      (1L, ts("2024-01-01 10:01:48"), 3.0)
+    ).toDF("rk", "rt", "v")
+    val got = AsofJoin.asof(l, r, "k", "t", "rk", "rt", direction = "nearest")
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "closer_fwd" -> Some(2.0), "closer_back" -> Some(2.0), "tie" -> Some(2.0)))
+  }
+
+  test("unknown direction is rejected loudly") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, l, "k", "t", "k", "t", direction = "sideways")
+    }
+    assert(e.getMessage.contains("backward|forward|nearest"))
+  }
+
+  test("forward and nearest equal brute-force recomputes on testdata") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val joined = p.join(v, col("vu") === col("user_id"), "left")
+      .groupBy("user_id", "event_id", "ts")
+      .agg(
+        max(when(col("vts") <= col("ts"), col("vts"))).as("bts"),
+        min(when(col("vts") >= col("ts"), col("vts"))).as("fts"))
+    val bruteFwd = joined
+      .select(col("event_id"),
+        when(unix_micros(col("fts")) - unix_micros(col("ts")) <= 3600L * 1000000L,
+          col("fts")).cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    val gotFwd = AsofJoin.asof(p, v, "user_id", "ts", "vu", "vts",
+        direction = "forward", tolerance = 3600L * 1000000L)
+      .select(col("event_id"), col("vts").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(gotFwd == bruteFwd)
+    val bruteNear = joined
+      .select(col("event_id"),
+        when(col("bts").isNull, col("fts"))
+          .when(col("fts").isNull, col("bts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("bts"))
+            <= unix_micros(col("fts")) - unix_micros(col("ts")), col("bts"))
+          .otherwise(col("fts")).cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    val gotNear = AsofJoin.asof(p, v, "user_id", "ts", "vu", "vts",
+        direction = "nearest")
+      .select(col("event_id"), col("vts").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(gotNear == bruteNear)
+  }
+
   test("plan: merge exec present, no window, no nested-loop join") {
     val df = EventOps.asofNative(spark, sf0001)
     df.collect()
