@@ -128,6 +128,7 @@ object SparkEntry {
     "x13_domain_stats" -> (TextQuality.qDomainStats _),
     "x23_gopher_rules" -> (TextQuality.qGopherRules _),
     "x24_mix_sources"  -> (CorpusPrep.qMixSources _),
+    "x35_mix_temperature" -> (CorpusPrep.qMixTemperature _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
@@ -682,6 +683,7 @@ object SparkEntry {
         |ORDER BY n_mentions DESC, domain LIMIT 50""".stripMargin,
     "x23_gopher_rules" -> graft.oracles.TrainSql.gopherRulesSql,
     "x24_mix_sources"  -> graft.oracles.TrainSql.mixSourcesSql,
+    "x35_mix_temperature" -> graft.oracles.TrainSql.mixTemperatureSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,
     "x31_ccnet_buckets" -> graft.oracles.TrainSql.ccnetBucketsSql,
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),

@@ -275,4 +275,41 @@ object CorpusPrep {
     val rates = (0 until 20).map(i => s"src$i" -> cycle(i % 4)).toMap
     mixSources(Tables.documents(spark, sfDir), rates)
   }
+
+  /** Temperature-scaled source mixing weights: the α-sampling recipe of
+    * multilingual/pretraining mixes (sample source i with probability
+    * ∝ n_i^α; α < 1 flattens the natural distribution toward uniform,
+    * upweighting small sources). α is fixed at 0.5 so the power is
+    * `sqrt` — exactly rounded IEEE-754 in every engine, which keeps the
+    * oracle hash stable where a general `pow` could wobble in the last
+    * ulp. `sample_factor` (α-share / natural share) is the per-source
+    * rate to feed [[mixSources]]; the whole result is one row per source.
+    *
+    * Scale shape: a per-row token count, one partial-aggregated groupBy
+    * on source, and a broadcast single-row totals join — nothing leaves
+    * the executors but (source, counts) rows.
+    */
+  def temperatureMixRates(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"), TextFns.wordCount(col("text")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("w", round(sqrt(col("n_tokens").cast("double")), 6))
+    val totals = perSource.agg(
+      sum("n_tokens").as("tot_tokens"),
+      // exact decimal sum of the already-6dp-rounded weights: summation
+      // order can't wobble the total (moneySum precedent)
+      sum(col("w").cast("decimal(24,6)")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+          .as("natural_share"),
+        round(col("w") / col("tot_w").cast("double"), 6).as("alpha_share"))
+      .withColumn("sample_factor",
+        round(col("alpha_share") / col("natural_share"), 6))
+  }
+
+  def qMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureMixRates(Tables.documents(spark, sfDir))
 }

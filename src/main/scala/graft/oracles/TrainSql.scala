@@ -536,6 +536,30 @@ object TrainSql {
        |FROM r""".stripMargin
   }
 
+  /** Temperature mixing weights
+    * ([[graft.operators.CorpusPrep.temperatureMixRates]]): α = 0.5 so the
+    * power is IEEE-exact sqrt; the weight total sums 6dp-rounded decimals
+    * exactly, and sample_factor recomputes from the two ROUNDED share
+    * columns, mirroring the Spark expression tree step for step.
+    */
+  val mixTemperatureSql: String =
+    """WITH t AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, round(sqrt(n_tokens), 6) AS w FROM t),
+      |tot AS (SELECT sum(n_tokens) AS tot_tokens,
+      |               sum(CAST(w AS DECIMAL(24,6))) AS tot_w FROM w),
+      |sel AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         round(n_tokens * 1.0 / tot_tokens, 6) AS natural_share,
+      |         round(w / CAST(tot_w AS DOUBLE), 6) AS alpha_share
+      |  FROM w, tot)
+      |SELECT source, n_docs, n_tokens, natural_share, alpha_share,
+      |       round(alpha_share / natural_share, 6) AS sample_factor
+      |FROM sel""".stripMargin
+
   /** Concat-then-chunk packing ([[graft.operators.CorpusPrep.packOffsets]]):
     * windowed cumulative token count per source shard, integer division
     * into fixed context windows.

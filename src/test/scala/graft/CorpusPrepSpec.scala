@@ -147,6 +147,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("temperature mixing flattens toward uniform and preserves the budget") {
+    // token masses 10000 / 100: sqrt-flattening must upweight the small
+    // source and downweight the large one, and the α-shares must sum to 1
+    val docs =
+      ((1L to 100L).map(i => (i, "big", ("w " * 100).trim)) ++
+       (101L to 110L).map(i => (i, "small", ("w " * 10).trim))).toDF("doc_id", "source", "text")
+    val got = CorpusPrep.temperatureMixRates(docs)
+      .select("source", "n_tokens", "natural_share", "alpha_share", "sample_factor")
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val big = got("big"); val small = got("small")
+    assert(big._2 == 10000L && small._2 == 100L)
+    assert(math.abs(big._3 + small._3 - 1.0) < 1e-5)
+    assert(math.abs(big._4 + small._4 - 1.0) < 1e-5)
+    assert(small._4 > small._3, "alpha < 1 upweights the small source")
+    assert(big._4 < big._3, "alpha < 1 downweights the large source")
+    assert(small._5 > 1.0 && big._5 < 1.0)
+    // exact sqrt mass: w_big=100, w_small=10 -> alpha shares 10/11, 1/11
+    assert(math.abs(big._4 - 100.0 / 110.0) < 1e-5)
+    assert(math.abs(small._4 - 10.0 / 110.0) < 1e-5)
+  }
+
   test("packing lays documents head-to-tail within each source shard") {
     // token counts: a1=4, a2=8, a3=5 (source a); b1=12 (source b); ctx=10
     val docs = Seq(
