@@ -236,7 +236,8 @@ class PlanSpec extends SparkSpec {
       "n2_idf", "n3_tfidf_top", "n4_relevance", "n5_rank", "n13_bm25",
       "n8_priority", "n9_priority_distribution",
       "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
-      "x25_unigram_lm", "x31_ccnet_buckets"
+      "x25_unigram_lm", "x31_ccnet_buckets",
+      "x35_mix_temperature" // 1-row (tot_tokens, tot_w) aggregate onto 20 sources
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
