@@ -105,6 +105,7 @@ object SparkEntry {
     "x3_minhash_lsh"   -> (Dedup.qMinhashLsh _),
     "x4_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "x33_dup_spans"    -> (Dedup.qDupSpans _),
+    "x36_containment"  -> (Dedup.qContainmentPairs _),
     "x5_ann_topk"      -> (VectorSearch.qAnnTopK _),
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
@@ -133,6 +134,8 @@ object SparkEntry {
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
+    "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
+    "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
     "p3_prep_pipeline" -> (CorpusPrep.qPrepPipeline _),
@@ -639,6 +642,7 @@ object SparkEntry {
     "x3_minhash_lsh"   -> graft.oracles.TrainSql.minhashLshSql(),
     "x4_simhash_pairs" -> graft.oracles.TrainSql.simhashPairsSql(),
     "x33_dup_spans"    -> graft.oracles.TrainSql.dupSpansSql(),
+    "x36_containment"  -> graft.oracles.TrainSql.containmentPairsSql(),
     "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
     // x14: recursive SQL can't aggregate in the recursive term, so the
     // fixed-iteration Lloyd chain is unrolled as chained CTEs; centroid
@@ -688,6 +692,10 @@ object SparkEntry {
     "x31_ccnet_buckets" -> graft.oracles.TrainSql.ccnetBucketsSql,
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
+    // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
+    // re-expressed as a cell equi-join (queries exploded into nprobe cells)
+    "x37_ivf_knn_join" -> graft.oracles.TrainSql.ivfKnnJoinSql(),
+    "x38_ann_recall"   -> graft.oracles.TrainSql.ivfRecallSql(),
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),
     "p3_prep_pipeline" -> graft.oracles.TrainSql.prepPipelineSql,

@@ -310,6 +310,71 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Batched IVF kNN join — the scalable form of [[knnJoin]]. Instead of
+    * crossing every query with the whole corpus, the k-means coarse
+    * quantizer turns the ANN join into an *equi-join on the cell id*: each
+    * query explodes into its `nprobe` nearest cells, the corpus carries its
+    * assigned cell, and candidates only meet where cells match. At 100 TB
+    * the cell id is the shuffle key (or partition key, pruning scans
+    * entirely) and per-query work is ~nprobe/nCells of the corpus — this is
+    * the join shape IVF indexes exist for. With `nprobe = nCells` it
+    * degrades to the exact [[knnJoin]] answer.
+    *
+    * The quantizer trains on `trainSet` (defaults to the corpus; pass the
+    * full table when queries are held out of the corpus so both sides share
+    * one cell geometry). Probe selection is pure column algebra — an
+    * (squared-distance, cell) struct array sorted ascending, ties to the
+    * lower cell, exactly [[cellOf]]'s argmin convention — so the whole
+    * query side streams with no driver round-trip per query.
+    */
+  def ivfKnnJoin(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                 nCells: Int = 16, nprobe: Int = 3, iters: Int = 5,
+                 trainSet: DataFrame = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = kmeansCentroids(Option(trainSet).getOrElse(embeddings),
+      nCells, iters)
+    val withCell = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", cellOf(col("v"), centroids))
+    val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("dist"),
+        lit(i).as("cell"))
+    }: _*)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(distStructs), 1, nprobe),
+          s => s.getField("cell"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    withCell.join(broadcast(probed), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosineSim(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of [[ivfKnnJoin]] against the exact [[knnJoin]], per query —
+    * the diagnostic every ANN deployment needs before trading nprobe for
+    * throughput. Both sides run the same (corpus, queries) split; a left
+    * join from the exact top-k keeps queries the approximate side missed
+    * entirely (n_hits = 0 instead of a dropped row).
+    */
+  def ivfRecall(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                nCells: Int = 16, nprobe: Int = 3, iters: Int = 5,
+                trainSet: DataFrame = null): DataFrame = {
+    val exact = knnJoin(embeddings, queries, k).select("query_id", "vec_id")
+    val approx = ivfKnnJoin(embeddings, queries, k, nCells, nprobe, iters, trainSet)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the k-means
     * coarse quantizer, then deduplicate *within* clusters only — the
@@ -420,6 +485,21 @@ object VectorSearch {
 
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     annLshTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  /** Same query/corpus split as [[qKnnJoin]]; the quantizer trains on the
+    * full table so the DuckDB oracle can reuse the x14 Lloyd chain.
+    */
+  def qIvfKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    ivfKnnJoin(e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
+      trainSet = e)
+  }
+
+  def qIvfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    ivfRecall(e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
+      trainSet = e)
+  }
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annIvfTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)

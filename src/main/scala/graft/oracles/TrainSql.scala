@@ -63,6 +63,23 @@ object TrainSql {
        |ds AS (SELECT DISTINCT doc_id,
        |              ${md5Long60Sql("shingle")} AS h60 FROM sh)""".stripMargin
 
+  /** Asymmetric containment oracle ([[Dedup.containmentPairs]]): naive
+    * co-shingle join, |∩| over each side's set size, pair kept when the
+    * min-side (max-direction) 6-dp-rounded containment reaches threshold.
+    */
+  def containmentPairsSql(threshold: Double = 0.6): String =
+    s"""WITH $shingleCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |          FROM ds a JOIN ds b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, x.n AS s1, y.n AS s2,
+       |       round(c * 1.0 / x.n, 6) AS c1,
+       |       round(c * 1.0 / y.n, 6) AS c2,
+       |       round(c * 1.0 / least(x.n, y.n), 6) AS containment
+       |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE round(c * 1.0 / least(x.n, y.n), 6) >= $threshold""".stripMargin
+
   /** MinHash-LSH candidate pairs, mirroring [[Dedup.minhashLshPairs]]:
     * md5-60 shingle hash mod the Mersenne prime, the same 32 (a,b)
     * permutation literals, 8 bands of 4 hashed through md5-60 of the
@@ -269,6 +286,63 @@ object TrainSql {
        |WHERE f.cell IN (SELECT cell FROM pr) AND f.vec_id <> $queryVecId
        |ORDER BY sim DESC, f.vec_id LIMIT $k""".stripMargin
   }
+
+  /** Shared CTE tail for the batched-IVF family
+    * ([[graft.operators.VectorSearch.ivfKnnJoin]]): final cell assignment,
+    * the %50 query split, per-query nprobe cell probes (ties to the lower
+    * cell), cell-equi candidates, per-query rank.
+    */
+  private def ivfKnnCtes(k: Int, nCells: Int, nprobe: Int, iters: Int,
+                         dim: Int): String =
+    s"""${lloydChain(nCells, iters, dim)},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % 50 = 0),
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${sqDist("q.qv", "c.c", dim)}, c.cell) AS rk
+       |    FROM q CROSS JOIN c$iters c)
+       |  WHERE rk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, f.vec_id, x.label,
+       |         round(list_cosine_similarity(f.v, q.qv), 6) AS sim
+       |  FROM fin f JOIN pr p ON f.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN v x ON x.vec_id = f.vec_id
+       |  WHERE f.vec_id % 50 <> 0 AND f.vec_id <> p.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY sim DESC, vec_id) AS rank
+       |      FROM cand)""".stripMargin
+
+  /** Batched IVF kNN join oracle: top-k per query from the probed cells. */
+  def ivfKnnJoinSql(k: Int = 5, nCells: Int = 16, nprobe: Int = 3,
+                    iters: Int = 5, dim: Int = 64): String =
+    s"""WITH ${ivfKnnCtes(k, nCells, nprobe, iters, dim)}
+       |SELECT query_id, vec_id, label, sim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** Recall@k oracle ([[graft.operators.VectorSearch.ivfRecall]]): exact
+    * top-k (the x26 shape) left-joined with the IVF top-k per query.
+    */
+  def ivfRecallSql(k: Int = 5, nCells: Int = 16, nprobe: Int = 3,
+                   iters: Int = 5, dim: Int = 64): String =
+    s"""WITH ${ivfKnnCtes(k, nCells, nprobe, iters, dim)},
+       |ik AS (SELECT query_id, vec_id FROM r WHERE rank <= $k),
+       |ex AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+       |  FROM v e CROSS JOIN q
+       |  WHERE e.vec_id % 50 <> 0 AND e.vec_id <> q.query_id),
+       |er AS (SELECT query_id, vec_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY sim DESC, vec_id) AS rank
+       |       FROM ex),
+       |ek AS (SELECT query_id, vec_id FROM er WHERE rank <= $k)
+       |SELECT e.query_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       |       round(count(i.vec_id) * 1.0 / $k, 6) AS recall
+       |FROM ek e LEFT JOIN ik i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+       |GROUP BY e.query_id""".stripMargin
 
   /** SemDeDup-style semantic dedup oracle
     * ([[graft.operators.VectorSearch.semanticDedup]]): the same Lloyd chain

@@ -47,6 +47,55 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0 && b == 5 && h == 0 })
   }
 
+  test("containment: a doc fully quoted inside a longer one scores 1.0 " +
+       "where jaccard stays below threshold") {
+    // quoted = every shingle of the short doc appears in the long host; the
+    // host adds enough unrelated text that jaccard dilutes under 0.5
+    // letter-only fillers: the tokenizer's \b[a-z]{3,}\b drops any word with
+    // a digit, so "filler1"-style padding would vanish entirely
+    val short0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fillers = (1 to 120).map(i =>
+      s"word${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}")
+    val host = short0 + " " + fillers.mkString(" ")
+    val docs = Seq((0L, short0), (1L, host),
+      (2L, "completely different text about ships and harbors and tides"))
+      .toDF("doc_id", "text")
+    // short: 10 tokens → 8 shingles, all inside host's 130-token stream
+    // (128 shingles): c1 = 8/8 = 1, c2 = 8/128, jaccard = 8/128
+    val pairs = Dedup.containmentPairs(docs, 0.9)
+      .select("id1", "id2", "c1", "c2", "containment")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0, 0.0625, 1.0)),
+      s"expected the quoted doc contained at 1.0, got ${pairs.toSeq}")
+    val jac = Dedup.jaccardPairs(docs, 0.5).count()
+    assert(jac == 0, "jaccard should miss the subsumption pair at θ=0.5")
+  }
+
+  test("containment candidates: prefix-filtered join equals the naive " +
+       "all-pairs answer across thresholds") {
+    val docs = sampleDocs
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val fast = Dedup.containmentPairs(docs, t)
+        .select("id1", "id2", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      // naive: every co-shingled pair, exact intersection over min size
+      val ds = Dedup.distinctShingleHashes(docs)
+      val sz = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val naive = ds.select(col("doc_id").as("id1"), col("h60"))
+        .join(ds.select(col("doc_id").as("id2"), col("h60")), "h60")
+        .where(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("doc_id").as("id1"), col("n").as("s1")), "id1")
+        .join(sz.select(col("doc_id").as("id2"), col("n").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(col("inter").cast("double") / least(col("s1"), col("s2")), 6)
+            .as("containment"))
+        .where(col("containment") >= t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == naive, s"θ=$t: prefix-filtered=$fast naive=$naive")
+    }
+  }
+
   test("dense cosine: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
@@ -132,6 +181,36 @@ class DedupSpec extends SparkSpec {
     val full = VectorSearch.annIvfTopK(emb, 0L, 10, nCells = 8, nprobe = 8)
       .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
     assert(full == exact)
+  }
+
+  test("batched IVF kNN join with nprobe = nCells equals the exact kNN join") {
+    val e = Tables.embeddings(spark, sf0001)
+    val corpus = e.where(col("vec_id") % 50 =!= 0)
+    val queries = e.where(col("vec_id") % 50 === 0)
+    val exact = VectorSearch.knnJoin(corpus, queries, 5)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = VectorSearch.ivfKnnJoin(corpus, queries, 5,
+      nCells = 8, nprobe = 8, trainSet = e)
+      .select("query_id", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("IVF recall: one row per query, recall in [0,1], and 1.0 at full probes") {
+    val e = Tables.embeddings(spark, sf0001)
+    val corpus = e.where(col("vec_id") % 50 =!= 0)
+    val queries = e.where(col("vec_id") % 50 === 0)
+    val nq = queries.count()
+    val partial = VectorSearch.ivfRecall(corpus, queries, 5,
+      nCells = 8, nprobe = 2, trainSet = e)
+      .select("query_id", "recall").as[(Long, Double)].collect()
+    assert(partial.length == nq)
+    assert(partial.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    val full = VectorSearch.ivfRecall(corpus, queries, 5,
+      nCells = 8, nprobe = 8, trainSet = e)
+      .select("recall").as[Double].collect()
+    assert(full.length == nq && full.forall(_ == 1.0))
   }
 
   test("int8 quantization: codes in range, reconstruction within scale/2 per dim") {

@@ -223,6 +223,7 @@ class PlanSpec extends SparkSpec {
       "x5_ann_topk",        // 1-row query vector rides a broadcast cross join
       "x14_ann_ivf",        // same 1-row query-vector pattern, cell-pruned scan
       "x26_knn_join",       // broadcast ≤n/50-row query batch vs corpus stream
+      "x38_ann_recall",     // exact side reuses x26's broadcast query batch
       "n7_near_dups",       // 1-row target document vs corpus
       "n12_semantic_search",// 1-row query TF-IDF vector vs doc vectors
       "w6_dense_daily",     // 1-row (min,max) bounds row exploded into the spine
