@@ -132,6 +132,7 @@ object SparkEntry {
     "x35_mix_temperature" -> (CorpusPrep.qMixTemperature _),
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
+    "x39_quality_distill" -> (Classifier.qQualityDistill _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
@@ -690,6 +691,10 @@ object SparkEntry {
     "x35_mix_temperature" -> graft.oracles.TrainSql.mixTemperatureSql,
     "x25_unigram_lm"   -> graft.oracles.TrainSql.unigramLogprobSql,
     "x31_ccnet_buckets" -> graft.oracles.TrainSql.ccnetBucketsSql,
+    // x39: fixed-iteration GD unrolled as chained CTEs; weights round to
+    // 8 dp per update on both engines (the Lloyd/TextRank determinism
+    // recipe applied to model training)
+    "x39_quality_distill" -> graft.oracles.TrainSql.qualityDistillSql(),
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join

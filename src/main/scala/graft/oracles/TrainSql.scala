@@ -739,6 +739,70 @@ object TrainSql {
        |FROM dtc JOIN model USING (word), tot
        |GROUP BY doc_id""".stripMargin
 
+  /** Hashed-feature logistic-regression oracle
+    * ([[graft.operators.Classifier.qualityDistill]]): the same fixed GD
+    * iterations unrolled as chained CTEs (recursive SQL cannot aggregate —
+    * the Lloyd-chain precedent), the same md5-60 bucket hash, the same
+    * per-iteration 8-dp weight rounding, the same raw-margin prediction.
+    * Labels come from the x25 unigram-LM score: top half by
+    * `ntile(2) OVER (ORDER BY score DESC, doc_id)` (both engines order the
+    * identical 6-dp-rounded values), unscored documents label 0.
+    */
+  def qualityDistillSql(lr: Double = 2.0, iters: Int = 10,
+                        buckets: Int = 64): String = {
+    // every w$t is referenced twice (directly and via g$t → s$t), so an
+    // inlining planner would expand the chain 2^iters times — MATERIALIZED
+    // pins each step to run once (the deeper-than-Lloyd chain needs it)
+    val iterCtes = (0 until iters).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT f.doc_id, sum(f.v * w.wt) AS s
+         |        FROM feats f JOIN w$t w USING (j) GROUP BY 1),
+         |e$t AS MATERIALIZED (SELECT s.doc_id, 1.0 / (1.0 + exp(-s.s)) - l.y AS err
+         |        FROM s$t s JOIN lab l USING (doc_id)),
+         |g$t AS MATERIALIZED (SELECT f.j, sum(e.err * f.v) / nn.n AS g
+         |        FROM feats f JOIN e$t e USING (doc_id), nd nn GROUP BY f.j, nn.n),
+         |w${t + 1} AS MATERIALIZED (SELECT w.j, round(w.wt - $lr * coalesce(g.g, 0.0), 8) AS wt
+         |              FROM w$t w LEFT JOIN g$t g USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |dtc AS MATERIALIZED (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, sum(cnt) AS len FROM dtc GROUP BY 1),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, j, sum(cnt) * 1.0 / any_value(len) AS v FROM (
+       |    SELECT d.doc_id, CAST(${md5Long60Sql("word")} % $buckets AS INT) AS j,
+       |           cnt, len
+       |    FROM dtc d JOIN lens USING (doc_id))
+       |  GROUP BY doc_id, j
+       |  UNION ALL
+       |  SELECT doc_id, $buckets AS j, 1.0 AS v FROM documents),
+       |model AS (SELECT word, sum(cnt) AS gcnt FROM dtc GROUP BY 1),
+       |tot AS (SELECT sum(gcnt) AS n_total, count(*) AS n_vocab FROM model),
+       |sc AS (
+       |  SELECT doc_id,
+       |         round(sum(cnt * ln((gcnt + 1) / (n_total + n_vocab))) / sum(cnt), 6)
+       |           AS mean_logprob
+       |  FROM dtc JOIN model USING (word), tot
+       |  GROUP BY doc_id),
+       |halves AS (
+       |  SELECT doc_id, ntile(2) OVER (ORDER BY mean_logprob DESC, doc_id) AS half
+       |  FROM sc),
+       |lab AS MATERIALIZED (SELECT d.doc_id,
+       |               CASE WHEN h.half = 1 THEN 1.0 ELSE 0.0 END AS y
+       |        FROM documents d LEFT JOIN halves h USING (doc_id)),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |w0 AS (SELECT CAST(range AS INT) AS j, 0.0 AS wt FROM range(0, ${buckets + 1})),
+       |$iterCtes,
+       |sf AS (SELECT f.doc_id, sum(f.v * w.wt) AS s
+       |       FROM feats f JOIN w$iters w USING (j) GROUP BY 1)
+       |SELECT s.doc_id, CAST(l.y AS BIGINT) AS y,
+       |       round(1.0 / (1.0 + exp(-s.s)), 6) AS prob,
+       |       CAST(CASE WHEN s.s >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM sf s JOIN lab l USING (doc_id)""".stripMargin
+  }
+
   /** CCNet quality-bucket oracle ([[TextQuality.ccnetBuckets]]): the x25
     * unigram score, then per-source `ntile(3)` over the 6-dp-rounded
     * score (DESC, doc_id) — the tie order both engines share.

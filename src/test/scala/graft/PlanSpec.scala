@@ -238,7 +238,8 @@ class PlanSpec extends SparkSpec {
       "n8_priority", "n9_priority_distribution",
       "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
       "x25_unigram_lm", "x31_ccnet_buckets",
-      "x35_mix_temperature" // 1-row (tot_tokens, tot_w) aggregate onto 20 sources
+      "x35_mix_temperature", // 1-row (tot_tokens, tot_w) aggregate onto 20 sources
+      "x39_quality_distill"  // label build reuses x25's 1-row totals aggregate
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
