@@ -133,6 +133,7 @@ object SparkEntry {
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
     "x39_quality_distill" -> (Classifier.qQualityDistill _),
+    "x40_normalize"    -> (TextQuality.qNormalize _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
@@ -695,6 +696,7 @@ object SparkEntry {
     // 8 dp per update on both engines (the Lloyd/TextRank determinism
     // recipe applied to model training)
     "x39_quality_distill" -> graft.oracles.TrainSql.qualityDistillSql(),
+    "x40_normalize"    -> graft.oracles.TrainSql.normalizeSql,
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join

@@ -414,6 +414,45 @@ object TextQuality {
   def qC4Filter(spark: SparkSession, sfDir: String): DataFrame =
     c4LineFilter(Tables.documents(spark, sfDir))
 
+  /** Characters the cleanup strips before whitespace collapse: C0 controls
+    * except \t\n\r, DEL, and the zero-width family (ZWSP/ZWNJ/ZWJ/BOM).
+    * \x0B and \f are stripped HERE deliberately: Java's `\s` includes
+    * them but RE2's (DuckDB's) does not, so removing them first is what
+    * makes the later `\s+` collapse engine-identical.
+    */
+  private val StripClass =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** Text canonicalization for hashing/dedup (the C4/Dolma pre-clean):
+    * Unicode NFC (canonical composition — é composed ≡ é decomposed; NOT
+    * NFKC, ligatures stay), control/zero-width strip, whitespace collapse
+    * to single spaces, trim. Per-row column algebra; NFC runs as the
+    * custom codegen'd [[org.apache.spark.sql.graftext.NfcNormalizeExpr]]
+    * (Spark has no builtin).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        org.apache.spark.sql.graftext.NfcNormalizeExpr.nfcNormalize(text),
+        StripClass, ""),
+      "\\s+", " "))
+
+  /** Normalization report per document: raw/clean char counts, whether
+    * cleanup changed anything, and the md5 of the canonical text — the
+    * digest every downstream dedup pass should key on instead of raw
+    * bytes.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), cleanText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        md5(col("norm").cast("binary")).as("norm_digest"))
+
+  def qNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeText(Tables.documents(spark, sfDir))
+
   def qLineDedup(spark: SparkSession, sfDir: String): DataFrame =
     crossDocLineDedup(Tables.documents(spark, sfDir))
 

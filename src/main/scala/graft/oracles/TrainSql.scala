@@ -803,6 +803,27 @@ object TrainSql {
        |FROM sf s JOIN lab l USING (doc_id)""".stripMargin
   }
 
+  /** Canonicalization oracle ([[TextQuality.normalizeText]]): DuckDB's
+    * `nfc_normalize` (utf8proc) against the JVM Normalizer — both
+    * implement Unicode canonical composition — then the identical strip
+    * and collapse regexes (RE2 and Java agree on these classes; \x0B/\f
+    * sit in the strip set precisely because their `\s` definitions
+    * differ).
+    */
+  val normalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+      |           '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+      |       (norm <> text) AS changed,
+      |       md5(norm) AS norm_digest
+      |FROM n""".stripMargin
+
   /** CCNet quality-bucket oracle ([[TextQuality.ccnetBuckets]]): the x25
     * unigram score, then per-source `ntile(3)` over the 6-dp-rounded
     * score (DESC, doc_id) — the tie order both engines share.

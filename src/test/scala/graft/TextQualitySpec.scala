@@ -7,6 +7,52 @@ import graft.operators.TextQuality
   */
 class TextQualitySpec extends SparkSpec {
 
+  test("cleanText: NFC composes, NFKC does not fire, zero-width and " +
+       "controls strip, whitespace collapses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val composed = "caf\u00e9"            // é as one code point
+    val decomposed = "cafe\u0301"         // e + COMBINING ACUTE
+    val cases = Seq(
+      (1L, decomposed),
+      // U+FB01 ligature is a COMPATIBILITY equivalence - NFC keeps it
+      (2L, "\uFB01le"),
+      // zero-width space / joiner / BOM stripped
+      (3L, "a\u200Bb\u200Dc\uFEFFd"),
+      // C0 controls stripped outright (no space left behind)
+      (4L, "a\u0000\u0007bc"),
+      // VT/FF stripped, then tab/CRLF collapse with spaces
+      (5L, "x \t y\r\nz\u000B\u000Cw"),
+      (6L, "  already   clean  "))
+      .toDF("doc_id", "text")
+    val out = cases.select(col("doc_id"),
+        graft.operators.TextQuality.cleanText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == composed)
+    assert(out(2L) == "\uFB01le")
+    assert(out(3L) == "abcd")
+    assert(out(4L) == "abc")
+    assert(out(5L) == "x y zw")
+    assert(out(6L) == "already clean")
+  }
+
+  test("normalizeText flags changed documents and digests canonical text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "cafe\u0301"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextQuality.normalizeText(docs)
+      .select("doc_id", "n_chars_raw", "n_chars_norm", "changed", "norm_digest")
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows(1L) == ((5L, 4L, true,
+      // md5 of the composed form's UTF-8 bytes
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("caf\u00e9".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    assert(rows(2L)._3 == false && rows(2L)._1 == 10L && rows(2L)._2 == 10L)
+  }
+
   import spark.implicits._
 
   test("cross-doc line dedup keeps first occurrence, exempts short lines") {
