@@ -169,6 +169,7 @@ object SparkEntry {
       graft.sources.Ingest.qTreeStatsLarge(s, d)),
     "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
     "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
+    "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -761,6 +762,13 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // w9: the sink contents of a real stream-static broadcast join replay;
+    // the oracle is the batch join over the same tables
+    "w9_stream_enriched" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS date,
+        |       c.c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

@@ -500,26 +500,60 @@ object EventStream {
   private val w8SrcDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def qStreamDailyDemo(spark: SparkSession, sfDir: String): DataFrame = {
-    // the streaming file source only accepts directories; the testdata
-    // table is a single parquet file, so expose it through a linked dir
+  /** The streaming file source only accepts directories; the testdata
+    * table is a single parquet file, so expose it through a linked dir.
+    */
+  private def streamSrcDir(sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/events.parquet")
     require(src.exists, s"no events table at ${src.getPath}")
-    val dir =
-      if (src.isDirectory) src.getPath
-      else w8SrcDirs.getOrElseUpdate(src.getCanonicalPath, {
-        val d = java.nio.file.Files.createTempDirectory("graft_w8_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"), src.toPath.toAbsolutePath)
-        d.toFile.deleteOnExit()
-        d.toString
-      })
-    val q = streamDailyDemo(spark, dir)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName("w8_stream_daily")
+    if (src.isDirectory) src.getPath
+    else w8SrcDirs.getOrElseUpdate(src.getCanonicalPath, {
+      val d = java.nio.file.Files.createTempDirectory("graft_w8_src")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), src.toPath.toAbsolutePath)
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+  }
+
+  private def replayToTable(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table("w8_stream_daily")
+    df.sparkSession.table(name)
   }
+
+  def qStreamDailyDemo(spark: SparkSession, sfDir: String): DataFrame =
+    replayToTable(streamDailyDemo(spark, streamSrcDir(sfDir)), "w8_stream_daily")
+
+  /** w9: stream-static enrichment join — the lookup-table pattern every
+    * streaming pipeline needs (enrich a fact stream with a slowly-changing
+    * dimension). The static side rides as a broadcast into each
+    * micro-batch: no state store grows, no watermark applies to the dim
+    * (unlike the stream-stream w3), and the join re-resolves per batch so
+    * a refreshed dim table would be picked up. Counts only, same
+    * order-free output rule as w8.
+    */
+  def streamEnrichedDemo(spark: SparkSession, dir: String,
+                         customers: DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawSchema).parquet(dir)
+    val dim = customers.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("mktsegment"))
+    withTs(src)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), "1 day"), col("mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("date"),
+              col("mktsegment"), col("n"))
+  }
+
+  def qStreamEnriched(spark: SparkSession, sfDir: String): DataFrame =
+    replayToTable(
+      streamEnrichedDemo(spark, streamSrcDir(sfDir),
+        graft.Tables.customer(spark, sfDir)),
+      "w9_stream_enriched")
 }

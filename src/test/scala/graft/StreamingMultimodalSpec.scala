@@ -23,6 +23,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join replay == batch join; no event lost") {
+    import org.apache.spark.sql.functions.{col, count, date_format, lit}
+    val out = EventStream.qStreamEnriched(spark, sf0001)
+      .orderBy("date", "mktsegment")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = Tables.events(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("date", "mktsegment")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == batch)
+    // every event carries a matching dim row in this fixture, so the inner
+    // join must not shrink the stream
+    assert(out.map(_._3).sum == Tables.events(spark, sf0001).count())
+  }
+
   test("sessionize: relational lag/cumsum form == session_window form") {
     val rel = EventStream.sessionizeBatch(spark, sf0001)
       .select("user_id", "session_start", "n_events", "total_value")
