@@ -139,4 +139,23 @@ class PropertySpec extends SparkSpec {
     val strict = pruned(0.6)
     assert(strict.subsetOf(loose) && loose.size >= strict.size)
   }
+
+  test("containment dominates jaccard: every jaccard pair at θ is a " +
+       "containment pair at θ, with containment >= jaccard") {
+    import spark.implicits._
+    val docs = sampleDocs
+    val t = 0.5
+    val jac = Dedup.jaccardPairs(docs, t)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+    val con = Dedup.containmentPairs(docs, t)
+      .select("id1", "id2", "containment").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // |∩|/min(|A|,|B|) ≥ |∩|/|A∪B| pointwise, so the jaccard-qualified set
+    // embeds in the containment-qualified set at the same threshold
+    jac.foreach { case (a, b, j) =>
+      val c = con.get((a, b))
+      assert(c.isDefined, s"pair ($a,$b) with jaccard $j missing from containment")
+      assert(c.get >= j - 1e-6, s"containment ${c.get} < jaccard $j for ($a,$b)")
+    }
+  }
 }
