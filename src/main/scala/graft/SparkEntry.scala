@@ -135,6 +135,9 @@ object SparkEntry {
     "x39_quality_distill" -> (Classifier.qQualityDistill _),
     "x40_normalize"    -> (TextQuality.qNormalize _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
+    "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
+    "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
+    "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -699,6 +702,10 @@ object SparkEntry {
     "x39_quality_distill" -> graft.oracles.TrainSql.qualityDistillSql(),
     "x40_normalize"    -> graft.oracles.TrainSql.normalizeSql,
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
+    "x41_phrase_search" ->
+      graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
+    "x42_weighted_sample" -> graft.oracles.TrainSql.weightedSampleSql(),
+    "x43_bigram_lm"    -> graft.oracles.TrainSql.bigramLmSql,
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

@@ -207,6 +207,42 @@ object CorpusPrep {
         (col("cum_before") < budgetPerSource).as("selected"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each document draws
+    * key = −ln(u)/w from a uniform u and the n smallest keys are the
+    * sample — exactly equivalent to drawing documents one at a time with
+    * probability proportional to weight, without replacement. The uniform
+    * comes from the salted engine-portable md5-60 hash (the [[assignSplit]]
+    * recipe), not an RNG, so the sample is reproducible across engines,
+    * runs, and partitionings, and stable under corpus append.
+    *
+    * Keys round to 12 dp before ranking: the only cross-engine wobble in
+    * the pipeline is `ln`'s final ulp (~1e-19 at these magnitudes), which
+    * the rounding absorbs while leaving the ordering statistics intact.
+    *
+    * Scale shape: per-row arithmetic on a narrow (doc_id, weight)
+    * projection followed by one TakeOrderedAndProject — the canonical
+    * "sample 10k docs from 100 TB proportional to quality" one-pass plan;
+    * text never leaves the scan.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 100,
+                     weight: Column = col("n_chars"),
+                     salt: String = "graft-wsample-v1"): DataFrame = {
+    val h = Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id")))
+    // u ∈ (0, 1]: (h + 1) / 2^60 — pure IEEE round-to-nearest ops, so any
+    // engine computes the identical double
+    val u = (h.cast("double") + 1.0) / lit(1.152921504606846976e18)
+    val key = round(-log(u) / weight.cast("double"), 12)
+    val ranked = docs.where(weight > 0)
+      .select(col("doc_id"), weight.cast("long").as("weight"), key.as("es_key"))
+      .orderBy(asc("es_key"), asc("doc_id"))
+      .limit(n)
+    ranked.withColumn("sample_rank",
+        row_number().over(Window.orderBy(asc("es_key"), asc("doc_id"))).cast("long"))
+      .select(col("sample_rank"), col("doc_id"), col("weight"),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
   // --- query entries ---
 
   /** Stand-in benchmark: every 20th document is "the eval set". Both
@@ -312,4 +348,10 @@ object CorpusPrep {
 
   def qMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
     temperatureMixRates(Tables.documents(spark, sfDir))
+
+  /** n_chars as the weight: the proxy for "sample proportional to document
+    * size" (token-budget-shaped sampling); any per-doc score column works.
+    */
+  def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSample(Tables.documents(spark, sfDir))
 }

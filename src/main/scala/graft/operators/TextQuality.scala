@@ -294,6 +294,46 @@ object TextQuality {
           6).as("mean_logprob"))
   }
 
+  /** Bigram LM scoring — [[unigramLogprob]]'s conditional upgrade: score
+    * each document by its mean ln p(w2|w1) under an add-one-smoothed
+    * corpus bigram model, p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). The
+    * unigram model sees "scan scan scan scan" as perfectly corpus-like;
+    * the bigram model charges it for the improbable self-transitions —
+    * the cheapest LM signal that reads *order*, not just vocabulary.
+    *
+    * Same scale shape as x25: per-doc bigram counts aggregate before any
+    * join, so the model joins carry one row per distinct (doc, w1, w2) —
+    * at corpus scale that is the Zipf-compressed pair stream, never the
+    * token stream — and the two model sides are word-keyed aggregates,
+    * tiny next to the corpus. Documents with < 2 tokens have no bigrams
+    * and drop out (same rule as x25's zero-token docs).
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val counts = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+                 element_at(col("t"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val biModel = counts.groupBy("w1", "w2").agg(sum("cnt").as("bcnt"))
+    val uniModel = graft.operators.Relevance.termCounts(docs)
+      .groupBy("token").agg(sum("cnt").as("ucnt"))
+      .withColumnRenamed("token", "w1")
+    val vocab = uniModel.agg(count(lit(1)).as("n_vocab"))
+    counts.join(biModel, Seq("w1", "w2"))
+      .join(uniModel, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(
+          sum(col("cnt") *
+            log((col("bcnt") + 1).cast("double") / (col("ucnt") + col("n_vocab")))) /
+            sum("cnt"),
+          6).as("mean_logprob"))
+  }
+
   /** CCNet-style quality buckets (Wenzek et al. 2020, "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data"): score each
     * document with the corpus unigram LM ([[unigramLogprob]] — the paper
@@ -464,6 +504,9 @@ object TextQuality {
 
   def qUnigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
     unigramLogprob(Tables.documents(spark, sfDir))
+
+  def qBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramLogprob(Tables.documents(spark, sfDir))
 
   def qNgramRepetition(spark: SparkSession, sfDir: String): DataFrame =
     ngramRepetition(Tables.documents(spark, sfDir))

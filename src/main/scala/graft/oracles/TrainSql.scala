@@ -1098,4 +1098,71 @@ object TrainSql {
       |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
       |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type""".stripMargin
+
+  /** Phrase search over the positional index
+    * ([[graft.operators.SearchIndex.phraseSearch]]): same tokenizer,
+    * consecutive-position joins (DuckDB positions are 1-based, Spark's
+    * 0-based — only position *differences* join, so the offset cancels).
+    */
+  def phraseSearchSql(phrase: Seq[String], k: Int = 100): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
+      s"JOIN p b$i ON b$i.doc_id = a.doc_id AND b$i.pos = a.p0 + $i AND b$i.tok = '$w'"
+    }.mkString("\n       |  ")
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+       |      FROM toksl),
+       |a AS (SELECT doc_id, pos AS p0 FROM p WHERE tok = '${phrase.head}'),
+       |m AS (
+       |  SELECT a.doc_id FROM a
+       |  $joins)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM m GROUP BY doc_id
+       |ORDER BY n_occurrences DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Efraimidis–Spirakis weighted sample
+    * ([[graft.operators.CorpusPrep.weightedSample]]): identical salted
+    * md5-60 uniform, identical −ln(u)/w key rounded to 12 dp before the
+    * rank (absorbs ln's last-ulp engine difference).
+    */
+  def weightedSampleSql(n: Int = 100): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       |         round(-ln((CAST(${md5Long60Sql("'graft-wsample-v1:' || doc_id")}
+       |                         AS DOUBLE) + 1.0) / 1152921504606846976.0)
+       |               / CAST(n_chars AS DOUBLE), 12) AS k
+       |  FROM documents WHERE n_chars > 0),
+       |top AS (SELECT * FROM keyed ORDER BY k, doc_id LIMIT $n)
+       |SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS sample_rank,
+       |       doc_id, weight, round(k, 6) AS es_key
+       |FROM top""".stripMargin
+
+  /** Bigram LM ([[graft.operators.TextQuality.bigramLogprob]]): same
+    * count-weighted Σ cnt·ln p form as the x25 unigram oracle; unigram
+    * denominators come from the full token stream (1-token docs included),
+    * bigrams only from docs with ≥ 2 tokens.
+    */
+  val bigramLmSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+       |        FROM toksl WHERE len(t) >= 2),
+       |bgc AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, count(*) AS cnt
+       |        FROM pos GROUP BY 1, 2, 3),
+       |bim AS (SELECT w1, w2, sum(cnt) AS bcnt FROM bgc GROUP BY 1, 2),
+       |uni AS (SELECT word, count(*) AS ucnt
+       |        FROM (SELECT unnest(t) AS word FROM toksl) GROUP BY 1),
+       |voc AS (SELECT count(*) AS n_vocab FROM uni)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |       round(sum(cnt * ln((bcnt + 1) / (ucnt + n_vocab))) / sum(cnt), 6)
+       |         AS mean_logprob
+       |FROM bgc JOIN bim USING (w1, w2) JOIN uni ON uni.word = bgc.w1, voc
+       |GROUP BY doc_id""".stripMargin
 }
