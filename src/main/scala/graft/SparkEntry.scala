@@ -138,6 +138,8 @@ object SparkEntry {
     "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
     "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
+    "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
+    "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -706,6 +708,11 @@ object SparkEntry {
       graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
     "x42_weighted_sample" -> graft.oracles.TrainSql.weightedSampleSql(),
     "x43_bigram_lm"    -> graft.oracles.TrainSql.bigramLmSql,
+    "x44_hybrid_search" -> graft.oracles.NlpSql.hybridSearchSql(
+      SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
+      SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,
+      SemanticSearch.VocabSize, SemanticSearch.Threshold),
+    "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

@@ -269,6 +269,29 @@ object Duplicates {
     }
   }
 
+  /** Single-linkage components over an arbitrary undirected pair frame
+    * (id1, id2) — the same collect / iterative cost dispatch [[components]]
+    * uses, exposed so other candidate generators (the MinHash-LSH dedup
+    * capstone in [[Dedup]]) can reuse the machinery without re-deriving
+    * pairs from TF cosine. `ids` supplies the universe (a `doc_id` column);
+    * isolated ids label themselves.
+    */
+  private[graft] def componentsFromPairs(ids: DataFrame, pairs: DataFrame,
+                                         maxCollectEdges: Long = 5000000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val p = pairs
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
+      .localCheckpoint()
+    if (p.count() <= maxCollectEdges) {
+      lastComponentsPath = "collect"
+      unionFindLabels(ids, p.as[(Long, Long)].collect())
+    } else {
+      lastComponentsPath = "iterative"
+      propagateMinLabels(ids, p)
+    }
+  }
+
   /** Driver union-find over a collected edge list + broadcast label join. */
   private def unionFindLabels(docs: DataFrame, edges: Array[(Long, Long)]): DataFrame = {
     val spark = docs.sparkSession

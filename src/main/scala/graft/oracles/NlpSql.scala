@@ -512,4 +512,32 @@ object NlpSql {
        |            ELSE 'NONE' END AS priority_level,
        |       count(*) AS n
        |FROM scored GROUP BY 1""".stripMargin
+
+  /** Hybrid RRF retrieval ([[graft.operators.HybridSearch.hybridSearch]]):
+    * the BM25 and semantic-search oracles verbatim as the two arm pools
+    * (each keeps its own nested CTE scope), positive-score cut on the
+    * lexical arm, per-arm ranks on the 6-dp-rounded scores with doc_id
+    * tie-breaks, fused with 1/(k + rank) sums.
+    */
+  def hybridSearchSql(queryTf: Seq[(String, Double)], kws: Seq[String],
+                      vocabSize: Int, threshold: Double,
+                      poolK: Int = 100, topK: Int = 20, rrfK: Int = 60): String =
+    s"""WITH lexpool AS (${bm25Sql(kws, topK = poolK)}),
+       |sempool AS (${semanticSearchSql(queryTf, vocabSize, threshold, poolK)}),
+       |lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+       |           AS lex_rank
+       |  FROM lexpool WHERE bm25 > 0),
+       |sem AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY similarity DESC, doc_id) AS BIGINT)
+       |           AS sem_rank
+       |  FROM sempool)
+       |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       |       round(coalesce(1.0 / CAST($rrfK + l.lex_rank AS DOUBLE), 0.0) +
+       |             coalesce(1.0 / CAST($rrfK + s.sem_rank AS DOUBLE), 0.0), 6)
+       |         AS rrf_score
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
 }

@@ -1165,4 +1165,27 @@ object TrainSql {
        |         AS mean_logprob
        |FROM bgc JOIN bim USING (w1, w2) JOIN uni ON uni.word = bgc.w1, voc
        |GROUP BY doc_id""".stripMargin
+
+  /** MinHash dedup capstone ([[graft.operators.Dedup.minhashDedup]]): the
+    * x3 pair query as the edge set, recursive-CTE transitive closure, per
+    * doc the min reachable label (incl. self), family sizes, kept =
+    * self-labeled — the same closure recipe as the n10 components oracle.
+    */
+  def minhashDedupSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE mh AS (${minhashLshSql(minEstJaccard)}),
+       |medges AS (SELECT id1 AS a, id2 AS b FROM mh
+       |           UNION ALL SELECT id2, id1 FROM mh),
+       |mreach(a, b) AS (
+       |  SELECT a, b FROM medges
+       |  UNION
+       |  SELECT r.a, e.b FROM mreach r JOIN medges e ON r.b = e.a),
+       |mcomp AS (
+       |  SELECT d.doc_id,
+       |         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS family
+       |  FROM documents d LEFT JOIN mreach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |mfams AS (SELECT family, CAST(count(*) AS BIGINT) AS family_size
+       |          FROM mcomp GROUP BY family)
+       |SELECT doc_id, family, family_size, doc_id = family AS kept
+       |FROM mcomp JOIN mfams USING (family)""".stripMargin
 }

@@ -239,7 +239,9 @@ class PlanSpec extends SparkSpec {
       "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
       "x25_unigram_lm", "x31_ccnet_buckets",
       "x35_mix_temperature", // 1-row (tot_tokens, tot_w) aggregate onto 20 sources
-      "x39_quality_distill"  // label build reuses x25's 1-row totals aggregate
+      "x39_quality_distill", // label build reuses x25's 1-row totals aggregate
+      "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
+      "x44_hybrid_search"    // semantic arm reuses n12's 1-row query-norm broadcast
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
