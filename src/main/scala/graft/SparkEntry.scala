@@ -158,6 +158,7 @@ object SparkEntry {
     "w3_view_click_join" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.viewClickJoinBatch(s, d)),
     "w4_moving_avg"    -> (graft.streaming.EventStream.qMovingAvgDaily _),
+    "w10_ewma"         -> (graft.streaming.EventStream.qEwmaDaily _),
     "w5_sliding_counts" -> (graft.streaming.EventStream.qSlidingCounts _),
     "w6_dense_daily"   -> (graft.streaming.EventStream.qDenseDailySeries _),
     "w7_locf_fill"     -> (graft.streaming.EventStream.qLocfFill _),
@@ -793,6 +794,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,
+    "w10_ewma"         -> graft.oracles.TrainSql.ewmaDailySql,
     "w5_sliding_counts" -> graft.oracles.TrainSql.slidingCountsSql,
     "w6_dense_daily"   -> graft.oracles.TrainSql.denseDailySeriesSql,
     "w7_locf_fill"     -> graft.oracles.TrainSql.locfFillSql,

@@ -1043,6 +1043,25 @@ object TrainSql {
       |                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
       |FROM d""".stripMargin
 
+  /** EWMA smooth ([[graft.streaming.EventStream.qEwmaDaily]]): the same
+    * date-sorted left fold, executed by `list_reduce` — element order and
+    * op sequence match Spark's `aggregate` fold exactly, so the doubles
+    * are bit-equal before the cosmetic 6-dp round.
+    */
+  val ewmaDailySql: String =
+    """WITH d AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS date,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type,
+      |             list(struct_pack(date := date, n := n) ORDER BY date) AS sr
+      |      FROM d GROUP BY 1)
+      |SELECT event_type, r.date AS date, r.n AS n, round(r.ewma, 6) AS ewma
+      |FROM s, UNNEST(list_transform(range(1, len(sr) + 1), t -> struct_pack(
+      |    date := sr[t].date, n := sr[t].n,
+      |    ewma := list_reduce(list_transform(sr[1:t], e -> CAST(e.n AS DOUBLE)),
+      |                        (acc, x) -> 0.5 * x + 0.5 * acc)))) AS u(r)""".stripMargin
+
   /** Conversion funnel ([[graft.operators.EventOps.funnel]]). */
   val funnelSql: String =
     """WITH v AS (

@@ -103,6 +103,43 @@ object EventStream {
         round(avg(col("n")).over(w), 6).as("ma7"))
   }
 
+  /** w10: exponentially-weighted moving average over the daily counts —
+    * the recursive smooth (pandas `ewm(alpha=0.5, adjust=False)`) the
+    * rows-frame moving average can't express. s_1 = x_1,
+    * s_t = α·x_t + (1−α)·s_{t−1} with α = 0.5.
+    *
+    * Determinism: the smooth is evaluated as an *ordered left fold* over
+    * the date-sorted series (`aggregate` over a sorted array here,
+    * `list_reduce` in the DuckDB oracle) — both engines execute the
+    * identical IEEE op sequence, so results are bit-equal, the same
+    * recipe that makes TextRank and Lloyd oracle-checkable. The prefix
+    * re-fold per output row is O(len²) per series, which is fine for the
+    * series this exists for (one row per day per type: thousands of
+    * elements after years); the state-of-the-art alternative — a closed
+    * form over pow(1−α, t−i) — trades that for float-pow wobble and
+    * overflow at long horizons.
+    *
+    * Scale shape: one narrow aggregation keyed by series, then per-row
+    * array work — series count scales out, series length stays human.
+    */
+  def qEwmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCountsBatch(spark, sfDir)
+    val series = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("date"), col("n")))).as("sr"))
+    series
+      .select(col("event_type"),
+        explode(transform(sequence(lit(1), size(col("sr"))), t =>
+          struct(
+            element_at(col("sr"), t)("date").as("date"),
+            element_at(col("sr"), t)("n").as("n"),
+            aggregate(slice(col("sr"), lit(2), t - 1),
+              element_at(col("sr"), 1)("n").cast("double"),
+              (acc, e) => lit(0.5) * e("n") + lit(0.5) * acc).as("ewma"))))
+          .as("r"))
+      .select(col("r.date").as("date"), col("event_type"), col("r.n").as("n"),
+        round(col("r.ewma"), 6).as("ewma"))
+  }
+
   /** Dense-reindexed daily series (`exper_sql.py:1422-1478` semantics): the
     * reference reindexes a daily aggregate onto the full requested date
     * range, zero-filling days with no data. Re-expressed relationally as a

@@ -62,6 +62,26 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("ewma matches the driver-side recurrence on the daily counts") {
+    val daily = EventStream.dailyCountsBatch(spark, sf0001)
+      .select("date", "event_type", "n")
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._2).toSeq.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var s = 0.0
+      sorted.zipWithIndex.map { case ((date, _, n), i) =>
+        s = if (i == 0) n.toDouble else 0.5 * n + 0.5 * s
+        (date, et) -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = EventStream.qEwmaDaily(spark, sf0001)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == daily.length)
+    got.foreach { case (date, et, _, ewma) =>
+      assert(math.abs(ewma - expected((date, et))) < 1e-9, s"($date, $et)")
+    }
+  }
+
   test("dense daily series spans the full event range with zero-filled gaps") {
     val df = EventStream.qDenseDailySeries(spark, sf0001)
     val rows = df.as[(String, Long, Double)].collect().sortBy(_._1)
