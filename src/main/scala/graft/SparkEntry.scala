@@ -140,6 +140,7 @@ object SparkEntry {
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
+    "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -714,6 +715,10 @@ object SparkEntry {
       SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,
       SemanticSearch.VocabSize, SemanticSearch.Threshold),
     "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
+    // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
+    // (the x39 recipe); replace() is the same greedy non-overlapping merge
+    // in both engines thanks to the two-space symbol separator
+    "x46_bpe_merges"   -> graft.oracles.TrainSql.bpeMergesSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

@@ -1207,4 +1207,42 @@ object TrainSql {
        |          FROM mcomp GROUP BY family)
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
+
+  /** BPE merge learning oracle ([[graft.operators.Bpe.learnMerges]]):
+    * the iterative argmax+merge loop unrolled as chained CTEs (the x39
+    * recipe). Each step's state and argmax are referenced twice, so both
+    * are MATERIALIZED — an inlining planner would otherwise expand the
+    * chain 2^iters times. `replace(sym, a || '  ' || b, a || b)` is the
+    * identical greedy left-to-right non-overlapping merge in both engines,
+    * and the DESC/a/b argmax order is plain byte order on this corpus.
+    */
+  def bpeMergesSql(numMerges: Int = 10): String = {
+    val iterCtes = (1 to numMerges).map { k =>
+      val prev = s"st${k - 1}"
+      s"""bp$k AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+         |    SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+         |      SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |      FROM (SELECT cnt, string_split(sym, '  ') AS syms FROM $prev)))
+         |  GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+         |st$k AS MATERIALIZED (
+         |  SELECT word, cnt, replace(sym, m.a || '  ' || m.b, m.a || m.b) AS sym
+         |  FROM $prev, bp$k m)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS "rank", a AS merge_left, b AS merge_right, pair_count FROM bp$k"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+       |st0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |         array_to_string(regexp_extract_all(word, '.'), '  ') || '  </w>' AS sym
+       |  FROM words),
+       |$iterCtes
+       |$selects""".stripMargin
+  }
 }
