@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BPE merge-pair learning (Sennrich, Haddow & Birch 2016, "Neural Machine
@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * lesson: carry per-iteration state in a broadcast frame, not literals).
   *
   * Determinism (the oracle contract): symbols live in a double-space-
-  * separated string, and `replace(sym, a || '  ' || b, a || b)` is *exactly*
-  * the greedy left-to-right non-overlapping BPE merge in both engines —
-  * the consumed separator can never break an adjacent match because every
-  * boundary owns its own two-space separator. Argmax ties break on the
+  * separated string, and a merge pass is a position-aware left-to-right
+  * fold over the split symbol array ([[mergePass]]) — anchored to whole
+  * symbols, so a merge (a, b) never fires when `a` is merely a suffix of
+  * the preceding symbol (a raw substring replace would corrupt
+  * "th  e" + (h, e) into "the"; true BPE leaves it). The DuckDB oracle
+  * runs the identical fold via `list_reduce`. Argmax ties break on the
   * pair's byte order, identical in Spark and DuckDB for this ASCII corpus.
   */
 object Bpe {
@@ -36,12 +38,31 @@ object Bpe {
     */
   val Eow = "</w>"
 
-  /** Symbol separator inside the state string. Two spaces, so that a merge
-    * consuming a boundary leaves the neighboring boundaries intact (single
-    * separators would make `replace` miss the immediately following
-    * occurrence in runs like `a b a b`).
+  /** Symbol separator inside the state string (two spaces, kept from the
+    * original substring-replace formulation for dump stability; symbols
+    * themselves never contain whitespace).
     */
   val Sep = "  "
+
+  /** One BPE merge pass, position-aware: split `sym` into its symbol
+    * array and fold left-to-right, appending each symbol `x` to the
+    * accumulator WITHOUT a separator iff the accumulator's last whole
+    * symbol equals `a` and `x` equals `b` — the greedy non-overlapping
+    * merge of Sennrich 2016 (a just-merged symbol can never act as the
+    * left side again within the same pass, since a||b ≠ a). Anchoring to
+    * whole-symbol boundaries is the point: an unanchored
+    * `replace(sym, a||Sep||b, a||b)` also fires when `a` is a proper
+    * suffix of the preceding symbol ("th  e" + (h,e) → "the"), silently
+    * corrupting the merge table on realistic corpora. The DuckDB oracle
+    * ([[graft.oracles.TrainSql.bpeMergesSql]]) runs the identical fold
+    * via `list_reduce`.
+    */
+  private[graft] def mergePass(sym: Column, a: Column, b: Column): Column =
+    aggregate(split(sym, Sep), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(x === b && (acc === a || acc.endsWith(concat(lit(Sep), a))),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(Sep), x)))
 
   /** Word-frequency table: one hash aggregation over the token stream. */
   def wordTable(docs: DataFrame): DataFrame =
@@ -94,7 +115,7 @@ object Bpe {
         val pair = broadcast(Seq((a, b)).toDF("ma", "mb"))
         state = state.crossJoin(pair)
           .select(col("word"), col("cnt"),
-            expr(s"replace(sym, ma || '$Sep' || mb, ma || mb)").as("sym"))
+            mergePass(col("sym"), col("ma"), col("mb")).as("sym"))
           .localCheckpoint()
       }
     }
@@ -103,8 +124,10 @@ object Bpe {
 
   /** Segment `words` with an already-learned merge table: re-run the merges
     * in rank order over the symbol string (the standard BPE apply pass —
-    * same `replace` mechanics, no counting). Exposed for the spec and as
-    * the serving-side half of the tokenizer.
+    * same [[mergePass]] fold, no counting). Merge symbols enter via
+    * `lit(_)`, never string-interpolated SQL, so arbitrary caller-supplied
+    * tokens (quotes, backslashes) are data, not syntax. Exposed for the
+    * spec and as the serving-side half of the tokenizer.
     */
   def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val init = words.select(col("word"),
@@ -113,8 +136,7 @@ object Bpe {
           i => col("word").substr(i, lit(1)))),
         lit(Sep + Eow)).as("sym"))
     val merged = merges.foldLeft(init) { case (st, (a, b)) =>
-      st.withColumn("sym",
-        expr(s"replace(sym, '$a$Sep$b', '$a$b')"))
+      st.withColumn("sym", mergePass(col("sym"), lit(a), lit(b)))
     }
     merged.select(col("word"), split(col("sym"), Sep).as("pieces"))
   }

@@ -158,7 +158,16 @@ object Classifier {
   def qualityDistill(docs: DataFrame, lr: Double = DefaultLr,
                      iters: Int = DefaultIters): DataFrame = {
     val labels = lmLabels(docs).cache()
-    classify(docs, labels, train(docs, labels, lr, iters))
+    // materialize the returned frame's rows are NOT computed here, so the
+    // labels cache must outlive this call for the classify arm — but the
+    // training loop (the only multi-pass consumer) completes inside
+    // train(); afterwards the cached plan would leak for the session.
+    // localCheckpoint pins the classify arm's input as concrete
+    // partitions, letting the cache entry be dropped eagerly.
+    try {
+      val w = train(docs, labels, lr, iters)
+      classify(docs, labels.localCheckpoint(), w)
+    } finally labels.unpersist()
   }
 
   def qQualityDistill(spark: SparkSession, sfDir: String): DataFrame =

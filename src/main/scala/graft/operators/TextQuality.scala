@@ -464,17 +464,22 @@ object TextQuality {
     "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]"
 
   /** Text canonicalization for hashing/dedup (the C4/Dolma pre-clean):
-    * Unicode NFC (canonical composition — é composed ≡ é decomposed; NOT
-    * NFKC, ligatures stay), control/zero-width strip, whitespace collapse
-    * to single spaces, trim. Per-row column algebra; NFC runs as the
-    * custom codegen'd [[org.apache.spark.sql.graftext.NfcNormalizeExpr]]
-    * (Spark has no builtin).
+    * control/zero-width strip FIRST, then Unicode NFC (canonical
+    * composition — é composed ≡ é decomposed; NOT NFKC, ligatures stay),
+    * whitespace collapse to single spaces, trim. The strip must precede
+    * NFC: a zero-width character between a base letter and a combining
+    * mark blocks composition ("e"+ZWSP+U+0301 survives NFC unchanged),
+    * so stripping afterwards would leave decomposed text and a digest
+    * that misses the composed-form duplicate — exactly the canonical
+    * equivalence the pass exists to catch. Per-row column algebra; NFC
+    * runs as the custom codegen'd
+    * [[org.apache.spark.sql.graftext.NfcNormalizeExpr]] (Spark has no
+    * builtin).
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(
-        org.apache.spark.sql.graftext.NfcNormalizeExpr.nfcNormalize(text),
-        StripClass, ""),
+      org.apache.spark.sql.graftext.NfcNormalizeExpr.nfcNormalize(
+        regexp_replace(text, StripClass, "")),
       "\\s+", " "))
 
   /** Normalization report per document: raw/clean char counts, whether

@@ -41,15 +41,24 @@ object VectorSearch {
     * to broadcast, pre-bucket both sides with [[annLshTopK]]'s hyperplanes
     * and knn-join per bucket.
     */
-  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def knnJoin(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    knnJoinProjected(
+      embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")),
+      queries, k)
+
+  /** [[knnJoin]] over an already-projected corpus — `(vec_id, label, v)`
+    * plus any extra columns (ignored). Shared with [[ivfRecall]] so the
+    * exact arm reuses the same corpus subtree as the approximate arm.
+    */
+  private def knnJoinProjected(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("qvec"))
-    val sims = embeddings
+    val sims = corpus
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
-        round(cosineSim(asDouble(col("embedding")), col("qvec")), 6).as("sim"))
+        round(cosineSim(col("v"), col("qvec")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -270,17 +279,51 @@ object VectorSearch {
     centroids
   }
 
-  /** Cell assignment as pure column algebra: argmin of the k squared
-    * distances (no UDF — a k-element literal distance array, `array_min`,
-    * `array_position`). The k×dim centroid matrix rides the plan as
-    * literals, so assignment streams with the scan.
+  /** The k×dim centroid matrix as a 1-row broadcastable frame
+    * (`__cents: array<array<double>>`, index = cell id). The model rides
+    * as DATA, not plan literals — the x39 weights lesson
+    * ([[Classifier]], `Classifier.scala` weights-frame note): literals
+    * differ per dataset, so a sf0.001 pre-warm would compile a different
+    * plan than the timed run and every invocation pays full Janino;
+    * carried as a relation, the plan shape is data-invariant and the
+    * generated code is a single lambda regardless of k, compiled once.
+    * A production-sized quantizer (k in the tens of thousands) could
+    * never ride as literals anyway.
     */
-  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map { c =>
-      aggregate(zip_with(vec, lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-    }: _*)
+  private def centroidsFrame(spark: SparkSession,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(centroids.map(_.toSeq).toSeq)).toDF("__cents")
+  }
+
+  /** Cell assignment as pure column algebra over the centroid-matrix
+    * COLUMN: argmin of the k squared distances (`transform` over the
+    * matrix, `array_min`, `array_position` — ties to the lower cell).
+    * No UDF, one lambda regardless of k.
+    */
+  def cellOf(vec: Column, cents: Column): Column = {
+    val dists = transform(cents, c =>
+      aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
     (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Corpus projection with its IVF cell: `(vec_id[, label], v, cell)`.
+    * The centroid matrix arrives via [[centroidsFrame]] on the sanctioned
+    * 1-row broadcast cross join (the x35/x39 pattern, allowlisted in
+    * PlanSpec): the corpus side streams once with no shuffle and
+    * assignment stays inside whole-stage codegen.
+    */
+  private def assignCells(embeddings: DataFrame, centroids: Array[Array[Double]],
+                          withLabel: Boolean = true): DataFrame = {
+    val base =
+      if (withLabel)
+        embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      else
+        embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    base.crossJoin(broadcast(centroidsFrame(embeddings.sparkSession, centroids)))
+      .withColumn("cell", cellOf(col("v"), col("__cents")))
+      .drop("__cents")
   }
 
   /** IVF ANN: restrict the exact cosine scan to the `nprobe` cells nearest
@@ -290,25 +333,15 @@ object VectorSearch {
     * the partition key and probes prune partitions.
     */
   def annIvfTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
-                 nCells: Int = 16, nprobe: Int = 3, iters: Int = 5): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nCells, iters)
-    val withCell = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", cellOf(col("v"), centroids))
-    val qvec = withCell.where(col("vec_id") === queryVecId)
-      .select("v").head().getSeq[Double](0).toArray
-    val probes = centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0; var j = 0
-      while (j < qvec.length) { val t = qvec(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2)
-    withCell
-      .where(col("cell").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), col("label"),
-        round(cosineSim(col("v"), lit(qvec)), 6).as("sim"))
+                 nCells: Int = 16, nprobe: Int = 3, iters: Int = 5): DataFrame =
+    // the 1-query special case of the batched join: the query row rides the
+    // broadcast probe frame (no driver round-trip for the vector, no
+    // data-dependent literal), probe selection and exclusion conventions
+    // are identical, and rank ≤ k picks exactly the orderBy/limit set
+    ivfKnnJoin(embeddings, embeddings.where(col("vec_id") === queryVecId),
+      k, nCells, nprobe, iters, trainSet = embeddings)
+      .select(col("vec_id"), col("label"), col("sim"))
       .orderBy(desc("sim"), asc("vec_id"))
-      .limit(k)
-  }
 
   /** Batched IVF kNN join — the scalable form of [[knnJoin]]. Instead of
     * crossing every query with the whole corpus, the k-means coarse
@@ -330,23 +363,36 @@ object VectorSearch {
   def ivfKnnJoin(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
                  nCells: Int = 16, nprobe: Int = 3, iters: Int = 5,
                  trainSet: DataFrame = null): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = kmeansCentroids(Option(trainSet).getOrElse(embeddings),
       nCells, iters)
-    val withCell = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", cellOf(col("v"), centroids))
-    val distStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+    ivfKnnJoinAssigned(assignCells(embeddings, centroids), queries, centroids,
+      k, nprobe)
+  }
+
+  /** Probe selection + cell equi-join + per-query top-k over an
+    * already-assigned corpus — the [[ivfKnnJoin]] back half, shared with
+    * [[ivfRecall]] so the recall diagnostic trains Lloyd ONCE and both
+    * arms reuse one corpus subtree. The query side's (dist, cell) struct
+    * array is a single indexed `transform` over the broadcast centroid
+    * column — same argmin/tie conventions as [[cellOf]], no driver
+    * round-trip, no data-dependent plan literal.
+    */
+  private def ivfKnnJoinAssigned(withCell: DataFrame, queries: DataFrame,
+                                 centroids: Array[Array[Double]], k: Int,
+                                 nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distStructs = transform(col("__cents"), (c, i) =>
       struct(
-        aggregate(zip_with(col("qv"), lit(c), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("qv"), c, (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x).as("dist"),
-        lit(i).as("cell"))
-    }: _*)
+        i.as("cell")))
     val probed = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .crossJoin(broadcast(centroidsFrame(withCell.sparkSession, centroids)))
       .withColumn("cell",
         explode(transform(slice(array_sort(distStructs), 1, nprobe),
           s => s.getField("cell"))))
+      .drop("__cents")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     withCell.join(broadcast(probed), "cell")
       .where(col("vec_id") =!= col("query_id"))
@@ -365,8 +411,14 @@ object VectorSearch {
   def ivfRecall(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
                 nCells: Int = 16, nprobe: Int = 3, iters: Int = 5,
                 trainSet: DataFrame = null): DataFrame = {
-    val exact = knnJoin(embeddings, queries, k).select("query_id", "vec_id")
-    val approx = ivfKnnJoin(embeddings, queries, k, nCells, nprobe, iters, trainSet)
+    // train ONCE and share the assigned-corpus subtree: the exact arm
+    // ignores the cell column but reuses the same projection, so the
+    // diagnostic costs one Lloyd chain + one extra scan, not two of each
+    val centroids = kmeansCentroids(Option(trainSet).getOrElse(embeddings),
+      nCells, iters)
+    val withCell = assignCells(embeddings, centroids)
+    val exact = knnJoinProjected(withCell, queries, k).select("query_id", "vec_id")
+    val approx = ivfKnnJoinAssigned(withCell, queries, centroids, k, nprobe)
       .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
     exact.join(approx, Seq("query_id", "vec_id"), "left_outer")
       .groupBy("query_id")
@@ -387,20 +439,19 @@ object VectorSearch {
     * DuckDB oracle) engine-reproducible where the paper's random keep
     * would not be.
     *
-    * Plan shape: the centroid matrix rides as literals (k×dim from the
-    * driver — the only driver-side data), assignment streams with the
-    * scan, the within-cell pair step is an *equi* self-join on the cell
-    * id (shuffle-partitioned by cell — never a nested-loop), and the
-    * keep flag is a left join on the pruned-id set. At 100 TB the cell
-    * id is the only shuffle key and k scales with corpus size, keeping
-    * per-cell work bounded.
+    * Plan shape: the centroid matrix rides as a broadcast 1-row frame
+    * (see [[centroidsFrame]] — k×dim from the driver is the only
+    * driver-side data, and the plan shape is data-invariant), assignment
+    * streams with the scan, the within-cell pair step is an *equi*
+    * self-join on the cell id (shuffle-partitioned by cell — never a
+    * nested-loop), and the keep flag is a left join on the pruned-id
+    * set. At 100 TB the cell id is the only shuffle key and k scales
+    * with corpus size, keeping per-cell work bounded.
     */
   def semanticDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5,
                     threshold: Double = 0.45): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
-    val withCell = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", cellOf(col("v"), centroids))
+    val withCell = assignCells(embeddings, centroids, withLabel = false)
     val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
       .join(withCell.select(col("vec_id").as("id2"), col("v").as("v2"), col("cell")), Seq("cell"))
       .where(col("id1") < col("id2") &&

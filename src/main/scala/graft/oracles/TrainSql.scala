@@ -813,8 +813,8 @@ object TrainSql {
   val normalizeSql: String =
     """WITH n AS (
       |  SELECT doc_id, text,
-      |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
-      |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+      |         trim(regexp_replace(nfc_normalize(regexp_replace(text,
+      |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g')),
       |           '\s+', ' ', 'g')) AS norm
       |  FROM documents)
       |SELECT doc_id,
@@ -1212,9 +1212,11 @@ object TrainSql {
     * the iterative argmax+merge loop unrolled as chained CTEs (the x39
     * recipe). Each step's state and argmax are referenced twice, so both
     * are MATERIALIZED — an inlining planner would otherwise expand the
-    * chain 2^iters times. `replace(sym, a || '  ' || b, a || b)` is the
-    * identical greedy left-to-right non-overlapping merge in both engines,
-    * and the DESC/a/b argmax order is plain byte order on this corpus.
+    * chain 2^iters times. The merge pass is the same position-aware
+    * whole-symbol fold as [[graft.operators.Bpe.mergePass]], expressed
+    * with `list_reduce` (append `x` without a separator iff the
+    * accumulator's last whole symbol is `a` and `x` is `b`); the
+    * DESC/a/b argmax order is plain byte order on this corpus.
     */
   def bpeMergesSql(numMerges: Int = 10): String = {
     val iterCtes = (1 to numMerges).map { k =>
@@ -1226,7 +1228,10 @@ object TrainSql {
          |      FROM (SELECT cnt, string_split(sym, '  ') AS syms FROM $prev)))
          |  GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
          |st$k AS MATERIALIZED (
-         |  SELECT word, cnt, replace(sym, m.a || '  ' || m.b, m.a || m.b) AS sym
+         |  SELECT word, cnt,
+         |         list_reduce(string_split(sym, '  '),
+         |           (acc, x) -> CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, '  ' || m.a))
+         |                            THEN acc || x ELSE acc || '  ' || x END) AS sym
          |  FROM $prev, bp$k m)""".stripMargin
     }.mkString(",\n")
     val selects = (1 to numMerges).map { k =>

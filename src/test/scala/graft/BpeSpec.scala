@@ -41,6 +41,28 @@ class BpeSpec extends SparkSpec {
     assert(out("newer") == Seq("n", "e", "w", "e", "r", Bpe.Eow))
   }
 
+  test("merges are anchored to whole symbols, never substring boundaries") {
+    // state "th  e": merge (h, e) must NOT fire — 'h' is only a suffix of
+    // the preceding symbol "th". An unanchored replace would fuse "the"
+    // and corrupt the merge table (the (t,h)-then-(h,e) order is a typical
+    // English merge sequence). Same for (s, t) against "b  es  t".
+    val words = Seq("the", "best").toDF("word")
+    val out = Bpe.segment(words, Seq(("t", "h"), ("h", "e"), ("e", "s"), ("s", "t")))
+      .as[(String, Seq[String])].collect().toMap
+    // "the": (t,h) → "th  e"; (h,e) anchored → no fire; rest no-ops
+    assert(out("the") == Seq("th", "e", Bpe.Eow), s"got ${out("the")}")
+    // "best": (e,s) → "b  es  t"; (s,t) anchored → no fire
+    assert(out("best") == Seq("b", "es", "t", Bpe.Eow), s"got ${out("best")}")
+    // overlapping runs stay greedy left-to-right non-overlapping
+    val aa = Bpe.segment(Seq("aaa").toDF("word"), Seq(("a", "a")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(aa("aaa") == Seq("aa", "a", Bpe.Eow), s"got ${aa("aaa")}")
+    // merge symbols with SQL metacharacters are data, not syntax
+    val quoted = Bpe.segment(Seq("it's").toDF("word"), Seq(("'", "s")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(quoted("it's") == Seq("i", "t", "'s", Bpe.Eow), s"got ${quoted("it's")}")
+  }
+
   test("training is invariant to input partitioning") {
     val docs = Tables.documents(spark, sf0001)
     val m1 = Bpe.learnMerges(docs.repartition(3), numMerges = 4)

