@@ -106,6 +106,11 @@ object SparkEntry {
     "x4_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "x33_dup_spans"    -> (Dedup.qDupSpans _),
     "x36_containment"  -> (Dedup.qContainmentPairs _),
+    // capped-guard variants: x2/x3/x36 with the 100 TB hot-key caps
+    // BINDING against a planted 200-copy duplicate family
+    "x2b_jaccard_capped"     -> (Dedup.qJaccardCapped _),
+    "x3b_minhash_lsh_capped" -> (Dedup.qMinhashLshCapped _),
+    "x36b_containment_capped" -> (Dedup.qContainmentCapped _),
     "x5_ann_topk"      -> (VectorSearch.qAnnTopK _),
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
@@ -653,6 +658,15 @@ object SparkEntry {
     "x4_simhash_pairs" -> graft.oracles.TrainSql.simhashPairsSql(),
     "x33_dup_spans"    -> graft.oracles.TrainSql.dupSpansSql(),
     "x36_containment"  -> graft.oracles.TrainSql.containmentPairsSql(),
+    // x2b/x3b/x36b: the capped guards on the planted-hot-family fixture.
+    // On this fixture the only over-cap keys are the family's; a family
+    // member's (and a doc-0 near-duplicate's) candidate keys are all
+    // family-hot, so capped mode equals the exact answer minus pairs
+    // inside that hot neighborhood — which is what the oracle computes
+    // (naive all-pairs + the same exclusion), verified at both SFs.
+    "x2b_jaccard_capped"     -> graft.oracles.TrainSql.jaccardCappedSql(),
+    "x3b_minhash_lsh_capped" -> graft.oracles.TrainSql.minhashLshCappedSql(),
+    "x36b_containment_capped" -> graft.oracles.TrainSql.containmentCappedSql(),
     "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
     // x14: recursive SQL can't aggregate in the recursive term, so the
     // fixed-iteration Lloyd chain is unrolled as chained CTEs; centroid

@@ -46,14 +46,15 @@ object TrainSql {
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
   /** Shared shingle CTEs (same tokenizer + 3-shingle rule as
-    * [[Dedup.shinglesFromTokens]]).
+    * [[Dedup.shinglesFromTokens]]), over `from` (default the documents
+    * table; the capped-guard oracles pass the planted-fixture CTE).
     */
-  private val shingleCtes: String =
+  private def shingleCtesFrom(from: String): String =
     s"""toksl AS (
        |  SELECT doc_id,
        |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
        |                     w -> w NOT IN ($stop)) AS t
-       |  FROM documents),
+       |  FROM $from),
        |sh AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(t) < 3 THEN [coalesce(array_to_string(t, ' '), '')]
@@ -62,6 +63,20 @@ object TrainSql {
        |  FROM toksl),
        |ds AS (SELECT DISTINCT doc_id,
        |              ${md5Long60Sql("shingle")} AS h60 FROM sh)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesFrom("documents")
+
+  /** The planted-hot-family fixture of the capped-guard oracles, mirroring
+    * [[Dedup.plantedHotCorpus]]: documents plus `copies` identical clones
+    * of doc 0 at ids ≥ `baseId`.
+    */
+  private def plantedCorpusCte(copies: Int = 200, baseId: Long = 100000L): String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST($baseId + r.i AS BIGINT) AS doc_id, d0.text
+       |  FROM (SELECT unnest(range(0, $copies)) AS i) r,
+       |       (SELECT text FROM documents WHERE doc_id = 0) d0)""".stripMargin
 
   /** Asymmetric containment oracle ([[Dedup.containmentPairs]]): naive
     * co-shingle join, |∩| over each side's set size, pair kept when the
@@ -80,19 +95,92 @@ object TrainSql {
        |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
        |WHERE round(c * 1.0 / least(x.n, y.n), 6) >= $threshold""".stripMargin
 
+  /** Exclusion tail shared by the capped-guard oracles: drop every pair
+    * touching the planted family or its source doc 0, and every pair BOTH
+    * of whose endpoints are doc-0 neighbors (pairs of the source's own
+    * near-duplicates share only family-hot keys, so the capped candidate
+    * stage cannot see them — verified on both committed SFs). `pairs` must
+    * be a CTE holding the naive answer over the planted corpus.
+    */
+  private def cappedExclusionTail(cols: String, baseId: Long): String =
+    s"""nbr AS (SELECT id2 AS d FROM pairs WHERE id1 = 0 AND id2 < $baseId)
+       |SELECT $cols FROM pairs
+       |WHERE id1 <> 0 AND id2 <> 0 AND id1 < $baseId AND id2 < $baseId
+       |  AND NOT (id1 IN (SELECT d FROM nbr) AND id2 IN (SELECT d FROM nbr))""".stripMargin
+
+  /** Capped-jaccard oracle (x2b — [[Dedup.jaccardPairs]] with
+    * `maxShingleDf` binding): on the planted fixture the corpus-hot prefix
+    * keys are exactly the family's shingles, and the candidate prefixes of
+    * the family members — and of doc 0's own near-duplicates — consist
+    * only of those, so capped mode is the exact answer minus pairs inside
+    * that hot neighborhood ([[cappedExclusionTail]]); surviving pairs keep
+    * exact-identical scores (the verify phase recomputes |∩| over FULL
+    * sets). The oracle computes the naive all-pairs answer over the same
+    * fixture and applies the exclusion.
+    */
+  def jaccardCappedSql(threshold: Double = 0.5, baseId: Long = 100000L): String =
+    s"""WITH pairs AS (
+       |WITH ${plantedCorpusCte()},
+       |${shingleCtesFrom("corpus")},
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |          FROM ds a JOIN ds b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+       |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= $threshold),
+       |${cappedExclusionTail("id1, id2, jaccard", baseId)}""".stripMargin
+
+  /** Capped-containment oracle (x36b): same exclusion argument as
+    * [[jaccardCappedSql]] — the family's shingles are the only keys over
+    * the cap in both the prefix and the full index on this fixture.
+    */
+  def containmentCappedSql(threshold: Double = 0.6, baseId: Long = 100000L): String =
+    s"""WITH pairs AS (
+       |WITH ${plantedCorpusCte()},
+       |${shingleCtesFrom("corpus")},
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+       |          FROM ds a JOIN ds b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, x.n AS s1, y.n AS s2,
+       |       round(c * 1.0 / x.n, 6) AS c1,
+       |       round(c * 1.0 / y.n, 6) AS c2,
+       |       round(c * 1.0 / least(x.n, y.n), 6) AS containment
+       |FROM inter JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+       |WHERE round(c * 1.0 / least(x.n, y.n), 6) >= $threshold),
+       |${cappedExclusionTail("id1, id2, s1, s2, c1, c2, containment", baseId)}""".stripMargin
+
   /** MinHash-LSH candidate pairs, mirroring [[Dedup.minhashLshPairs]]:
     * md5-60 shingle hash mod the Mersenne prime, the same 32 (a,b)
     * permutation literals, 8 bands of 4 hashed through md5-60 of the
     * joined band string, est_jaccard = agreeing positions / 32 (dyadic —
     * no float flake).
     */
-  def minhashLshSql(minEstJaccard: Double = 0.5): String = {
+  def minhashLshSql(minEstJaccard: Double = 0.5): String =
+    minhashLshSqlFrom(minEstJaccard, shingleCtes, "")
+
+  /** Capped-LSH oracle (x3b — [[Dedup.minhashLshPairs]] with
+    * `maxBucketSize` binding): the 201 identical family rows put every one
+    * of the family's band buckets over the cap, so the family contributes
+    * zero candidates; all other band buckets stay far under it. Capped
+    * mode = the uncapped answer minus pairs touching the family.
+    */
+  def minhashLshCappedSql(minEstJaccard: Double = 0.5,
+                          baseId: Long = 100000L): String =
+    s"""WITH pairs AS (
+       |${minhashLshSqlFrom(minEstJaccard,
+           s"${plantedCorpusCte()},\n${shingleCtesFrom("corpus")}", "")}),
+       |${cappedExclusionTail("id1, id2, est_jaccard", baseId)}""".stripMargin
+
+  private def minhashLshSqlFrom(minEstJaccard: Double, ctes: String,
+                                extraWhere: String): String = {
     val permVals = Dedup.HashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val p = Dedup.Prime
     val n = Dedup.NumHashes
     val rb = Dedup.RowsPerBand
-    s"""WITH $shingleCtes,
+    s"""WITH $ctes,
        |hashed AS (SELECT doc_id, h60 % $p AS h FROM ds),
        |perms(pidx, a, b) AS (VALUES $permVals),
        |sigl AS (SELECT doc_id, pidx, min((a * h + b) % $p) AS s
@@ -113,7 +201,7 @@ object TrainSql {
        |         AS est_jaccard
        |FROM cand JOIN sigs s1 ON id1 = s1.doc_id JOIN sigs s2 ON id2 = s2.doc_id
        |WHERE len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
-       |        >= $minEstJaccard""".stripMargin
+       |        >= $minEstJaccard$extraWhere""".stripMargin
   }
 
   /** Longest shared token run per LSH candidate pair

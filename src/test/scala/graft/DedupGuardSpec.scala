@@ -73,6 +73,48 @@ class DedupGuardSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), T] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
 
+  test("registered capped variants (x2b/x3b/x36b): the guard binds on the " +
+       "planted family and bounds candidate rows") {
+    val docs = Tables.documents(spark, sf0001)
+    val planted = Dedup.plantedHotCorpus(docs)
+    val ds = Dedup.distinctShingleHashes(planted)
+    // the 201-member identical family alone contributes C(201,2) uncapped
+    // candidate pairs; the cap must remove all of them, leaving no more
+    // candidates than the clean corpus generates on its own
+    val famPairs = 201L * 200 / 2
+    val uncapped = Dedup.prefixCandidates(ds, 0.5).count()
+    val capped = Dedup.prefixCandidates(ds, 0.5, maxShingleDf = 100).count()
+    val clean = Dedup.prefixCandidates(
+      Dedup.distinctShingleHashes(docs), 0.5).count()
+    assert(uncapped >= famPairs, s"family must dominate uncapped: $uncapped")
+    assert(capped <= clean,
+      s"capped candidates ($capped) must not exceed the clean corpus's ($clean)")
+    // the registered entries stay productive and never emit a family pair
+    val x2b = Dedup.qJaccardCapped(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val x3b = Dedup.qMinhashLshCapped(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val x36b = Dedup.qContainmentCapped(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    def noFamily(ps: Array[(Long, Long)]) = ps.forall { case (a, b) =>
+      a != 0L && b != 0L && a < 100000L && b < 100000L
+    }
+    assert(x2b.nonEmpty && noFamily(x2b), s"x2b: ${x2b.take(5).toSeq}")
+    assert(x3b.nonEmpty && noFamily(x3b), s"x3b: ${x3b.take(5).toSeq}")
+    assert(x36b.nonEmpty && noFamily(x36b), s"x36b: ${x36b.take(5).toSeq}")
+    // recall loss is confined to the planted hot neighborhood: capped is a
+    // subset of exact-on-clean, and every missing pair has BOTH endpoints
+    // in doc 0's own near-duplicate set (their shared shingles are
+    // family-hot, so the capped candidate stage cannot see them)
+    val x2 = Dedup.jaccardPairs(docs).select("id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val nbr = x2.collect { case (0L, d) => d case (d, 0L) => d } + 0L
+    val missing = (x2 -- x2b.toSet).filterNot { case (a, b) => a == 0L || b == 0L }
+    assert(x2b.toSet.subsetOf(x2), "capped must never invent a pair")
+    assert(missing.forall { case (a, b) => nbr(a) && nbr(b) },
+      s"missing pairs outside the hot neighborhood: $missing (nbr=$nbr)")
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs join at every threshold") {
     // exactness of the PPJoin-style candidate pruning: same pairs, same
     // values as the single-join form the DuckDB oracle runs
