@@ -179,6 +179,8 @@ object SparkEntry {
       graft.sources.Ingest.qIngestNormalizeLarge(s, d)),
     "i5_tree_stats_large" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qTreeStatsLarge(s, d)),
+    "i6_detect_platform" -> ((s: SparkSession, d: String) =>
+      graft.sources.Ingest.qDetectPlatform(s, d)),
     "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
     "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
     "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
@@ -786,6 +788,8 @@ object SparkEntry {
       graft.oracles.IngestSql.treeStatsSql(graft.sources.Ingest.FixtureDir),
     "i3_validation_report" ->
       graft.oracles.IngestSql.validationReportSql(graft.sources.Ingest.FixtureDir),
+    "i6_detect_platform" ->
+      graft.oracles.IngestSql.detectPlatformSql(graft.sources.Ingest.FixtureDir),
     "i4_ingest_large" ->
       graft.oracles.IngestSql.ingestNormalizeSql(s"${graft.sources.Ingest.FixtureDir}/large"),
     "i5_tree_stats_large" ->

@@ -462,6 +462,22 @@ object VectorSearch {
       .select(col("vec_id"), col("cell"), col("__pruned").isNull.as("kept"))
   }
 
+  /** Materialize the corpus cell-partitioned — the "IVF cells prune scans
+    * entirely" story made physical storage. Each vector lands in the
+    * parquet partition `cell=<id>`, so a probe query's `cell IN (…)`
+    * predicate is satisfied by the file listing (a partition filter, zero
+    * data read outside the probed cells) rather than per-row filtering —
+    * at 100 TB the nprobe/nCells scan fraction is enforced by the layout.
+    * Returns the trained centroids; PlanSpec asserts the pruning.
+    */
+  def writeCellPartitioned(embeddings: DataFrame, path: String,
+                           nCells: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    assignCells(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
   // --- scalar int8 quantization: the memory side of ANN at scale ---
 
   /** Symmetric per-vector int8 quantization: q_i = round(v_i / scale) with

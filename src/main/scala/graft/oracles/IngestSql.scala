@@ -122,6 +122,26 @@ object IngestSql {
        |       END AS n_messages
        |FROM checked""".stripMargin
 
+  /** S2 dialect-sniff oracle ([[graft.sources.Ingest.detectPlatform]], i6):
+    * re-detect each committed export's platform from its raw bytes — the
+    * same first-100-lines window truncated to 4000 chars, the same marker
+    * keys, marker precedence claude before chatgpt.
+    */
+  def detectPlatformSql(fixtureDir: String): String = {
+    def sniff(file: String): String =
+      s"""SELECT '$file' AS fixture,
+         |       CASE WHEN contains(head, '"chat_messages"') THEN 'claude'
+         |            WHEN contains(head, '"mapping"') THEN 'chatgpt'
+         |            ELSE 'unknown' END AS detected_platform
+         |FROM (SELECT substr(array_to_string(
+         |               list_slice(string_split(content, chr(10)), 1, 100),
+         |               chr(10)), 1, 4000) AS head
+         |      FROM read_text('$fixtureDir/$file'))""".stripMargin
+    s"""${sniff("claude_export.json")}
+       |UNION ALL
+       |${sniff("chatgpt_export.json")}""".stripMargin
+  }
+
   def ingestNormalizeSql(fixtureDir: String): String =
     s"""WITH RECURSIVE
        |craw AS (

@@ -254,6 +254,20 @@ object Ingest {
     else "unknown"
   }
 
+  /** S2 (oracle form, i6): the dialect sniff over both committed raw
+    * exports as a dumpable table — one row per fixture with the platform
+    * [[detectPlatform]] reports. The DuckDB oracle re-sniffs the same
+    * files independently (`read_text`, same first-100-lines/4000-char
+    * window, same marker keys), so a hash match verifies the detection
+    * logic end to end rather than trusting the Scala constant.
+    */
+  def qDetectPlatform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq("claude_export.json", "chatgpt_export.json")
+      .map(f => (f, detectPlatform(spark, s"$FixtureDir/$f")))
+      .toDF("fixture", "detected_platform")
+  }
+
   /** Validation read (S7, `json_clean.py`): PERMISSIVE parse keeping corrupt
     * records for a structure report.
     */

@@ -212,6 +212,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell-partitioned storage prunes probe scans at the file listing") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cells").toString
+    VectorSearch.writeCellPartitioned(emb, dir, nCells = 8, iters = 2)
+    val table = spark.read.parquet(dir)
+    val nParts = table.select("cell").distinct().count()
+    assert(nParts > 2, s"fixture degenerate: only $nParts cells materialized")
+    // a 2-cell probe must plan a partition filter and list ONLY those two
+    // partition directories — the scan never touches the other cells' files
+    val probe = table.where(col("cell").isin(0, 3))
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in probe plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"cell predicate must be a partition filter, got: ${scan.partitionFilters}")
+    val listed = scan.selectedPartitions.partitionCount
+    assert(listed <= 2, s"probe listed $listed partitions, expected <= 2")
+    // pruning must not change results: probe rows == full-scan rows for
+    // the same cells
+    val full = table.collect().count(r => Set(0, 3)(r.getAs[Int]("cell")))
+    assert(probe.count() == full)
+  }
+
   test("no registered query plans a cartesian product or an unjustified nested-loop join") {
     // A BroadcastNestedLoopJoin is scale-safe only when its build side is a
     // deliberately broadcast handful of rows (a 1-row query vector, a ≤k-row
