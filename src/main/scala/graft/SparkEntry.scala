@@ -144,6 +144,7 @@ object SparkEntry {
     "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
+    "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
@@ -669,6 +670,11 @@ object SparkEntry {
     "x2b_jaccard_capped"     -> graft.oracles.TrainSql.jaccardCappedSql(),
     "x3b_minhash_lsh_capped" -> graft.oracles.TrainSql.minhashLshCappedSql(),
     "x36b_containment_capped" -> graft.oracles.TrainSql.containmentCappedSql(),
+    // x47: the RAG capstone — chunk → hashed-TF-IDF embed → IVF retrieve
+    // → RRF fuse, replayed end-to-end in DuckDB (the Lloyd chain trains
+    // over the DERIVED chunk embeddings; 6-dp rounding at embedding
+    // construction is what keeps the trained pipeline hash-reproducible)
+    "x47_rag_retrieve" -> graft.oracles.TrainSql.ragRetrieveSql(),
     "x7_ann_lsh"       -> graft.oracles.TrainSql.annLshSql(),
     // x14: recursive SQL can't aggregate in the recursive term, so the
     // fixed-iteration Lloyd chain is unrolled as chained CTEs; centroid

@@ -340,12 +340,15 @@ object TrainSql {
     * 6 decimals (float-sum order wobble ~1e-13 ≪ the 5e-7 boundary), empty
     * cells carry the previous centroid forward.
     */
-  private def lloydChain(nCells: Int, iters: Int, dim: Int): String = {
+  private def lloydChain(nCells: Int, iters: Int, dim: Int,
+                         vSrc: String =
+                           "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+                        ): String = {
     val iterations = (0 until iters).flatMap { t =>
       Seq(assignCte(s"c$t", s"a$t", dim), recomputeCte(s"a$t", s"c$t", s"c${t + 1}"))
     }.mkString(",\n")
     s"""v AS (
-       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |  $vSrc),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         v AS c
@@ -1306,6 +1309,99 @@ object TrainSql {
     * accumulator's last whole symbol is `a` and `x` is `b`); the
     * DESC/a/b argmax order is plain byte order on this corpus.
     */
+  /** RAG capstone oracle ([[graft.operators.Rag.ragRetrieve]], x47): the
+    * full chunk → hashed-TF-IDF embed → IVF retrieve → RRF pipeline
+    * replayed in DuckDB — x18's window construction, the x39 hashing
+    * trick lifted to dense vectors, the x14/x37 Lloyd chain trained over
+    * the DERIVED chunk embeddings ([[lloydChain]]'s `v` source is
+    * parameterized for exactly this), the n13 BM25 arm, and x44's RRF
+    * fusion. Embedding coordinates round to 6 dp at construction on both
+    * sides — that is what makes a trained-quantizer pipeline over derived
+    * vectors hash-reproducible across engines.
+    */
+  def ragRetrieveSql(query: String = graft.operators.SemanticSearch.DefaultQuery,
+                     chunkSize: Int = 32, overlap: Int = 8, dim: Int = 64,
+                     nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                     poolK: Int = 100, topK: Int = 20, rrfK: Int = 60,
+                     stride: Long = 100000L): String = {
+    val step = chunkSize - overlap
+    val qTerms = graft.operators.SemanticSearch.tokenize(query)
+    val qcntVals = qTerms.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(_._1)
+      .map { case (t, c) => s"('$t', CAST($c AS BIGINT))" }.mkString(", ")
+    val lexpool = NlpSql.bm25Sql(qTerms.distinct, topK = poolK)
+    s"""WITH lexpool AS ($lexpool),
+       |ctoks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id * $stride + start // $step AS vec_id, doc_id AS label,
+       |         t[start + 1 : start + $chunkSize] AS ctk
+       |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), $step)) AS start
+       |        FROM ctoks)),
+       |ccounts AS (
+       |  SELECT vec_id, label, token, count(*) AS cnt
+       |  FROM (SELECT vec_id, label, unnest(ctk) AS token FROM chunks)
+       |  GROUP BY 1, 2, 3),
+       |nch AS (SELECT count(*) AS n_chunks FROM chunks),
+       |cidf AS (
+       |  SELECT token, ln(n_chunks * 1.0 / (df + 1)) AS idf
+       |  FROM (SELECT token, count(*) AS df FROM ccounts GROUP BY 1)
+       |  CROSS JOIN nch),
+       |cwj AS (
+       |  SELECT vec_id, label,
+       |         CAST(${md5Long60Sql("token")} % $dim AS INTEGER) AS j,
+       |         round(sum(cnt * idf), 6) AS wj
+       |  FROM ccounts JOIN cidf USING (token) GROUP BY 1, 2, 3),
+       |cvec AS (
+       |  SELECT vec_id, label, list(coalesce(wj, 0.0) ORDER BY j) AS v FROM (
+       |    SELECT s.vec_id, s.label, s.j, w.wj
+       |    FROM (SELECT vec_id, label, unnest(range(0, $dim)) AS j
+       |          FROM (SELECT DISTINCT vec_id, label FROM cwj)) s
+       |    LEFT JOIN cwj w ON w.vec_id = s.vec_id AND w.j = s.j)
+       |  GROUP BY 1, 2),
+       |cemb AS (SELECT vec_id, label, v FROM cvec
+       |         WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+       |qcnt(token, cnt) AS (VALUES $qcntVals),
+       |qwj AS (
+       |  SELECT CAST(${md5Long60Sql("token")} % $dim AS INTEGER) AS j,
+       |         round(sum(cnt * idf), 6) AS wj
+       |  FROM qcnt JOIN cidf USING (token) GROUP BY 1),
+       |qvec AS (
+       |  SELECT list(coalesce(w.wj, 0.0) ORDER BY s.j) AS qv
+       |  FROM (SELECT unnest(range(0, $dim)) AS j) s
+       |  LEFT JOIN qwj w ON w.j = s.j),
+       |${lloydChain(nCells, iters, dim, vSrc = "SELECT vec_id, label, v FROM cemb")},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |pr AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${sqDist("q.qv", "c.c", dim)} AS dist
+       |    FROM c$iters c CROSS JOIN qvec q)
+       |  ORDER BY dist, cell LIMIT $nprobe),
+       |cand AS (
+       |  SELECT f.vec_id, x.label,
+       |         round(list_cosine_similarity(f.v, q.qv), 6) AS sim
+       |  FROM fin f JOIN v x USING (vec_id) CROSS JOIN qvec q
+       |  WHERE f.cell IN (SELECT cell FROM pr)),
+       |r AS (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM cand),
+       |semdocs AS (SELECT label AS doc_id, max(sim) AS best_sim
+       |            FROM r WHERE rank <= $poolK GROUP BY 1),
+       |sem AS (SELECT doc_id,
+       |               CAST(row_number() OVER (ORDER BY best_sim DESC, doc_id) AS BIGINT) AS sem_rank
+       |        FROM semdocs),
+       |lex AS (SELECT doc_id,
+       |               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+       |        FROM lexpool WHERE bm25 > 0)
+       |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+       |       round(coalesce(1.0 / CAST($rrfK + l.lex_rank AS DOUBLE), 0.0) +
+       |             coalesce(1.0 / CAST($rrfK + s.sem_rank AS DOUBLE), 0.0), 6)
+       |         AS rrf_score
+       |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
   def bpeMergesSql(numMerges: Int = 10): String = {
     val iterCtes = (1 to numMerges).map { k =>
       val prev = s"st${k - 1}"
