@@ -147,6 +147,8 @@ object SparkEntry {
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
+    "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
+    "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -741,6 +743,13 @@ object SparkEntry {
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator
     "x46_bpe_merges"   -> graft.oracles.TrainSql.bpeMergesSql(),
+    // x48: the same chain's final state is the segmented vocabulary;
+    // documents join it on the word key (the apply pass runs per vocab
+    // word, never per token)
+    "x48_bpe_segment"  -> graft.oracles.TrainSql.bpeSegmentSql(),
+    // x49: grams compare by string in DuckDB (the engine key is internal
+    // xxhash64); split buckets replay x20's salted md5-60
+    "x49_split_novelty" -> graft.oracles.TrainSql.splitNoveltySql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

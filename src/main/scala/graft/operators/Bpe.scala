@@ -141,8 +141,38 @@ object Bpe {
     merged.select(col("word"), split(col("sym"), Sep).as("pieces"))
   }
 
-  // --- query entry ---
+  /** Tokenize-and-count the corpus with a learned BPE table — the serving
+    * half of the tokenizer as a corpus operator. The expensive fold runs
+    * once per *vocabulary word* (the Zipf-compressed table [[learnMerges]]
+    * trains on), never per token: documents then join the segmented vocab
+    * on the word key — at 100 TB that is one narrow equi-join keyed by
+    * word against a vocab frame orders of magnitude smaller than the
+    * token stream. Returns per-document
+    * `(doc_id, n_words, n_subwords, fertility)`; fertility =
+    * subwords-per-word, THE tokenizer-quality metric (rounded 6 dp — a
+    * ratio of exact integers, so the rounding is engine-stable).
+    */
+  def segmentCorpus(docs: DataFrame, numMerges: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val merges = learnMerges(docs, numMerges)
+      .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
+    val docWords = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("word"))
+    val segVocab = segment(wordTable(docs), merges)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+    docWords.join(segVocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"))
+  }
+
+  // --- query entries ---
 
   def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     learnMerges(Tables.documents(spark, sfDir))
+
+  def qBpeSegment(spark: SparkSession, sfDir: String): DataFrame =
+    segmentCorpus(Tables.documents(spark, sfDir))
 }

@@ -116,6 +116,40 @@ object CorpusPrep {
         .otherwise("test").as("split"))
   }
 
+  /** Train→validation n-gram leakage audit: for each document the split
+    * assigns to `validation`, the fraction of its distinct token n-grams
+    * NOT present anywhere in the `train` split. Complements the
+    * decontamination pair ([[decontaminate]]/[[decontaminateBloom]], which
+    * audit against an *external* eval table): this one audits the corpus's
+    * own split boundary — near-zero novelty means the held-out perplexity
+    * is measuring memorized text, not generalization.
+    *
+    * Scale shape: the split column derives per-row from the salted doc_id
+    * hash (no self-join to re-attach it), and the train side is ~90% of
+    * the corpus so nothing broadcasts — the audit is one shuffle equi-join
+    * on the gram hash (uniformly distributed by construction, so no
+    * salting needed) between the validation grams and the distinct train
+    * grams, followed by a per-doc partial aggregation.
+    */
+  def splitNovelty(docs: DataFrame, n: Int = 8,
+                   salt: String = "graft-split-v1"): DataFrame = {
+    val bucket = pmod(Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id"))), lit(10000L))
+    val withSplit = docs.withColumn("__split",
+      when(bucket < 9000, "train").when(bucket < 9500, "validation")
+        .otherwise("test"))
+    val trainGrams = distinctNgramHashes(
+        withSplit.where(col("__split") === "train"), n)
+      .select("h").distinct().withColumn("__seen", lit(1L))
+    val valGrams = distinctNgramHashes(
+      withSplit.where(col("__split") === "validation"), n)
+    valGrams.join(trainGrams, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__seen"), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Concat-then-chunk packing layout: within each shard (`source`),
     * documents concatenate in doc_id order and cut into `ctxLen`-token
     * windows. Emits where each document lands: starting pack, offset in
@@ -269,6 +303,9 @@ object CorpusPrep {
 
   def qAssignSplit(spark: SparkSession, sfDir: String): DataFrame =
     assignSplit(Tables.documents(spark, sfDir))
+
+  def qSplitNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    splitNovelty(Tables.documents(spark, sfDir))
 
   def qPackOffsets(spark: SparkSession, sfDir: String): DataFrame =
     packOffsets(Tables.documents(spark, sfDir))

@@ -619,6 +619,40 @@ object TrainSql {
        |       round(c * 1.0 / n, 6) AS contamination
        |FROM hits JOIN sz USING (doc_id)""".stripMargin
 
+  /** Split leakage audit ([[graft.operators.CorpusPrep.splitNovelty]]):
+    * per-validation-doc fraction of distinct n-grams absent from the train
+    * split. Grams compare by string (Spark's xxhash64 key is internal);
+    * the split replays the salted md5-60 bucket of x20.
+    */
+  def splitNoveltySql(n: Int = 8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9000 THEN 'train'
+       |              WHEN ${md5Long60Sql("'graft-split-v1:' || doc_id")} % 10000 < 9500 THEN 'validation'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) < $n THEN [coalesce(array_to_string(t, ' '), '')]
+       |         ELSE list_transform(range(len(t) - ${n - 1}),
+       |                i -> array_to_string(t[i + 1 : i + $n], ' ')) END) AS gram
+       |  FROM toks),
+       |h AS (SELECT DISTINCT doc_id, gram FROM g),
+       |hs AS (SELECT h.doc_id, h.gram, sp.split FROM h JOIN sp USING (doc_id)),
+       |tr AS (SELECT DISTINCT gram FROM hs WHERE split = 'train'),
+       |va AS (SELECT doc_id, gram FROM hs WHERE split = 'validation')
+       |SELECT va.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |       round(1.0 - sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       |         AS novelty
+       |FROM va LEFT JOIN tr ON va.gram = tr.gram
+       |GROUP BY va.doc_id""".stripMargin
+
   /** Cross-document duplication ([[graft.operators.CorpusPrep.crossDocDuplication]]):
     * distinct n-grams per doc (by string — the Spark side's xxhash64 is
     * internal), global document frequencies, shared fraction per doc.
@@ -1402,7 +1436,13 @@ object TrainSql {
        |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
-  def bpeMergesSql(numMerges: Int = 10): String = {
+  /** The shared learned-merge CTE chain (toks → words → st0 → bp1/st1 …
+    * bpN/stN): `toks` carries `(doc_id, word)` so consumers can join the
+    * final segmented state back to documents; the training CTEs group it
+    * away. Both [[bpeMergesSql]] (the merge table, x46) and
+    * [[bpeSegmentSql]] (the applied tokenizer, x48) compose over this.
+    */
+  private def bpeChain(numMerges: Int): String = {
     val iterCtes = (1 to numMerges).map { k =>
       val prev = s"st${k - 1}"
       s"""bp$k AS MATERIALIZED (
@@ -1418,11 +1458,8 @@ object TrainSql {
          |                            THEN acc || x ELSE acc || '  ' || x END) AS sym
          |  FROM $prev, bp$k m)""".stripMargin
     }.mkString(",\n")
-    val selects = (1 to numMerges).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS "rank", a AS merge_left, b AS merge_right, pair_count FROM bp$k"""
-    }.mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT unnest(
+    s"""toks AS (
+       |  SELECT doc_id, unnest(
        |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
        |                w -> w NOT IN ($stop))) AS word
        |  FROM documents),
@@ -1431,7 +1468,31 @@ object TrainSql {
        |  SELECT word, cnt,
        |         array_to_string(regexp_extract_all(word, '.'), '  ') || '  </w>' AS sym
        |  FROM words),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  def bpeMergesSql(numMerges: Int = 10): String = {
+    val selects = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS "rank", a AS merge_left, b AS merge_right, pair_count FROM bp$k"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChain(numMerges)}
        |$selects""".stripMargin
   }
+
+  /** Applied-tokenizer oracle ([[graft.operators.Bpe.segmentCorpus]], x48):
+    * the final merge state st$numMerges holds each vocabulary word's
+    * segmentation; documents join it on the word key and aggregate
+    * per-document word/subword counts plus the fertility ratio (6 dp on a
+    * ratio of exact integers — engine-stable).
+    */
+  def bpeSegmentSql(numMerges: Int = 10): String =
+    s"""WITH ${bpeChain(numMerges)},
+       |seg AS (
+       |  SELECT word, CAST(len(string_split(sym, '  ')) AS BIGINT) AS n_pieces
+       |  FROM st$numMerges)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_subwords,
+       |       round(sum(n_pieces) * 1.0 / count(*), 6) AS fertility
+       |FROM toks JOIN seg USING (word)
+       |GROUP BY doc_id""".stripMargin
 }

@@ -63,6 +63,25 @@ class BpeSpec extends SparkSpec {
     assert(quoted("it's") == Seq("i", "t", "'s", Bpe.Eow), s"got ${quoted("it's")}")
   }
 
+  test("segmentCorpus: counts reconcile and fertility is subwords per word") {
+    val docs = Seq(
+      (1L, "lowest newest lower widest newest"),
+      (2L, "low low newest")).toDF("doc_id", "text")
+    val out = Bpe.segmentCorpus(docs, numMerges = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 5L), (2L, 3L)),
+      "every (non-stopword) token must survive the vocab join")
+    out.foreach { case (_, nWords, nSub, fert) =>
+      assert(nSub >= nWords, "each word is at least one piece")
+      assert(math.abs(fert - BigDecimal(nSub.toDouble / nWords)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // a fully-merged frequent word costs fewer pieces than a rare one:
+    // doc 2 is low/newest-heavy (both learned), so its fertility can never
+    // exceed the character-level bound
+    assert(out.forall(_._4 <= 7.0))
+  }
+
   test("training is invariant to input partitioning") {
     val docs = Tables.documents(spark, sf0001)
     val m1 = Bpe.learnMerges(docs.repartition(3), numMerges = 4)

@@ -58,6 +58,31 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("split novelty: copied validation doc scores 0, unique doc scores 1") {
+    // find real bucket assignments first — the split hashes doc_id, so the
+    // fixture must plant text on ids that actually land in each split
+    val ids = (0L until 400L).toDF("doc_id")
+    val bySplit = CorpusPrep.assignSplit(ids).as[(Long, Long, String)]
+      .collect().groupBy(_._3).view.mapValues(_.map(_._1).sorted).toMap
+    val trainIds = bySplit("train").take(2)
+    val valIds = bySplit("validation").take(2)
+    assert(trainIds.size == 2 && valIds.size == 2, s"degenerate fixture: $bySplit")
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (trainIds(0), leaked),
+      (trainIds(1), "completely separate training text about database engines and storage"),
+      (valIds(0), leaked), // every 8-gram seen in train
+      (valIds(1), "unique validation prose mentioning telescopes nebulae quasars pulsars comets meteors"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.splitNovelty(docs).as[(Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == valIds.toSet, "only validation docs are audited")
+    assert(out(valIds(0))._4 == 0.0, "fully-leaked doc has zero novelty")
+    assert(out(valIds(0))._2 == out(valIds(0))._3, "all grams seen")
+    assert(out(valIds(1))._4 == 1.0, "disjoint doc is fully novel")
+    assert(out(valIds(1))._3 == 0L)
+  }
+
   test("chunking with zero overlap partitions the token stream exactly") {
     val rnd = new scala.util.Random(7)
     val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
