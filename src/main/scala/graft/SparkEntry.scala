@@ -149,6 +149,7 @@ object SparkEntry {
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
+    "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -750,6 +751,9 @@ object SparkEntry {
     // x49: grams compare by string in DuckDB (the engine key is internal
     // xxhash64); split buckets replay x20's salted md5-60
     "x49_split_novelty" -> graft.oracles.TrainSql.splitNoveltySql(),
+    // x50: four prefixed Lloyd chains (one per subvector slice) + final
+    // assignment per subspace; codes and distances join back on vec_id
+    "x50_pq_codes"     -> graft.oracles.TrainSql.pqCodesSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

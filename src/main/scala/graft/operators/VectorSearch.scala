@@ -520,6 +520,59 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Product quantization (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each dim-d vector
+    * into `m` contiguous subvectors, train an independent k-means codebook
+    * per subspace ([[kmeansCentroids]] — the same 6-dp-rounded Lloyd
+    * chain, so the whole trainer stays engine-reproducible), and encode
+    * every vector as m small codes. With m=4, k=16 a 64-dim double vector
+    * (512 B) becomes 4 nibbles — the compression that keeps a
+    * billion-vector ANN index in executor memory; [[quantize]] is the
+    * scalar (per-coordinate) alternative at 4×, PQ reaches 100×+ because
+    * it quantizes whole subvectors jointly.
+    *
+    * Plan shape: training is m model-sized driver exchanges; encoding is
+    * one corpus scan — all m codebooks ride ONE broadcast 1-row frame
+    * (array of matrices, the x39/centroid lesson) and each code is the
+    * same [[cellOf]] column algebra over its subvector slice, inside
+    * whole-stage codegen. Emits per-vector codes plus the reconstruction
+    * MSE (quantization-quality diagnostic; 6-dp rounded).
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+              iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding")),
+        k, iters).map(_.toSeq).toSeq
+    }
+    val booksFrame = broadcast(Seq(Tuple1(books)).toDF("__books"))
+    val codeCols = (0 until m).map { s =>
+      cellOf(slice(col("v"), s * subDim + 1, subDim),
+        element_at(col("__books"), s + 1)).as(s"code$s")
+    }
+    val coded = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(booksFrame)
+      .select(col("vec_id") +: col("label") +: col("v") +: col("__books") +:
+        codeCols: _*)
+    val errSum = (0 until m).map { s =>
+      aggregate(
+        zip_with(slice(col("v"), s * subDim + 1, subDim),
+          element_at(element_at(col("__books"), s + 1), col(s"code$s") + 1),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    coded.select(col("vec_id") +: col("label") +:
+      (0 until m).map(s => col(s"code$s")) :+
+      round(errSum / dim, 6).as("mse"): _*)
+  }
+
   /** Per-label centroid vectors (the aggregation side of IVF: coarse
     * clusters for probe-restricted search). `array<double>` average via
     * posexplode + groupBy on (label, dim).
@@ -593,6 +646,9 @@ object VectorSearch {
       .select(col("vec_id"), col("dim"),
         round(col("x") / col("__scale")).cast("int").as("q"), col("scale"))
   }
+
+  def qPqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodes(Tables.embeddings(spark, sfDir))
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

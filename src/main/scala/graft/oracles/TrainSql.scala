@@ -1436,6 +1436,72 @@ object TrainSql {
        |ORDER BY rrf_score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** Product-quantization oracle ([[graft.operators.VectorSearch.pqCodes]],
+    * x50): m independent Lloyd chains, one per contiguous subvector slice,
+    * each the same 6-dp-rounded trainer as [[lloydChain]] but with
+    * prefixed CTE names (MATERIALIZED — the chains are referenced twice
+    * per level and four run side by side); codes join back per vec_id and
+    * the reconstruction MSE sums the per-subspace assignment distances.
+    */
+  def pqCodesSql(m: Int = 4, k: Int = 16, iters: Int = 3,
+                 dim: Int = 64): String = {
+    val subDim = dim / m
+    def chain(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val p = s"s$s"
+      def assign(cTab: String, aTab: String): String =
+        s"""$aTab AS MATERIALIZED (
+           |  SELECT vec_id, v, cell, dist FROM (
+           |    SELECT x.vec_id, x.v, c.cell, ${sqDist("x.v", "c.c", subDim)} AS dist,
+           |           row_number() OVER (PARTITION BY x.vec_id
+           |             ORDER BY ${sqDist("x.v", "c.c", subDim)}, c.cell) AS rk
+           |    FROM ${p}v x CROSS JOIN $cTab c)
+           |  WHERE rk = 1)""".stripMargin
+      def recompute(aTab: String, cPrev: String, cNext: String): String =
+        s"""$cNext AS MATERIALIZED (
+           |  SELECT cell, list(round(mu, 6) ORDER BY d) AS c FROM (
+           |    SELECT cell, d, avg(val) AS mu FROM (
+           |      SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d
+           |      FROM $aTab)
+           |    GROUP BY cell, d)
+           |  GROUP BY cell
+           |  UNION ALL
+           |  SELECT cell, c FROM $cPrev
+           |  WHERE cell NOT IN (SELECT cell FROM $aTab GROUP BY cell))""".stripMargin
+      val iterations = (0 until iters).flatMap { t =>
+        Seq(assign(s"${p}c$t", s"${p}a$t"), recompute(s"${p}a$t", s"${p}c$t", s"${p}c${t + 1}"))
+      }.mkString(",\n")
+      s"""${p}v AS MATERIALIZED (
+         |  SELECT vec_id, v[$lo : $hi] AS v FROM v),
+         |${p}c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM ${p}v ORDER BY vec_id LIMIT $k)),
+         |$iterations,
+         |${p}fin AS MATERIALIZED (${finalAssign(p, subDim, iters)})""".stripMargin
+    }
+    val chains = (0 until m).map(chain).mkString(",\n")
+    val joins = (0 until m).map(s => s"JOIN s${s}fin f$s USING (vec_id)").mkString("\n")
+    val codes = (0 until m).map(s => s"f$s.cell AS code$s").mkString(", ")
+    val errs = (0 until m).map(s => s"f$s.dist").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |$chains
+       |SELECT b.vec_id, b.label, $codes,
+       |       round(($errs) / $dim, 6) AS mse
+       |FROM v b
+       |$joins""".stripMargin
+  }
+
+  private def finalAssign(p: String, subDim: Int, iters: Int): String =
+    s"""SELECT vec_id, cell, dist FROM (
+       |    SELECT x.vec_id, c.cell, ${sqDist("x.v", "c.c", subDim)} AS dist,
+       |           row_number() OVER (PARTITION BY x.vec_id
+       |             ORDER BY ${sqDist("x.v", "c.c", subDim)}, c.cell) AS rk
+       |    FROM ${p}v x CROSS JOIN ${p}c$iters c)
+       |  WHERE rk = 1""".stripMargin
+
   /** The shared learned-merge CTE chain (toks → words → st0 → bp1/st1 …
     * bpN/stN): `toks` carries `(doc_id, word)` so consumers can join the
     * final segmented state back to documents; the training CTEs group it

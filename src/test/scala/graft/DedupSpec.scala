@@ -228,6 +228,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes: in range, one row per vector, and exact at k >= n") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = VectorSearch.pqCodes(emb, m = 4, k = 16, iters = 3)
+      .as[(Long, Long, Int, Int, Int, Int, Double)].collect()
+    assert(out.length == emb.count())
+    out.foreach { case (id, _, c0, c1, c2, c3, mse) =>
+      assert(Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < 16),
+        s"vec $id code outside [0,16)")
+      assert(mse >= 0.0)
+    }
+    // a codebook big enough to hold every distinct subvector reconstructs
+    // exactly: Lloyd init seeds one centroid per vector, so every
+    // assignment distance is 0 from iteration 0 onward
+    val tiny = (0L until 6L).map(i =>
+      (i, i % 2, Array.tabulate(8)(d => (i * 8 + d).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val exact = VectorSearch.pqCodes(tiny, m = 2, k = 6, iters = 2)
+      .select("mse").as[Double].collect()
+    assert(exact.forall(_ == 0.0), s"k>=n must reconstruct exactly: ${exact.toSeq}")
+  }
+
+  test("PQ training is invariant to input partitioning") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = VectorSearch.pqCodes(emb.repartition(3), m = 4, k = 8, iters = 2)
+      .as[(Long, Long, Int, Int, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    val b = VectorSearch.pqCodes(emb.repartition(11), m = 4, k = 8, iters = 2)
+      .as[(Long, Long, Int, Int, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("quantized ANN top-k closely matches the exact top-k") {
     val emb = Tables.embeddings(spark, sf0001)
     val exact = VectorSearch.annTopK(emb, 0L, 10)

@@ -270,8 +270,9 @@ class PlanSpec extends SparkSpec {
       "x30_semantic_dedup", "x37_ivf_knn_join",
       "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
       "x44_hybrid_search",   // semantic arm reuses n12's 1-row query-norm broadcast
-      "x47_rag_retrieve"     // 1-row n_chunks aggregate (chunk-corpus IDF) + the
+      "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
                              // IVF family's broadcast centroid frame, as in x37
+      "x50_pq_codes"         // all m codebooks ride one broadcast 1-row frame
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
