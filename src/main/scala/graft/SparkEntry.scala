@@ -150,6 +150,7 @@ object SparkEntry {
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
+    "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -754,6 +755,9 @@ object SparkEntry {
     // x50: four prefixed Lloyd chains (one per subvector slice) + final
     // assignment per subspace; codes and distances join back on vec_id
     "x50_pq_codes"     -> graft.oracles.TrainSql.pqCodesSql(),
+    // x51: same chains + per-subspace query→codeword LUTs; the scan is m
+    // LUT joins on the code, never the original vectors
+    "x51_pq_adc_topk"  -> graft.oracles.TrainSql.pqAdcSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

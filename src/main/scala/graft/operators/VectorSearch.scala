@@ -540,27 +540,9 @@ object VectorSearch {
     */
   def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 16,
               iters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
-      kmeansCentroids(
-        embeddings.select(col("vec_id"),
-          slice(col("embedding"), s * subDim + 1, subDim).as("embedding")),
-        k, iters).map(_.toSeq).toSeq
-    }
-    val booksFrame = broadcast(Seq(Tuple1(books)).toDF("__books"))
-    val codeCols = (0 until m).map { s =>
-      cellOf(slice(col("v"), s * subDim + 1, subDim),
-        element_at(col("__books"), s + 1)).as(s"code$s")
-    }
-    val coded = embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .crossJoin(booksFrame)
-      .select(col("vec_id") +: col("label") +: col("v") +: col("__books") +:
-        codeCols: _*)
+    val (subDim, books) = pqTrain(embeddings, m, k, iters)
+    val coded = pqEncoded(embeddings, subDim, books)
+    val dim = subDim * m
     val errSum = (0 until m).map { s =>
       aggregate(
         zip_with(slice(col("v"), s * subDim + 1, subDim),
@@ -571,6 +553,81 @@ object VectorSearch {
     coded.select(col("vec_id") +: col("label") +:
       (0 until m).map(s => col(s"code$s")) :+
       round(errSum / dim, 6).as("mse"): _*)
+  }
+
+  /** Train the m per-subspace codebooks; returns (subDim, books) where
+    * `books(s)(j)` is subspace s's j-th centroid. Model-sized driver
+    * traffic only.
+    */
+  private[graft] def pqTrain(embeddings: DataFrame, m: Int, k: Int,
+                             iters: Int): (Int, Seq[Seq[Seq[Double]]]) = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding")),
+        k, iters).map(_.toSeq).toSeq
+    }
+    (subDim, books)
+  }
+
+  /** One-scan PQ encoding: `(vec_id, label, v, __books, code0..code{m-1})`
+    * with all m codebooks on the broadcast 1-row `__books` frame.
+    */
+  private def pqEncoded(embeddings: DataFrame, subDim: Int,
+                        books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val booksFrame = broadcast(Seq(Tuple1(books)).toDF("__books"))
+    val codeCols = (0 until m).map { s =>
+      cellOf(slice(col("v"), s * subDim + 1, subDim),
+        element_at(col("__books"), s + 1)).as(s"code$s")
+    }
+    embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(booksFrame)
+      .select(col("vec_id") +: col("label") +: col("v") +: col("__books") +:
+        codeCols: _*)
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC scan of Jégou 2011 §IV): the
+    * query stays full precision; per subspace a k-entry lookup table of
+    * squared distances query-subvector → codeword is built driver-side
+    * (m·k doubles — model-sized) and broadcast, and each corpus vector's
+    * approximate distance is m table lookups + adds over its CODES — the
+    * scan never touches the original vectors. At 100 TB this is the whole
+    * point of PQ: the hot scan reads m small ints per vector instead of
+    * dim doubles, with the LUT in every executor's cache. Returns the
+    * `kTop` nearest by ADC distance (6-dp rounded, vec_id tie-break).
+    */
+  def pqAdcTopK(embeddings: DataFrame, queryVecId: Long, kTop: Int = 10,
+                m: Int = 4, k: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (subDim, books) = pqTrain(embeddings, m, k, iters)
+    val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      books(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val t = q(s * subDim + i) - c(i); d += t * t; i += 1
+        }
+        d
+      }
+    }
+    val lutFrame = broadcast(Seq(Tuple1(lut)).toDF("__lut"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__lut"), s + 1), col(s"code$s") + 1))
+      .reduce(_ + _)
+    pqEncoded(embeddings.where(col("vec_id") =!= queryVecId), subDim, books)
+      .crossJoin(lutFrame)
+      .select(col("vec_id"), col("label"), round(adc, 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(kTop)
   }
 
   /** Per-label centroid vectors (the aggregation side of IVF: coarse
@@ -649,6 +706,9 @@ object VectorSearch {
 
   def qPqCodes(spark: SparkSession, sfDir: String): DataFrame =
     pqCodes(Tables.embeddings(spark, sfDir))
+
+  def qPqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

@@ -1446,6 +1446,53 @@ object TrainSql {
   def pqCodesSql(m: Int = 4, k: Int = 16, iters: Int = 3,
                  dim: Int = 64): String = {
     val subDim = dim / m
+    val joins = (0 until m).map(s => s"JOIN s${s}fin f$s USING (vec_id)").mkString("\n")
+    val codes = (0 until m).map(s => s"f$s.cell AS code$s").mkString(", ")
+    val errs = (0 until m).map(s => s"f$s.dist").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqChains(m, k, iters, subDim)}
+       |SELECT b.vec_id, b.label, $codes,
+       |       round(($errs) / $dim, 6) AS mse
+       |FROM v b
+       |$joins""".stripMargin
+  }
+
+  /** PQ-ADC top-k oracle ([[graft.operators.VectorSearch.pqAdcTopK]],
+    * x51): the same per-subspace chains, a per-subspace lookup table of
+    * query-subvector → codeword squared distances, and the scan as m
+    * LUT joins on the code.
+    */
+  def pqAdcSql(queryVecId: Long = 0L, kTop: Int = 10, m: Int = 4,
+               k: Int = 16, iters: Int = 3, dim: Int = 64): String = {
+    val subDim = dim / m
+    val luts = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""qs$s AS (SELECT v[$lo : $hi] AS v FROM v WHERE vec_id = $queryVecId),
+         |lut$s AS (SELECT c.cell, ${sqDist("q.v", "c.c", subDim)} AS d
+         |          FROM s${s}c$iters c CROSS JOIN qs$s q)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}fin f$s USING (vec_id) JOIN lut$s l$s ON l$s.cell = f$s.cell")
+      .mkString("\n")
+    val dists = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqChains(m, k, iters, subDim)},
+       |$luts
+       |SELECT b.vec_id, b.label, round($dists, 6) AS adc_dist
+       |FROM v b
+       |$joins
+       |WHERE b.vec_id <> $queryVecId
+       |ORDER BY adc_dist, b.vec_id LIMIT $kTop""".stripMargin
+  }
+
+  /** The m prefixed per-subspace Lloyd chains + final assignments
+    * (`s{s}v → s{s}c0 → s{s}a0/c1 … → s{s}fin`), composing over a `v`
+    * CTE of `(vec_id, …, v)`.
+    */
+  private def pqChains(m: Int, k: Int, iters: Int, subDim: Int): String = {
     def chain(s: Int): String = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -1481,17 +1528,7 @@ object TrainSql {
          |$iterations,
          |${p}fin AS MATERIALIZED (${finalAssign(p, subDim, iters)})""".stripMargin
     }
-    val chains = (0 until m).map(chain).mkString(",\n")
-    val joins = (0 until m).map(s => s"JOIN s${s}fin f$s USING (vec_id)").mkString("\n")
-    val codes = (0 until m).map(s => s"f$s.cell AS code$s").mkString(", ")
-    val errs = (0 until m).map(s => s"f$s.dist").mkString(" + ")
-    s"""WITH v AS (
-       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |$chains
-       |SELECT b.vec_id, b.label, $codes,
-       |       round(($errs) / $dim, 6) AS mse
-       |FROM v b
-       |$joins""".stripMargin
+    (0 until m).map(chain).mkString(",\n")
   }
 
   private def finalAssign(p: String, subDim: Int, iters: Int): String =

@@ -249,6 +249,49 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(_ == 0.0), s"k>=n must reconstruct exactly: ${exact.toSeq}")
   }
 
+  test("PQ-ADC top-k approximates the exact top-k and never reads the query row") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // ADC approximates EUCLIDEAN distance (cosine knnJoin is the wrong
+    // comparator unless vectors are normalized) — exact L2 in-memory
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    val q = all(0L)
+    val ranked = (all - 0L).toSeq
+      .map { case (id, v) =>
+        (id, v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.map(_._1)
+    val top100 = ranked.take(100).toSet
+    val adc = VectorSearch.pqAdcTopK(emb, 0L, kTop = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(adc.length == 10 && !adc.map(_._1).contains(0L))
+    assert(adc.map(_._3).toSeq == adc.map(_._3).sorted.toSeq, "ascending by distance")
+    // the sf fixture is near-random high-dim data: pairwise distances
+    // concentrate (measured ~[1.3, 2.7]), so 16-cell codebook distortion
+    // legitimately swamps individual neighbor gaps. Require strong
+    // correlation (most picks inside the exact top quintile), not recall.
+    assert((top100 & adc.map(_._1).toSet).size >= 5,
+      s"ADC uncorrelated with exact ranks: ${adc.map(_._1).map(ranked.indexOf).toSeq}")
+  }
+
+  test("PQ-ADC retrieves cluster-mates exactly on separable data") {
+    // 3 well-separated clusters of 8, tight intra-cluster noise: codebook
+    // cells align with clusters, so ADC must return the query's 7 mates
+    // ahead of everything else
+    val vecs = for (c <- 0 until 3; i <- 0 until 8) yield {
+      val id = (c * 8 + i).toLong
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 10.0f * (c + 1) else 0.0f)
+      (id, c.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * ((id + d) % 5) })
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = VectorSearch.pqAdcTopK(df, 0L, kTop = 7, m = 2, k = 4, iters = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == (1L to 7L).toSet,
+      s"cluster mates must win: ${out.toSeq}")
+    assert(out.forall(_._2 == 0L))
+  }
+
   test("PQ training is invariant to input partitioning") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = VectorSearch.pqCodes(emb.repartition(3), m = 4, k = 8, iters = 2)
