@@ -151,6 +151,7 @@ object SparkEntry {
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
+    "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -758,6 +759,9 @@ object SparkEntry {
     // x51: same chains + per-subspace query→codeword LUTs; the scan is m
     // LUT joins on the code, never the original vectors
     "x51_pq_adc_topk"  -> graft.oracles.TrainSql.pqAdcSql(),
+    // x52: coarse chain + residual PQ chains + per-cell LUTs, scan
+    // restricted to probed cells
+    "x52_ivfpq_topk"   -> graft.oracles.TrainSql.ivfPqSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

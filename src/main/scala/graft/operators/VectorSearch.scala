@@ -577,7 +577,8 @@ object VectorSearch {
     * with all m codebooks on the broadcast 1-row `__books` frame.
     */
   private def pqEncoded(embeddings: DataFrame, subDim: Int,
-                        books: Seq[Seq[Seq[Double]]]): DataFrame = {
+                        books: Seq[Seq[Seq[Double]]],
+                        carry: Seq[String] = Nil): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val m = books.length
@@ -587,10 +588,11 @@ object VectorSearch {
         element_at(col("__books"), s + 1)).as(s"code$s")
     }
     embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id") +: col("label") +:
+        asDouble(col("embedding")).as("v") +: carry.map(col): _*)
       .crossJoin(booksFrame)
       .select(col("vec_id") +: col("label") +: col("v") +: col("__books") +:
-        codeCols: _*)
+        (carry.map(col) ++ codeCols): _*)
   }
 
   /** PQ asymmetric-distance top-k (the ADC scan of Jégou 2011 §IV): the
@@ -626,6 +628,78 @@ object VectorSearch {
     pqEncoded(embeddings.where(col("vec_id") =!= queryVecId), subDim, books)
       .crossJoin(lutFrame)
       .select(col("vec_id"), col("label"), round(adc, 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(kTop)
+  }
+
+  /** IVF-PQ search (the IVFADC index of Jégou 2011 §V — the layout FAISS
+    * ships as `IVFx,PQy`): a coarse k-means quantizer buckets vectors into
+    * cells, PQ codebooks train on the RESIDUALS (vector − cell centroid —
+    * residuals concentrate near 0, so the same k codewords spend their
+    * precision where the data is), and a query probes only the `nprobe`
+    * nearest cells, scanning m-code rows with a per-cell ADC lookup table
+    * (the query's residual differs per cell, hence one LUT per cell).
+    *
+    * This is the full industrial ANN recipe and the top of this library's
+    * ladder (brute x5 → LSH x7 → IVF x14/x37 → PQ x50/x51 → IVFPQ): at
+    * 100 TB the cell id is the partition key (probes prune partitions —
+    * see [[writeCellPartitioned]] + PlanSpec), the scan reads m small ints
+    * per row, and every model artifact (centroids, codebooks, LUT stack)
+    * is model-sized driver traffic riding broadcast 1-row frames with a
+    * data-invariant plan shape.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, kTop: Int = 10,
+                nCells: Int = 16, cIters: Int = 5, m: Int = 4, k: Int = 16,
+                iters: Int = 3, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nCells, cIters)
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // residual frame: cell assignment + (v − centroid[cell]) in one scan
+    // localCheckpoint: residual-codebook training makes m·iters passes
+    // over this frame — materialize the (narrow) residuals once instead
+    // of re-deriving assignment + subtraction per pass (the x46 lesson)
+    val withRes = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroidsFrame(spark, cents)))
+      .withColumn("cell", cellOf(col("v"), col("__cents")))
+      .select(col("vec_id"), col("label"), col("cell"),
+        zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
+          (x, y) => x - y).as("embedding"))
+      .localCheckpoint()
+    val (_, books) = pqTrain(withRes, m, k, iters)
+    val coded = pqEncoded(withRes, subDim, books, carry = Seq("cell"))
+    // query-side model math, all driver-scale: probe cells by exact
+    // centroid distance, then one ADC LUT per cell (the query residual is
+    // cell-dependent). The LUT stack is indexed by cell id so the scan
+    // dereferences it with the row's own cell.
+    val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+    def sq(a: Array[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, cell) => (sq(q, c.toSeq), cell) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    val luts: Seq[Seq[Seq[Double]]] = cents.indices.map { cell =>
+      val rq = q.indices.map(i => q(i) - cents(cell)(i)).toArray
+      (0 until m).map { s =>
+        books(s).map(c => sq(rq.slice(s * subDim, (s + 1) * subDim), c))
+      }
+    }
+    val lutFrame = broadcast(Seq(Tuple1(luts)).toDF("__luts"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(element_at(col("__luts"), col("cell") + 1), s + 1),
+        col(s"code$s") + 1)).reduce(_ + _)
+    coded
+      .where(col("cell").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(lutFrame)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(adc, 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(kTop)
   }
@@ -709,6 +783,9 @@ object VectorSearch {
 
   def qPqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
     pqAdcTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  def qIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

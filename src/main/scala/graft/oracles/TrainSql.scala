@@ -310,8 +310,9 @@ object TrainSql {
     * against centroid table `cTab`; argmin ties break to the lower cell
     * (matching Spark's `array_position` first-match).
     */
-  private def assignCte(cTab: String, aTab: String, dim: Int): String =
-    s"""$aTab AS (
+  private def assignCte(cTab: String, aTab: String, dim: Int,
+                        mat: Boolean = false): String =
+    s"""$aTab AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT vec_id, v, cell FROM (
        |    SELECT x.vec_id, x.v, c.cell,
        |           row_number() OVER (PARTITION BY x.vec_id
@@ -319,8 +320,9 @@ object TrainSql {
        |    FROM v x CROSS JOIN $cTab c)
        |  WHERE rk = 1)""".stripMargin
 
-  private def recomputeCte(aTab: String, cPrev: String, cNext: String): String =
-    s"""$cNext AS (
+  private def recomputeCte(aTab: String, cPrev: String, cNext: String,
+                           mat: Boolean = false): String =
+    s"""$cNext AS ${if (mat) "MATERIALIZED " else ""}(
        |  SELECT cell, list(round(m, 6) ORDER BY d) AS c FROM (
        |    SELECT cell, d, avg(val) AS m FROM (
        |      SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS d
@@ -342,10 +344,11 @@ object TrainSql {
     */
   private def lloydChain(nCells: Int, iters: Int, dim: Int,
                          vSrc: String =
-                           "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
-                        ): String = {
+                           "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings",
+                         mat: Boolean = false): String = {
     val iterations = (0 until iters).flatMap { t =>
-      Seq(assignCte(s"c$t", s"a$t", dim), recomputeCte(s"a$t", s"c$t", s"c${t + 1}"))
+      Seq(assignCte(s"c$t", s"a$t", dim, mat),
+        recomputeCte(s"a$t", s"c$t", s"c${t + 1}", mat))
     }.mkString(",\n")
     s"""v AS (
        |  $vSrc),
@@ -1488,11 +1491,61 @@ object TrainSql {
        |ORDER BY adc_dist, b.vec_id LIMIT $kTop""".stripMargin
   }
 
+  /** IVF-PQ oracle ([[graft.operators.VectorSearch.ivfPqTopK]], x52): the
+    * x14 coarse Lloyd chain, residuals vs the assigned centroid, the m PQ
+    * chains retargeted at the residual CTE, probe cells by exact
+    * query→centroid distance, one ADC LUT per cell (the query residual is
+    * cell-dependent), and the scan as code-joins restricted to probed
+    * cells.
+    */
+  def ivfPqSql(queryVecId: Long = 0L, kTop: Int = 10, nCells: Int = 16,
+               cIters: Int = 5, m: Int = 4, k: Int = 16, iters: Int = 3,
+               nprobe: Int = 4, dim: Int = 64): String = {
+    val subDim = dim / m
+    val resExpr = s"list_transform(range(1, ${dim + 1}), i -> a.v[i] - c.c[i])"
+    val rqExpr = s"list_transform(range(1, ${dim + 1}), i -> q.v[i] - c.c[i])"
+    val luts = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"""rqs$s AS (SELECT cell, v[$lo : $hi] AS v FROM rq),
+         |lut$s AS (SELECT r.cell AS qcell, b.cell AS code,
+         |                 ${sqDist("r.v", "b.c", subDim)} AS d
+         |          FROM rqs$s r CROSS JOIN s${s}c$iters b)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m).map(s =>
+      s"JOIN s${s}fin f$s ON f$s.vec_id = a.vec_id " +
+        s"JOIN lut$s l$s ON l$s.qcell = a.cell AND l$s.code = f$s.cell")
+      .mkString("\n")
+    val dists = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH ${lloydChain(nCells, cIters, dim, mat = true)},
+       |${assignCte(s"c$cIters", "asg", dim, mat = true)},
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, $resExpr AS v
+       |  FROM asg a JOIN c$cIters c USING (cell)),
+       |${pqChains(m, k, iters, subDim, src = "res")},
+       |qv AS (SELECT v FROM v WHERE vec_id = $queryVecId),
+       |pr AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, ${sqDist("q.v", "c.c", dim)} AS d
+       |    FROM c$cIters c CROSS JOIN qv q)
+       |  ORDER BY d, cell LIMIT $nprobe),
+       |rq AS (
+       |  SELECT c.cell, $rqExpr AS v
+       |  FROM c$cIters c CROSS JOIN qv q),
+       |$luts
+       |SELECT a.vec_id, b.label, a.cell, round($dists, 6) AS adc_dist
+       |FROM asg a JOIN v b ON b.vec_id = a.vec_id
+       |$joins
+       |WHERE a.cell IN (SELECT cell FROM pr) AND a.vec_id <> $queryVecId
+       |ORDER BY adc_dist, a.vec_id LIMIT $kTop""".stripMargin
+  }
+
   /** The m prefixed per-subspace Lloyd chains + final assignments
     * (`s{s}v → s{s}c0 → s{s}a0/c1 … → s{s}fin`), composing over a `v`
     * CTE of `(vec_id, …, v)`.
     */
-  private def pqChains(m: Int, k: Int, iters: Int, subDim: Int): String = {
+  private def pqChains(m: Int, k: Int, iters: Int, subDim: Int,
+                       src: String = "v"): String = {
     def chain(s: Int): String = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -1520,7 +1573,7 @@ object TrainSql {
         Seq(assign(s"${p}c$t", s"${p}a$t"), recompute(s"${p}a$t", s"${p}c$t", s"${p}c${t + 1}"))
       }.mkString(",\n")
       s"""${p}v AS MATERIALIZED (
-         |  SELECT vec_id, v[$lo : $hi] AS v FROM v),
+         |  SELECT vec_id, v[$lo : $hi] AS v FROM $src),
          |${p}c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
          |         v AS c

@@ -292,6 +292,38 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L))
   }
 
+  test("IVF-PQ retrieves cluster-mates and scans only probed cells") {
+    // clusters interleave with ids (c = id % 3) so the first-nCells Lloyd
+    // seeds land one per cluster — with contiguous ids the seeds would all
+    // come from cluster 0 and k-means would split it instead
+    val vecs = (0 until 24).map { idInt =>
+      val id = idInt.toLong
+      val c = idInt % 3
+      val base = Array.tabulate(8)(d => if (d % 3 == c) 10.0f * (c + 1) else 0.0f)
+      (id, c.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * ((id + d) % 5) })
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    // nprobe=1 on separable clusters: the probed cell IS the query's
+    // cluster, so the result is exactly the 7 mates and nothing leaks in
+    // from unprobed cells
+    val out = VectorSearch.ivfPqTopK(df, 0L, kTop = 10,
+      nCells = 3, cIters = 3, m = 2, k = 4, iters = 2, nprobe = 1)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.length == 7, s"nprobe=1 must bound the scan to one cell: ${out.toSeq}")
+    assert(out.map(_._1).toSet == (3L until 24L by 3).toSet, s"got ${out.toSeq}")
+    assert(out.map(_._3).distinct.length == 1, "all hits share the probed cell")
+  }
+
+  test("IVF-PQ on the fixture: valid shape, ascending, probe-bounded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = VectorSearch.ivfPqTopK(emb, 0L, kTop = 10)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.length == 10 && !out.map(_._1).contains(0L))
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq)
+    assert(out.map(_._3).distinct.length <= 4, "hits confined to nprobe cells")
+  }
+
   test("PQ training is invariant to input partitioning") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = VectorSearch.pqCodes(emb.repartition(3), m = 4, k = 8, iters = 2)

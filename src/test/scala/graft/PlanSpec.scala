@@ -273,7 +273,8 @@ class PlanSpec extends SparkSpec {
       "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
                              // IVF family's broadcast centroid frame, as in x37
       "x50_pq_codes",        // all m codebooks ride one broadcast 1-row frame
-      "x51_pq_adc_topk"      // codebooks frame + the 1-row ADC lookup table
+      "x51_pq_adc_topk",     // codebooks frame + the 1-row ADC lookup table
+      "x52_ivfpq_topk"       // centroid frame + codebooks + per-cell LUT stack
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
