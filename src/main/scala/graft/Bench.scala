@@ -11,6 +11,7 @@ object Bench {
       // shared across the 100+ suite queries, forcing Janino recompiles;
       // size it to the suite so each distinct stage compiles once
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     // Dev-only A/B knob (unset in driver runs): "k=v;k=v" session confs.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>

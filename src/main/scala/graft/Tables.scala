@@ -22,6 +22,12 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The fixtures' timestamp columns are naive parquet micros
+    // (isAdjustedToUTC = false), which Spark 4 would otherwise infer as
+    // TIMESTAMP_NTZ; the engine computes in (UTC-session) TimestampType, so
+    // pin inference before the first footer read. Runtime conf, set lazily
+    // so a driver-created session gets it too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
@@ -34,20 +40,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long (legacy conf) and truncate to
-    * microsecond TimestampType — the same precision a native reader would
-    * keep. Conf is set on the session lazily so any driver-created session
-    * works too.
+  /** `events.ts` has shipped in three parquet encodings across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (unreadable as a timestamp by
+    * Spark 4 — read as long nanos under the legacy conf and truncate to
+    * micros), naive micros (TIMESTAMP_NTZ under default inference — cast
+    * to the engine's UTC-session TimestampType, micros-preserving), and
+    * UTC-adjusted micros (plain TimestampType). Normalize all three so
+    * every operator sees one ts type. Confs are set on the session lazily
+    * so any driver-created session works too.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case TimestampNTZType => // inference pinned off in read(); belt-and-braces
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,9 +21,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Dump-boundary normalization: the engine computes in UTC-session
+        // TimestampType, but DuckDB reads the (naive) fixture timestamps as
+        // plain TIMESTAMP, so a raw timestamp output column would compare
+        // tz-aware vs naive in the driver's hasher. Casting LTZ→NTZ in a
+        // UTC session keeps the identical micros and writes naive parquet.
+        val out = df.select(df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQ
   */
 object EventStream {
 
-  /** events.parquet schema with ts pre-converted (the nanos column reads as
-    * long under the legacy conf — see [[graft.Tables.events]]).
+  /** events.parquet schema for fixture generations whose ts column is
+    * INT64 TIMESTAMP(NANOS) (readable only as long nanos under the legacy
+    * conf — see [[graft.Tables.events]]).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,13 +34,30 @@ object EventStream {
   private def withTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
 
+  /** The events file source with `ts` normalized to (UTC-session)
+    * TimestampType. `readStream` needs an explicit schema, and the fixture
+    * generation determines the ts parquet encoding (long nanos vs naive
+    * micros — [[graft.Tables.events]] documents the history), so sniff the
+    * batch footer once and build the matching stream schema; micros files
+    * read TimestampType directly (an explicit schema bypasses NTZ
+    * inference), nanos files keep the legacy long + divide path.
+    */
+  private def eventSource(spark: SparkSession, dir: String,
+                          oneFilePerTrigger: Boolean = true): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val nanos = spark.read.parquet(dir).schema("ts").dataType == LongType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts" && !nanos) f.copy(dataType = TimestampType) else f))
+    val rdr = spark.readStream.schema(schema)
+    val src = (if (oneFilePerTrigger) rdr.option("maxFilesPerTrigger", "1")
+               else rdr).parquet(dir)
+    if (nanos) withTs(src) else src
+  }
+
   /** Streaming tumbling-window daily counts with a 1-hour watermark. */
   def dailyCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    withTs(src)
+    eventSource(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
@@ -261,11 +279,7 @@ object EventStream {
     * sessions emit once the watermark passes their close. */
   def sessionWindowStream(spark: SparkSession, dir: String,
                           gapSeconds: Int = SessionGapSeconds): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    withTs(src)
+    eventSource(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), s"$gapSeconds seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
@@ -282,11 +296,7 @@ object EventStream {
     * formulation that survives an unbounded 100 TB ingest.
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    withTs(src)
+    eventSource(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -327,16 +337,13 @@ object EventStream {
   def sessionFlatMapStream(spark: SparkSession, dir: String,
                            gapSeconds: Int = SessionGapSeconds): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val src = eventSource(spark, dir)
     val gapMicros = gapSeconds * 1000000L
     def fmt(micros: Long): String =
       java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
         .atZone(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-    withTs(src)
+    src
       .withWatermark("ts", "1 hour")
       // keep the watermarked ts column alive through the projection — the
       // event-time timeout needs it on the stateful operator's input
@@ -402,12 +409,8 @@ object EventStream {
     */
   def viewClickJoinStream(spark: SparkSession, dir: String,
                           withinSeconds: Int = 3600): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(eventType: String, prefix: String): DataFrame = {
-      val src = spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-      withTs(src)
+      eventSource(spark, dir)
         .where(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user"),
           col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
@@ -464,11 +467,7 @@ object EventStream {
     */
   def userStatsStream(spark: SparkSession, dir: String): Dataset[UserStats] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    withTs(src)
+    eventSource(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_micros"))
       .as[UserEvent]
@@ -522,9 +521,7 @@ object EventStream {
     * source, watermark bookkeeping, state store, sink — changed results.
     */
   def streamDailyDemo(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema).parquet(dir)
-    withTs(src)
+    eventSource(spark, dir, oneFilePerTrigger = false)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -575,11 +572,10 @@ object EventStream {
     */
   def streamEnrichedDemo(spark: SparkSession, dir: String,
                          customers: DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawSchema).parquet(dir)
+    val src = eventSource(spark, dir, oneFilePerTrigger = false)
     val dim = customers.select(col("c_custkey").as("user_id"),
       col("c_mktsegment").as("mktsegment"))
-    withTs(src)
+    src
       .withWatermark("ts", "1 hour")
       .join(broadcast(dim), "user_id")
       .groupBy(window(col("ts"), "1 day"), col("mktsegment"))

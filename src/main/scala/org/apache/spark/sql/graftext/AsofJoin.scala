@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Backward as-of join: for every left row, attach the single right row with
   * the same key and the greatest right time ≤ the left time (left-outer —
@@ -261,7 +261,9 @@ object AsofJoin {
       out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"asof column '$name' not found among ${out.map(_.name).mkString(", ")}"))
     def widen(e: Attribute): Expression = e.dataType match {
-      case LongType | TimestampType => e
+      // TIMESTAMP and TIMESTAMP_NTZ are both physically epoch-ordered
+      // micros longs — directly merge-comparable
+      case LongType | TimestampType | TimestampNTZType => e
       case IntegerType              => Cast(e, LongType)
       // date→numeric casts fail analysis since Spark 3.0; UnixDate reads
       // the physical day count (monotonic, which is all the merge needs)
@@ -273,14 +275,20 @@ object AsofJoin {
     // micros*; pairing them would analyze fine but compare incompatible
     // units and silently match garbage. Date→Timestamp promotion is also
     // not done implicitly — midnight is timezone-dependent, so the caller
-    // must cast explicitly and own that choice.
+    // must cast explicitly and own that choice. Same rule for
+    // TIMESTAMP vs TIMESTAMP_NTZ: local-wall-time micros only equal
+    // UTC-instant micros in a UTC session, so mixing them must be an
+    // explicit caller cast, not a silent reinterpretation.
     def widenPair(a: Attribute, b: Attribute): (Expression, Expression) = {
       val types = Set(a.dataType, b.dataType)
-      if (types == Set[org.apache.spark.sql.types.DataType](DateType, TimestampType))
+      val timeish = Set[org.apache.spark.sql.types.DataType](
+        DateType, TimestampType, TimestampNTZType)
+      if (types.size == 2 && types.subsetOf(timeish))
         throw new IllegalArgumentException(
           s"asof columns '${a.name}' (${a.dataType.simpleString}) and '${b.name}' " +
-          s"(${b.dataType.simpleString}) mix DateType and TimestampType, which widen " +
-          "to different units (days vs epoch micros); cast one side explicitly")
+          s"(${b.dataType.simpleString}) mix distinct time types, which widen to " +
+          "different units or epochs (days vs local vs UTC micros); cast one side " +
+          "explicitly")
       (widen(a), widen(b))
     }
     val (lKey, rKey) = widenPair(attr(lPlan.output, leftKey), attr(rPlan.output, rightKey))

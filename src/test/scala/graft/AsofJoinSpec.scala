@@ -52,7 +52,25 @@ class AsofJoinSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asof(l, r, "k", "t", "rk", "rd")
     }
-    assert(e.getMessage.contains("mix DateType and TimestampType"))
+    assert(e.getMessage.contains("mix distinct time types"))
+  }
+
+  test("TIMESTAMP_NTZ time columns on both sides are accepted and match") {
+    // NTZ is physically epoch-ordered micros, same as TimestampType; the
+    // merge must take it directly (naive-timestamp parquet reads as NTZ
+    // under Spark's default inference)
+    val l = Seq((1L, "2024-03-10 00:00:00", "a")).toDF("k", "t", "tag")
+      .select(col("k"), col("t").cast("timestamp_ntz").as("t"), col("tag"))
+    val r = Seq((1L, "2024-03-05 00:00:00", 5.0)).toDF("rk", "rt", "v")
+      .select(col("rk"), col("rt").cast("timestamp_ntz").as("rt"), col("v"))
+    val out = AsofJoin.asof(l, r, "k", "t", "rk", "rt").collect()
+    assert(out.length == 1 && out(0).getAs[Double]("v") == 5.0)
+    // mixing NTZ with LTZ is rejected like Date/Timestamp
+    val lm = l.select(col("k"), col("t").cast("timestamp").as("t"), col("tag"))
+    val em = intercept[IllegalArgumentException] {
+      AsofJoin.asof(lm, r, "k", "t", "rk", "rt")
+    }
+    assert(em.getMessage.contains("mix distinct time types"))
   }
 
   test("right rows with null time sort first and never match") {

@@ -35,6 +35,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // fixture timestamps are naive parquet micros; the engine computes in
+      // (UTC-session) TimestampType, not TIMESTAMP_NTZ — see Tables.read
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
