@@ -152,6 +152,8 @@ object SparkEntry {
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
     "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
+    "x53_dsir_weights" -> (Dsir.qDsirWeights _),
+    "x54_dsir_sample"  -> (Dsir.qDsirSample _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -762,6 +764,10 @@ object SparkEntry {
     // x52: coarse chain + residual PQ chains + per-cell LUTs, scan
     // restricted to probed cells
     "x52_ivfpq_topk"   -> graft.oracles.TrainSql.ivfPqSql(),
+    // x53/x54: hashed unigram+bigram bucket distributions (target vs raw),
+    // add-1-smoothed log-likelihood-ratio scoring, Gumbel-top-k resample
+    "x53_dsir_weights" -> graft.oracles.TrainSql.dsirWeightsSql(),
+    "x54_dsir_sample"  -> graft.oracles.TrainSql.dsirSampleSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

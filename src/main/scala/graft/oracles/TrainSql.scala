@@ -1651,4 +1651,82 @@ object TrainSql {
        |       round(sum(n_pieces) * 1.0 / count(*), 6) AS fertility
        |FROM toks JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
+
+  /** Shared CTEs for the DSIR family ([[graft.operators.Dsir]], x53/x54):
+    * hashed unigram+bigram bucket counts, the raw and target bucket
+    * distributions, the add-1-smoothed per-bucket log-likelihood ratio,
+    * and per-document log-weights (every document, zero-gram docs at
+    * weight 0). Same tokenizer + post-stopword bigram adjacency as the
+    * x43 bigram LM; same md5-60 bucket hash as x39.
+    */
+  private def dsirCtes(targetSources: Seq[String], buckets: Int): String = {
+    val targetIn = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(t) AS g FROM toksl
+       |  UNION ALL
+       |  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+       |        FROM toksl WHERE len(t) >= 2)),
+       |feat AS (
+       |  SELECT doc_id, CAST(${md5Long60Sql("g")} % $buckets AS INTEGER) AS b,
+       |         count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2),
+       |rawd AS (SELECT b, sum(cnt) AS rc FROM feat GROUP BY 1),
+       |tgtd AS (SELECT b, sum(cnt) AS tc
+       |         FROM feat JOIN documents USING (doc_id)
+       |         WHERE source IN ($targetIn) GROUP BY 1),
+       |dist AS (
+       |  SELECT r.b,
+       |         ln((coalesce(t.tc, 0) + 1) * 1.0 /
+       |            ((SELECT coalesce(sum(tc), 0) FROM tgtd) + $buckets))
+       |       - ln((r.rc + 1) * 1.0 /
+       |            ((SELECT sum(rc) FROM rawd) + $buckets)) AS llr
+       |  FROM rawd r LEFT JOIN tgtd t USING (b)),
+       |wts AS (
+       |  SELECT f.doc_id, sum(f.cnt) AS n_grams,
+       |         round(sum(f.cnt * d.llr), 6) AS log_weight
+       |  FROM feat f JOIN dist d USING (b) GROUP BY 1),
+       |fullw AS (
+       |  SELECT d.doc_id, d.source,
+       |         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+       |         coalesce(w.log_weight, 0.0) AS log_weight
+       |  FROM documents d LEFT JOIN wts w USING (doc_id))""".stripMargin
+  }
+
+  /** Per-document DSIR importance weights
+    * ([[graft.operators.Dsir.importanceWeights]]).
+    */
+  def dsirWeightsSql(targetSources: Seq[String] =
+                       graft.operators.Dsir.DefaultTargetSources,
+                     buckets: Int = graft.operators.Dsir.NumBuckets): String =
+    s"""WITH ${dsirCtes(targetSources, buckets)}
+       |SELECT doc_id, source, n_grams, log_weight FROM fullw""".stripMargin
+
+  /** Gumbel-top-k DSIR resample ([[graft.operators.Dsir.gumbelSample]]):
+    * key = log w − ln(−ln u) with u = (md5-60(salt:doc_id) + ½)/2^60 —
+    * strictly inside (0,1) so the key is finite.
+    */
+  def dsirSampleSql(n: Int = 100,
+                    targetSources: Seq[String] =
+                      graft.operators.Dsir.DefaultTargetSources,
+                    buckets: Int = graft.operators.Dsir.NumBuckets,
+                    salt: String = graft.operators.Dsir.DefaultSalt): String =
+    s"""WITH ${dsirCtes(targetSources, buckets)},
+       |keyed AS (
+       |  SELECT doc_id, source, log_weight,
+       |         round(log_weight -
+       |               ln(-ln((CAST(${md5Long60Sql(s"'$salt:' || doc_id")}
+       |                            AS DOUBLE) + 0.5) / 1152921504606846976.0)),
+       |               6) AS gumbel_key
+       |  FROM fullw),
+       |top AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT $n)
+       |SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+       |            AS BIGINT) AS sample_rank,
+       |       doc_id, source, log_weight, gumbel_key
+       |FROM top""".stripMargin
 }
