@@ -154,6 +154,7 @@ object SparkEntry {
     "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
     "x53_dsir_weights" -> (Dsir.qDsirWeights _),
     "x54_dsir_sample"  -> (Dsir.qDsirSample _),
+    "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -768,6 +769,9 @@ object SparkEntry {
     // add-1-smoothed log-likelihood-ratio scoring, Gumbel-top-k resample
     "x53_dsir_weights" -> graft.oracles.TrainSql.dsirWeightsSql(),
     "x54_dsir_sample"  -> graft.oracles.TrainSql.dsirSampleSql(),
+    // x55: doc-level x47 embedder + the shared Lloyd chain + class-based
+    // TF-IDF ranked per cell on the rounded score
+    "x55_cluster_topics" -> graft.oracles.TrainSql.clusterTopicsSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

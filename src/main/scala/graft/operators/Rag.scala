@@ -92,7 +92,7 @@ object Rag {
   /** Hashed bucket weights `(vec_id, label, j, wj)`: j = md5-60(token)
     * mod dim, wj = round₆(Σ cnt·idf).
     */
-  private def hashedWeights(counts: DataFrame, idf: DataFrame, dim: Int): DataFrame =
+  private[operators] def hashedWeights(counts: DataFrame, idf: DataFrame, dim: Int): DataFrame =
     counts.join(idf, "token")
       .select(col("vec_id"), col("label"),
         pmod(Dedup.md5Long60(col("token")), lit(dim)).cast("int").as("j"),
@@ -102,7 +102,7 @@ object Rag {
   /** Densify bucket weights into a dim-length `embedding` array (absent
     * buckets are exact 0.0).
     */
-  private def denseFromWeights(weights: DataFrame, dim: Int): DataFrame =
+  private[operators] def denseFromWeights(weights: DataFrame, dim: Int): DataFrame =
     weights.groupBy("vec_id", "label")
       .agg(map_from_entries(collect_list(struct(col("j"), col("wj")))).as("__m"))
       .select(col("vec_id"), col("label"),

@@ -314,8 +314,8 @@ object VectorSearch {
     * PlanSpec): the corpus side streams once with no shuffle and
     * assignment stays inside whole-stage codegen.
     */
-  private def assignCells(embeddings: DataFrame, centroids: Array[Array[Double]],
-                          withLabel: Boolean = true): DataFrame = {
+  private[operators] def assignCells(embeddings: DataFrame, centroids: Array[Array[Double]],
+                                     withLabel: Boolean = true): DataFrame = {
     val base =
       if (withLabel)
         embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))

@@ -1652,6 +1652,61 @@ object TrainSql {
        |FROM toks JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** Cluster topic labels ([[graft.operators.ClusterTopics]], x55): the
+    * x47 hashed-TF-IDF embedder at document granularity, the shared Lloyd
+    * chain over the derived embeddings, then class-based TF-IDF
+    * (tf_{t,c} · ln(1 + A/f_t), A = token mass / nCells) ranked per cell
+    * on the 6-dp-rounded score with a term tie-break.
+    */
+  def clusterTopicsSql(dim: Int = 64, nCells: Int = 8, iters: Int = 3,
+                       topTerms: Int = 5): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |dtc AS (
+       |  SELECT doc_id, token, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(t) AS token FROM toksl)
+       |  GROUP BY 1, 2),
+       |didf AS (
+       |  SELECT token,
+       |         ln((SELECT count(*) FROM documents) * 1.0 / (df + 1)) AS idf
+       |  FROM (SELECT token, count(*) AS df FROM dtc GROUP BY 1)),
+       |dwj AS (
+       |  SELECT doc_id AS vec_id, doc_id AS label,
+       |         CAST(${md5Long60Sql("token")} % $dim AS INTEGER) AS j,
+       |         round(sum(cnt * idf), 6) AS wj
+       |  FROM dtc JOIN didf USING (token) GROUP BY 1, 2, 3),
+       |dvec AS (
+       |  SELECT vec_id, label, list(coalesce(wj, 0.0) ORDER BY j) AS v FROM (
+       |    SELECT s.vec_id, s.label, s.j, w.wj
+       |    FROM (SELECT vec_id, label, unnest(range(0, $dim)) AS j
+       |          FROM (SELECT DISTINCT vec_id, label FROM dwj)) s
+       |    LEFT JOIN dwj w ON w.vec_id = s.vec_id AND w.j = s.j)
+       |  GROUP BY 1, 2),
+       |demb AS (SELECT vec_id, label, v FROM dvec
+       |         WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+       |${lloydChain(nCells, iters, dim, vSrc = "SELECT vec_id, label, v FROM demb")},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |cellterm AS (
+       |  SELECT f.cell, d.token, sum(d.cnt) AS tf
+       |  FROM dtc d JOIN fin f ON f.vec_id = d.doc_id GROUP BY 1, 2),
+       |gtermf AS (SELECT token, sum(cnt) AS ft FROM dtc GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_total FROM dtc),
+       |scored AS (
+       |  SELECT cell, token,
+       |         round(tf * ln(1.0 + (n_total * 1.0 / $nCells) / ft), 6) AS ctfidf
+       |  FROM cellterm JOIN gtermf USING (token), tot),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cell
+       |                                    ORDER BY ctfidf DESC, token) AS rank
+       |       FROM scored),
+       |ndc AS (SELECT cell, count(*) AS n_docs FROM fin GROUP BY 1)
+       |SELECT r.cell, CAST(n.n_docs AS BIGINT) AS n_docs, r.token AS term,
+       |       CAST(r.rank AS BIGINT) AS rank, r.ctfidf
+       |FROM rk r JOIN ndc n USING (cell)
+       |WHERE r.rank <= $topTerms""".stripMargin
+
   /** Shared CTEs for the DSIR family ([[graft.operators.Dsir]], x53/x54):
     * hashed unigram+bigram bucket counts, the raw and target bucket
     * distributions, the add-1-smoothed per-bucket log-likelihood ratio,

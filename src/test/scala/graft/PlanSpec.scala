@@ -273,6 +273,9 @@ class PlanSpec extends SparkSpec {
       "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
                              // IVF family's broadcast centroid frame, as in x37
       "x50_pq_codes",        // all m codebooks ride one broadcast 1-row frame
+      "x55_cluster_topics",  // doc-IDF 1-row N + 1-row token total + the IVF
+                             // family's broadcast centroid frame; the c-TF-IDF
+                             // joins themselves are token-keyed equi joins
       "x51_pq_adc_topk",     // codebooks frame + the 1-row ADC lookup table
       "x52_ivfpq_topk"       // centroid frame + codebooks + per-cell LUT stack
     )
