@@ -155,6 +155,7 @@ object SparkEntry {
     "x53_dsir_weights" -> (Dsir.qDsirWeights _),
     "x54_dsir_sample"  -> (Dsir.qDsirSample _),
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
+    "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -772,6 +773,9 @@ object SparkEntry {
     // x55: doc-level x47 embedder + the shared Lloyd chain + class-based
     // TF-IDF ranked per cell on the rounded score
     "x55_cluster_topics" -> graft.oracles.TrainSql.clusterTopicsSql(),
+    // x56: bottom-k per source over the shared shingle-hash CTEs; the
+    // estimator itself is hash-checked, not just rows
+    "x56_kmv_distinct" -> graft.oracles.TrainSql.kmvShingleDistinctSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002;
+  * Beyer et al. 2007's unbiased estimator): hash every element uniformly,
+  * keep each group's k smallest distinct hashes, estimate the distinct
+  * count as (k−1)/u₍k₎ where u₍k₎ is the k-th minimum normalized to
+  * (0,1). The demonstration groups are per-source distinct-*shingle*
+  * counts — the statistic a dedup planner reads to size LSH band tables
+  * and pick `maxShingleDf` caps per domain before running the expensive
+  * passes.
+  *
+  * Why this sketch next to HLL (e5) and count-min (d16): KMV is the
+  * mergeable bottom-k synopsis (union = k smallest of the unions — the
+  * partial-aggregate shape Spark's shuffle already implements for
+  * min-like aggregates), and unlike HLL its estimate is an exact
+  * deterministic function of the input set, so the DuckDB oracle can
+  * hash-check the *estimator itself*, not just rows.
+  *
+  * Scale shape: the sketch input is the suite-shared
+  * [[Dedup.distinctShingleHashes]] subtree joined to the narrow
+  * (doc_id, source) projection; the shuffle carries distinct
+  * (source, h60) pairs — Zipf-compressed, 8-byte keys — and the
+  * per-group bottom-k window ranks only within each source partition.
+  * Groups are sources (bounded); elements are unbounded and never
+  * collected.
+  *
+  * Determinism: md5-60 is the engine-portable hash; the estimate is a
+  * ratio of exact integers rounded 4 dp, so both engines compute the
+  * identical double.
+  */
+object Sketches {
+
+  /** Sketch size: stderr ≈ 1/√(k−2) ≈ 6% at 256 — the visibility the
+    * planner statistic needs at ~1/1000 of the storage of the exact set.
+    */
+  val DefaultK = 256
+
+  /** `(source, n_distinct, n_kept, est_distinct, rel_err)` per source:
+    * the exact distinct-shingle count (the oracle-checkable ground
+    * truth the sketch replaces at scale), the kept bottom-k size, the
+    * KMV estimate ((k−1)/u₍k₎, or exact when the group has fewer than k
+    * elements), and the relative error of the rounded estimate.
+    */
+  def kmvShingleDistinct(docs: DataFrame, k: Int = DefaultK): DataFrame = {
+    val pairs = Dedup.distinctShingleHashes(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("h60")).distinct()
+    val w = Window.partitionBy("source").orderBy(asc("h60"))
+    val sketch = pairs.withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"), max("h60").as("hk"))
+    val exact = pairs.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    sketch.join(exact, "source")
+      .select(col("source"), col("n_distinct"), col("n_kept"),
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(1.152921504606846976e18))),
+          4).as("est_distinct"))
+      .select(col("source"), col("n_distinct"), col("n_kept"),
+        col("est_distinct"),
+        round(abs(col("est_distinct") - col("n_distinct").cast("double")) /
+          col("n_distinct").cast("double"), 4).as("rel_err"))
+  }
+
+  // --- query entry ---
+
+  def qKmvShingleDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    kmvShingleDistinct(Tables.documents(spark, sfDir))
+}

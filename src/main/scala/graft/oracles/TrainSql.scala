@@ -1652,6 +1652,33 @@ object TrainSql {
        |FROM toks JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** KMV distinct sketch ([[graft.operators.Sketches.kmvShingleDistinct]],
+    * x56): per-source bottom-k over the shared distinct-shingle-hash set,
+    * estimate (k−1)/u₍k₎ with u₍k₎ = h₍k₎/2^60, exact when the group is
+    * smaller than k.
+    */
+  def kmvShingleDistinctSql(k: Int = graft.operators.Sketches.DefaultK): String =
+    s"""WITH $shingleCtes,
+       |pairs AS (SELECT DISTINCT d.source, s.h60
+       |          FROM ds s JOIN documents d USING (doc_id)),
+       |rk AS (SELECT source, h60,
+       |              row_number() OVER (PARTITION BY source ORDER BY h60) AS r
+       |       FROM pairs),
+       |sk AS (SELECT source, count(*) AS n_kept, max(h60) AS hk
+       |       FROM rk WHERE r <= $k GROUP BY 1),
+       |ex AS (SELECT source, count(*) AS n_distinct FROM pairs GROUP BY 1),
+       |est AS (
+       |  SELECT sk.source, CAST(ex.n_distinct AS BIGINT) AS n_distinct,
+       |         CAST(sk.n_kept AS BIGINT) AS n_kept,
+       |         round(CASE WHEN sk.n_kept < $k THEN sk.n_kept * 1.0
+       |                    ELSE ($k - 1) * 1.0 /
+       |                         (sk.hk * 1.0 / 1152921504606846976.0) END,
+       |               4) AS est_distinct
+       |  FROM sk JOIN ex USING (source))
+       |SELECT source, n_distinct, n_kept, est_distinct,
+       |       round(abs(est_distinct - n_distinct) / n_distinct, 4) AS rel_err
+       |FROM est""".stripMargin
+
   /** Cluster topic labels ([[graft.operators.ClusterTopics]], x55): the
     * x47 hashed-TF-IDF embedder at document granularity, the shared Lloyd
     * chain over the derived embeddings, then class-based TF-IDF

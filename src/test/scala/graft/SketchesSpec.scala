@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch (x56): exact below k, estimator accuracy at the
+  * theoretical stderr above k, and the estimate's determinism.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // letter-only words (the tokenizer drops digits): aaa, aab, ... — i.e.
+  // base-26 in three letters, distinct for i < 17576
+  private def word(i: Int): String =
+    f"w${('a' + i / 676).toChar}${('a' + i / 26 % 26).toChar}${('a' + i % 26).toChar}"
+
+  private def corpus(nDocs: Int, wordsPerDoc: Int, nSources: Int) = {
+    val rows = (0 until nDocs).map { d =>
+      val text = (0 until wordsPerDoc)
+        .map(j => word(d * wordsPerDoc + j)).mkString(" ")
+      (d.toLong, text, s"s${d % nSources}")
+    }
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("groups smaller than k report the exact count with zero error") {
+    val out = Sketches.kmvShingleDistinct(corpus(6, 20, 2), k = 256).collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Double]("est_distinct") == r.getAs[Long]("n_distinct").toDouble)
+      assert(r.getAs[Double]("rel_err") == 0.0)
+    }
+  }
+
+  test("above k the estimator lands within a few stderr of the truth") {
+    // ~40 docs x ~58 distinct shingles per doc per source, all words unique
+    // -> ~2300 distinct shingles per source >> k = 64; stderr ~ 1/sqrt(62)
+    // ~ 12.7%, so 4 stderr ~ 51% is a generous non-flaky bound (the hash is
+    // fixed, so this is deterministic — the bound just documents magnitude)
+    val out = Sketches.kmvShingleDistinct(corpus(80, 60, 2), k = 64).collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_kept") == 64L)
+      val exact = r.getAs[Long]("n_distinct").toDouble
+      val est = r.getAs[Double]("est_distinct")
+      assert(exact > 1000, s"fixture degenerate: only $exact distinct")
+      assert(math.abs(est - exact) / exact < 0.51,
+        s"estimate $est vs exact $exact drifts beyond 4 stderr")
+    }
+  }
+
+  test("the estimate is a pure function of the input set (partition-invariant)") {
+    val docs = corpus(40, 30, 3)
+    val a = Sketches.kmvShingleDistinct(docs.repartition(1), k = 32)
+      .orderBy("source").collect().toSeq
+    val b = Sketches.kmvShingleDistinct(docs.repartition(13), k = 32)
+      .orderBy("source").collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
+
+  test("the full-corpus entry emits one row per source") {
+    val out = Sketches.qKmvShingleDistinct(spark, sf0001)
+    assert(out.count() == out.select("source").distinct().count())
+    assert(out.count() > 0)
+  }
+}
