@@ -159,6 +159,7 @@ object SparkEntry {
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
+    "x57_hard_negatives" -> (VectorSearch.qHardNegatives _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
     "p3_prep_pipeline" -> (CorpusPrep.qPrepPipeline _),
@@ -781,6 +782,9 @@ object SparkEntry {
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)
     "x37_ivf_knn_join" -> graft.oracles.TrainSql.ivfKnnJoinSql(),
     "x38_ann_recall"   -> graft.oracles.TrainSql.ivfRecallSql(),
+    // x57: the x37 chain truncated to the top-poolK pool, label
+    // anti-filter vs the query's label, re-rank
+    "x57_hard_negatives" -> graft.oracles.TrainSql.hardNegativesSql(),
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),
     "p3_prep_pipeline" -> graft.oracles.TrainSql.prepPipelineSql,

@@ -402,6 +402,39 @@ object VectorSearch {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the retrieval-training
+    * data prep of DPR/SimCSE-style pipelines — Karpukhin et al. 2020
+    * §4.2): per query, the k corpus vectors that are MOST similar yet
+    * carry a DIFFERENT class label — the examples a contrastive loss
+    * learns the most from, and exactly what in-batch random negatives
+    * fail to supply. Composed from the batched IVF join: a top-`poolK`
+    * ANN pool per query (cell equi-join, probed cells only), a label
+    * anti-filter against the query's own label, and a re-rank — so at
+    * 100 TB the mining pass costs one ANN join, never a cross join, and
+    * the label filter runs on the poolK-bounded pool.
+    *
+    * Two-stage ranking contract (mirrored exactly by the oracle): the
+    * pool is the rank ≤ poolK ANN result, negatives re-rank within the
+    * filtered pool. A same-label-dense neighborhood can therefore yield
+    * fewer than k negatives — that is signal (raise poolK), not error.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                    poolK: Int = 50, nCells: Int = 16, nprobe: Int = 3,
+                    iters: Int = 5, trainSet: DataFrame = null): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = ivfKnnJoin(embeddings, queries, poolK, nCells, nprobe, iters,
+      trainSet)
+    val qLab = queries.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    pool.join(broadcast(qLab), "query_id")
+      .where(col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("label"),
+        col("sim"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= k)
+  }
+
   /** Recall@k of [[ivfKnnJoin]] against the exact [[knnJoin]], per query —
     * the diagnostic every ANN deployment needs before trading nprobe for
     * throughput. Both sides run the same (corpus, queries) split; a left
@@ -750,6 +783,13 @@ object VectorSearch {
     val e = Tables.embeddings(spark, sfDir)
     ivfRecall(e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
       trainSet = e)
+  }
+
+  /** Same query/corpus split and full-table quantizer as [[qIvfKnnJoin]]. */
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    hardNegatives(e.where(col("vec_id") % 50 =!= 0),
+      e.where(col("vec_id") % 50 === 0), trainSet = e)
   }
 
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame =

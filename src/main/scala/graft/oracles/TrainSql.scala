@@ -416,6 +416,27 @@ object TrainSql {
        |SELECT query_id, vec_id, label, sim, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
 
+  /** Hard-negative mining oracle
+    * ([[graft.operators.VectorSearch.hardNegatives]], x57): the x37
+    * candidate chain truncated to the top-`poolK` pool, a label
+    * anti-filter against the query's own label, and a re-rank — the same
+    * two-stage ranking the engine performs.
+    */
+  def hardNegativesSql(k: Int = 5, poolK: Int = 50, nCells: Int = 16,
+                       nprobe: Int = 3, iters: Int = 5,
+                       dim: Int = 64): String =
+    s"""WITH ${ivfKnnCtes(poolK, nCells, nprobe, iters, dim)},
+       |hn AS (
+       |  SELECT c.query_id, q.label AS query_label, c.vec_id, c.label, c.sim
+       |  FROM r c JOIN v q ON q.vec_id = c.query_id
+       |  WHERE c.rank <= $poolK AND c.label <> q.label),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                    ORDER BY sim DESC, vec_id) AS neg_rank
+       |       FROM hn)
+       |SELECT query_id, query_label, vec_id, label, sim,
+       |       CAST(neg_rank AS BIGINT) AS neg_rank
+       |FROM rr WHERE neg_rank <= $k""".stripMargin
+
   /** Recall@k oracle ([[graft.operators.VectorSearch.ivfRecall]]): exact
     * top-k (the x26 shape) left-joined with the IVF top-k per query.
     */

@@ -197,6 +197,42 @@ class DedupSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("hard negatives: different-label only, ranked, and exact at full probes") {
+    val e = Tables.embeddings(spark, sf0001)
+    val corpus = e.where(col("vec_id") % 50 =!= 0)
+    val queries = e.where(col("vec_id") % 50 === 0)
+    val hn = VectorSearch.hardNegatives(corpus, queries, k = 5, poolK = 50,
+      nCells = 8, nprobe = 8, trainSet = e).collect()
+    assert(hn.nonEmpty)
+    // no negative shares its query's label
+    assert(hn.forall(r => r.getAs[Any]("label") != r.getAs[Any]("query_label")))
+    // ranks are 1..n per query with descending sims
+    for ((_, rows) <- hn.groupBy(_.getAs[Long]("query_id"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("neg_rank"))
+      assert(sorted.map(_.getAs[Long]("neg_rank")).toSeq == (1L to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // at nprobe = nCells with poolK >= corpus the pool is the exact
+    // neighbor list, so mining equals a brute-force filter over knnJoin
+    val n = corpus.count().toInt
+    val brute = VectorSearch.knnJoin(corpus, queries, n)
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("label").as("query_label")), "query_id")
+      .where(col("label") =!= col("query_label"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("vec_id"))
+    val expected = brute.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= 5)
+      .select("query_id", "vec_id", "sim", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val mined = VectorSearch.hardNegatives(corpus, queries, k = 5, poolK = n,
+      nCells = 8, nprobe = 8, trainSet = e)
+      .select("query_id", "vec_id", "sim", "neg_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(mined == expected)
+  }
+
   test("IVF recall: one row per query, recall in [0,1], and 1.0 at full probes") {
     val e = Tables.embeddings(spark, sf0001)
     val corpus = e.where(col("vec_id") % 50 =!= 0)

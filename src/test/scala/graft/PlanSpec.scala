@@ -268,6 +268,9 @@ class PlanSpec extends SparkSpec {
       // frame (data-invariant plan shape instead of per-dataset literals);
       // the candidate join itself stays an equi join on the cell id
       "x30_semantic_dedup", "x37_ivf_knn_join",
+      "x57_hard_negatives",  // x37's broadcast centroid frame + a ≤n/50-row
+                             // broadcast query-label build; the pool join
+                             // stays the cell-id equi join
       "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
       "x44_hybrid_search",   // semantic arm reuses n12's 1-row query-norm broadcast
       "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
