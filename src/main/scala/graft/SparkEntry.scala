@@ -195,6 +195,7 @@ object SparkEntry {
     "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
     "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
     "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
+    "w11_stream_quality" -> (graft.streaming.DocStream.qQualityGate _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -852,6 +853,9 @@ object SparkEntry {
         |       c.c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // w11: the sink contents of a replayed streaming x10 quality gate;
+    // counts are order-free so the batch formula is the exact oracle
+    "w11_stream_quality" -> graft.oracles.TrainSql.streamQualityGateSql(),
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

@@ -59,12 +59,15 @@ object TextQuality {
     * punctuation-noise ratio, and a stopword-ratio plausibility band
     * (natural text carries 10–60% stopwords).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val text = col("text")
-    // stage the two extractions once (same rationale as langId)
-    val staged = docs.select(col("doc_id"), text,
-      allWords(text).as("__aw"),
-      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).as("__punct"))
+    // stage the two extractions once (same rationale as langId); `keep`
+    // passes extra columns through untouched (the streaming gate carries
+    // `source` — a per-row projection, so the streaming planner accepts it)
+    val staged = docs.select(col("doc_id") +: text +:
+      allWords(text).as("__aw") +:
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).as("__punct") +:
+      keep.map(col): _*)
     val nChars = length(text)
     val words = TextFns.wordCount(text)
     val punctRatio = col("__punct").cast("double") / greatest(nChars, lit(1))
@@ -76,12 +79,13 @@ object TextQuality {
       least(words.cast("double") / 100.0, lit(1.0)) * 0.25 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
       when(stopRatio >= 0.10 && stopRatio <= 0.60, 1.0).otherwise(0.0) * 0.25
-    staged.select(col("doc_id"),
-      nChars.cast("long").as("n_chars_measured"),
-      words.cast("long").as("n_words"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(q, 6).as("quality"))
+    staged.select(col("doc_id") +:
+      nChars.cast("long").as("n_chars_measured") +:
+      words.cast("long").as("n_words") +:
+      round(punctRatio, 6).as("punct_ratio") +:
+      round(stopRatio, 6).as("stopword_ratio") +:
+      round(q, 6).as("quality") +:
+      keep.map(col): _*)
   }
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation count

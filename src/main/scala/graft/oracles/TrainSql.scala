@@ -571,6 +571,16 @@ object TrainSql {
        |                   THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality
        |FROM m""".stripMargin
 
+  /** Streaming quality gate ([[graft.streaming.DocStream.qualityGateStream]],
+    * w11): the batch equivalent of the replayed stream — counts are
+    * order-free, so the memory-sink contents must equal this exactly.
+    */
+  def streamQualityGateSql(threshold: Double = 0.6): String =
+    s"""WITH q AS ($qualitySql)
+       |SELECT d.source, (q.quality >= $threshold) AS accepted,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM q JOIN documents d USING (doc_id) GROUP BY 1, 2""".stripMargin
+
   val tokenCountsSql: String =
     """SELECT doc_id,
       |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,

@@ -51,4 +51,51 @@ object DocStream {
       .select(explode(col("tops")).as("t"))
       .select(col("t.word").as("word"), col("t.cnt").as("cnt"))
   }
+
+  /** Streaming corpus-prep quality gate: the x10 quality score applied to
+    * an ARRIVING corpus, emitting per-(source, accepted) counts — the
+    * incremental admission filter a continuous ingest runs instead of
+    * re-scoring the corpus per batch job. The score is a stateless
+    * per-row projection (length/punct/stopword ratios — no corpus
+    * aggregate), so the streaming plan carries no per-document state;
+    * the only state is the bounded (source × {accept, reject}) count map.
+    * Counts are order-free, so the replay result equals the batch
+    * computation exactly (the w8 oracle recipe).
+    */
+  def qualityGateStream(spark: SparkSession, dir: String,
+                        threshold: Double = 0.6): DataFrame = {
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    graft.operators.TextQuality.qualityScore(src, keep = Seq("source"))
+      .select(col("source"), (col("quality") >= threshold).as("accepted"))
+      .groupBy("source", "accepted").agg(count(lit(1)).as("n"))
+  }
+
+  // one linked dir per source file for the process lifetime (the w8
+  // pattern: readStream needs a directory; the fixture is a single file)
+  private val docSrcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docSrcDir(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    require(src.exists, s"no documents table at ${src.getPath}")
+    if (src.isDirectory) src.getPath
+    else docSrcDirs.getOrElseUpdate(src.getCanonicalPath, {
+      val d = java.nio.file.Files.createTempDirectory("graft_w11_src")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"), src.toPath.toAbsolutePath)
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+  }
+
+  def qQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityGateStream(spark, docSrcDir(sfDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("w11_stream_quality")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("w11_stream_quality")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Streaming parity and multimodal plumbing specs. */
 class StreamingMultimodalSpec extends SparkSpec {
@@ -175,6 +176,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     val batch = graft.operators.TextQuality.gopherRules(batchDocs)
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("streaming quality gate replay == batch gate; gate partitions the corpus") {
+    val gated = graft.streaming.DocStream.qQualityGate(spark, sf0001)
+      .orderBy("source", "accepted").collect().toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val batch = graft.operators.TextQuality.qualityScore(docs, keep = Seq("source"))
+      .select(col("source"), (col("quality") >= 0.6).as("accepted"))
+      .groupBy("source", "accepted").agg(count(lit(1)).as("n"))
+      .orderBy("source", "accepted").collect().toSeq
+    assert(gated == batch)
+    // every document is counted exactly once across the accept/reject split
+    assert(gated.map(_.getAs[Long]("n")).sum == docs.count())
+  }
+
+  test("qualityScore keep-columns do not change the x10 output shape") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = graft.operators.TextQuality.qualityScore(docs)
+    assert(base.columns.toSeq == Seq("doc_id", "n_chars_measured", "n_words",
+      "punct_ratio", "stopword_ratio", "quality"))
+    val kept = graft.operators.TextQuality.qualityScore(docs, keep = Seq("source"))
+    assert(kept.columns.toSeq == base.columns.toSeq :+ "source")
+    // identical scores either way
+    assert(kept.drop("source").orderBy("doc_id").collect().toSeq ==
+           base.orderBy("doc_id").collect().toSeq)
   }
 
   test("multimodal: decoded metadata matches payload bytes") {
