@@ -156,6 +156,7 @@ object SparkEntry {
     "x54_dsir_sample"  -> (Dsir.qDsirSample _),
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
     "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
+    "x58_source_overlap" -> (Sketches.qSourceOverlap _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -778,6 +779,8 @@ object SparkEntry {
     // x56: bottom-k per source over the shared shingle-hash CTEs; the
     // estimator itself is hash-checked, not just rows
     "x56_kmv_distinct" -> graft.oracles.TrainSql.kmvShingleDistinctSql(),
+    // x58: source-pair equi-join on the shared shingle-hash set
+    "x58_source_overlap" -> graft.oracles.TrainSql.sourceOverlapSql,
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

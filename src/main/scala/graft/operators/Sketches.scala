@@ -47,9 +47,7 @@ object Sketches {
     * elements), and the relative error of the rounded estimate.
     */
   def kmvShingleDistinct(docs: DataFrame, k: Int = DefaultK): DataFrame = {
-    val pairs = Dedup.distinctShingleHashes(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
-      .select(col("source"), col("h60")).distinct()
+    val pairs = sourceShingles(docs)
     val w = Window.partitionBy("source").orderBy(asc("h60"))
     val sketch = pairs.withColumn("r", row_number().over(w))
       .where(col("r") <= k)
@@ -68,8 +66,51 @@ object Sketches {
           col("n_distinct").cast("double"), 4).as("rel_err"))
   }
 
-  // --- query entry ---
+  /** Per-(source, shingle-hash) distinct pairs — the shared input of the
+    * KMV sketch and the overlap matrix.
+    */
+  private def sourceShingles(docs: DataFrame): DataFrame =
+    Dedup.distinctShingleHashes(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("h60")).distinct()
+
+  /** Cross-source content-overlap matrix: for every source pair that
+    * shares at least one shingle, the intersection size, Jaccard, and
+    * containment (|∩|/min) over the two sources' distinct-shingle sets —
+    * the "which domains duplicate each other" statistic a curation team
+    * reads before setting mixing weights (a mirror site shows up as
+    * containment ≈ 1 long before per-document dedup finds it).
+    *
+    * Scale shape: the self-join is an equi-join on the shingle hash — a
+    * shingle shared by s sources contributes s(s−1)/2 candidate rows, so
+    * cost is bounded by sources-per-shingle (domain count), never
+    * documents²; the output is at most |sources|²/2 rows. The
+    * [[Dedup.distinctShingleHashes]] subtree is the same cached frame the
+    * dedup family and x56 consume.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val pairs = sourceShingles(docs)
+    val sizes = pairs.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("source").as("src1"), col("h60"))
+      .join(pairs.select(col("source").as("src2"), col("h60")), "h60")
+      .where(col("src1") < col("src2"))
+      .groupBy("src1", "src2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src1"), col("n").as("n1")), "src1")
+      .join(sizes.select(col("source").as("src2"), col("n").as("n2")), "src2")
+      .select(col("src1"), col("src2"), col("n1"), col("n2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("n1"), col("n2")).cast("double"), 6).as("containment"))
+  }
+
+  // --- query entries ---
 
   def qKmvShingleDistinct(spark: SparkSession, sfDir: String): DataFrame =
     kmvShingleDistinct(Tables.documents(spark, sfDir))
+
+  def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, sfDir))
 }

@@ -1710,6 +1710,25 @@ object TrainSql {
        |       round(abs(est_distinct - n_distinct) / n_distinct, 4) AS rel_err
        |FROM est""".stripMargin
 
+  /** Cross-source overlap matrix
+    * ([[graft.operators.Sketches.sourceOverlap]], x58): equi-join on the
+    * shared shingle-hash set, Jaccard + containment per source pair.
+    */
+  val sourceOverlapSql: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (SELECT DISTINCT d.source, s.h60
+       |          FROM ds s JOIN documents d USING (doc_id)),
+       |sz AS (SELECT source, count(*) AS n FROM pairs GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src1, b.source AS src2, count(*) AS c
+       |  FROM pairs a JOIN pairs b ON a.h60 = b.h60 AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src1, src2, CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+       |       CAST(c AS BIGINT) AS n_common,
+       |       round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard,
+       |       round(c * 1.0 / least(x.n, y.n), 6) AS containment
+       |FROM inter JOIN sz x ON src1 = x.source JOIN sz y ON src2 = y.source""".stripMargin
+
   /** Cluster topic labels ([[graft.operators.ClusterTopics]], x55): the
     * x47 hashed-TF-IDF embedder at document granularity, the shared Lloyd
     * chain over the derived embeddings, then class-based TF-IDF

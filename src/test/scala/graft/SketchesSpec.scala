@@ -59,6 +59,26 @@ class SketchesSpec extends SparkSpec {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("source overlap: a mirrored source shows containment 1.0, disjoint sources emit no row") {
+    // B carries a strict subset of A's documents (a partial mirror); C is
+    // vocabulary-disjoint from both
+    val docsA = (0 until 6).map(d => (d.toLong,
+      (0 until 30).map(j => word(d * 30 + j)).mkString(" "), "A"))
+    val docsB = docsA.take(3).map { case (id, t, _) => (id + 100L, t, "B") }
+    val docsC = (0 until 4).map(d => (d.toLong + 200L,
+      (0 until 30).map(j => word(10000 + d * 30 + j)).mkString(" "), "C"))
+    val docs = (docsA ++ docsB ++ docsC).toDF("doc_id", "text", "source")
+    val out = Sketches.sourceOverlap(docs).collect()
+      .map(r => ((r.getAs[String]("src1"), r.getAs[String]("src2")), r)).toMap
+    // only the (A,B) pair shares shingles
+    assert(out.keySet == Set(("A", "B")))
+    val ab = out(("A", "B"))
+    // B ⊂ A: every B shingle is in A
+    assert(ab.getAs[Double]("containment") == 1.0)
+    assert(ab.getAs[Long]("n_common") == ab.getAs[Long]("n2"))
+    assert(ab.getAs[Double]("jaccard") < 1.0 && ab.getAs[Double]("jaccard") > 0.0)
+  }
+
   test("the full-corpus entry emits one row per source") {
     val out = Sketches.qKmvShingleDistinct(spark, sf0001)
     assert(out.count() == out.select("source").distinct().count())
