@@ -143,6 +143,7 @@ object SparkEntry {
     "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
     "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
+    "x59_interp_bigram" -> (TextQuality.qInterpBigramLm _),
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
@@ -744,6 +745,9 @@ object SparkEntry {
       graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
     "x42_weighted_sample" -> graft.oracles.TrainSql.weightedSampleSql(),
     "x43_bigram_lm"    -> graft.oracles.TrainSql.bigramLmSql,
+    // x59: x43's CTEs + context marginal / continuation counts + MLE
+    // unigram; p mirrors the engine's operator order exactly
+    "x59_interp_bigram" -> graft.oracles.TrainSql.interpBigramLmSql(),
     "x44_hybrid_search" -> graft.oracles.NlpSql.hybridSearchSql(
       SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
       SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,

@@ -338,6 +338,52 @@ object TextQuality {
           6).as("mean_logprob"))
   }
 
+  /** Interpolated bigram LM with absolute discounting (Ney, Essen &
+    * Kneser 1994 — the smoothing Kneser–Ney builds on): p(w₂|w₁) =
+    * max(c(w₁w₂)−δ, 0)/c(w₁·) + δ·N₁₊(w₁·)/c(w₁·) · p_uni(w₂), with
+    * c(w₁·) the bigram-context marginal, N₁₊(w₁·) the distinct
+    * continuation count, and p_uni the MLE unigram over the full token
+    * stream. Where the add-one x43 model charges every unseen transition
+    * the same 1/(c+V) floor, absolute discounting redistributes exactly
+    * the mass it removed from seen bigrams, weighted by how promiscuous
+    * the context is — the [[unigramLogprob]] → [[bigramLogprob]] ladder's
+    * properly-smoothed top. Per document: count-weighted mean
+    * ln p(w₂|w₁) over its bigram events, the x43 contract.
+    *
+    * Same scale shape as x43: one Zipf-compressed (doc, w₁, w₂) frame,
+    * word-keyed model joins, the 1-row token total on the sanctioned
+    * broadcast cross join. Every input to the formula is an exact integer
+    * and δ a shared literal, so the 6-dp-rounded score is
+    * engine-identical.
+    */
+  def interpBigramLogprob(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val counts = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+                 element_at(col("t"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val biModel = counts.groupBy("w1", "w2").agg(sum("cnt").as("bcnt"))
+    val ctx = biModel.groupBy("w1")
+      .agg(sum("bcnt").as("cxt"), count(lit(1)).as("n1p"))
+    val uni = graft.operators.Relevance.termCounts(docs)
+      .groupBy("token").agg(sum("cnt").as("ucnt"))
+      .withColumnRenamed("token", "w2")
+    val tot = uni.agg(sum("ucnt").as("n_total"))
+    val p = greatest(col("bcnt") - discount, lit(0.0d)) / col("cxt") +
+      lit(discount) * col("n1p") / col("cxt") *
+        (col("ucnt") * lit(1.0d) / col("n_total"))
+    counts.join(biModel, Seq("w1", "w2"))
+      .join(ctx, "w1")
+      .join(uni, "w2")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * log(p)) / sum("cnt"), 6).as("mean_logprob"))
+  }
+
   /** CCNet-style quality buckets (Wenzek et al. 2020, "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data"): score each
     * document with the corpus unigram LM ([[unigramLogprob]] — the paper
@@ -516,6 +562,9 @@ object TextQuality {
 
   def qBigramLm(spark: SparkSession, sfDir: String): DataFrame =
     bigramLogprob(Tables.documents(spark, sfDir))
+
+  def qInterpBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    interpBigramLogprob(Tables.documents(spark, sfDir))
 
   def qNgramRepetition(spark: SparkSession, sfDir: String): DataFrame =
     ngramRepetition(Tables.documents(spark, sfDir))

@@ -1344,6 +1344,36 @@ object TrainSql {
        |FROM bgc JOIN bim USING (w1, w2) JOIN uni ON uni.word = bgc.w1, voc
        |GROUP BY doc_id""".stripMargin
 
+  /** Interpolated bigram LM with absolute discounting
+    * ([[graft.operators.TextQuality.interpBigramLogprob]], x59): the x43
+    * CTE shapes plus the context marginal/continuation counts and the MLE
+    * unigram; the p-expression mirrors the engine's operator order
+    * left-to-right so both engines evaluate the identical double chain.
+    */
+  def interpBigramLmSql(discount: Double = 0.75): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+       |        FROM toksl WHERE len(t) >= 2),
+       |bgc AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, count(*) AS cnt
+       |        FROM pos GROUP BY 1, 2, 3),
+       |bim AS (SELECT w1, w2, sum(cnt) AS bcnt FROM bgc GROUP BY 1, 2),
+       |ctx AS (SELECT w1, sum(bcnt) AS cxt, count(*) AS n1p FROM bim GROUP BY 1),
+       |uni AS (SELECT word AS w2, count(*) AS ucnt
+       |        FROM (SELECT unnest(t) AS word FROM toksl) GROUP BY 1),
+       |tot AS (SELECT sum(ucnt) AS n_total FROM uni)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |       round(sum(cnt * ln(
+       |         greatest(bcnt - $discount, 0.0) / cxt +
+       |         $discount * n1p / cxt * (ucnt * 1.0 / n_total)
+       |       )) / sum(cnt), 6) AS mean_logprob
+       |FROM bgc JOIN bim USING (w1, w2) JOIN ctx USING (w1)
+       |     JOIN uni USING (w2), tot
+       |GROUP BY doc_id""".stripMargin
+
   /** MinHash dedup capstone ([[graft.operators.Dedup.minhashDedup]]): the
     * x3 pair query as the edge set, recursive-CTE transitive closure, per
     * doc the min reachable label (incl. self), family sizes, kept =

@@ -272,6 +272,7 @@ class PlanSpec extends SparkSpec {
                              // broadcast query-label build; the pool join
                              // stays the cell-id equi join
       "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
+      "x59_interp_bigram",   // 1-row token-total aggregate, same x43 pattern
       "x44_hybrid_search",   // semantic arm reuses n12's 1-row query-norm broadcast
       "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
                              // IVF family's broadcast centroid frame, as in x37

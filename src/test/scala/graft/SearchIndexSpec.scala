@@ -85,6 +85,61 @@ class SearchIndexSpec extends SparkSpec {
       "corpus-pattern doc must outscore the repeated-rare-token doc")
   }
 
+  test("interpolated bigram LM equals an independently-computed reference") {
+    // plain-Scala replica of the absolute-discounting formula over a micro
+    // corpus — catches marginal/continuation/backoff defects
+    val texts = Seq(
+      (0L, "alpha beta gamma alpha beta"),
+      (1L, "alpha beta alpha gamma gamma"),
+      (2L, "beta gamma alpha beta gamma"))
+    val d = 0.75
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val bg = toks.view.mapValues(t => t.zip(t.drop(1))).toMap
+    val docCnt = bg.view.mapValues(_.groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val bim = bg.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val cxt = bim.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bim.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val nTot = uni.values.sum.toDouble
+    def p(w1: String, w2: String): Double =
+      math.max(bim((w1, w2)) - d, 0.0) / cxt(w1) +
+        d * n1p(w1) / cxt(w1) * (uni(w2) * 1.0 / nTot)
+    val expected = docCnt.map { case (id, m) =>
+      val num = m.map { case ((w1, w2), c) => c * math.log(p(w1, w2)) }.sum
+      id -> BigDecimal(num / m.values.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val actual = TextQuality.interpBigramLogprob(texts.toDF("doc_id", "text"))
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    for ((id, e) <- expected)
+      assert(math.abs(actual(id) - e) < 2e-6, s"doc $id: ${actual(id)} vs $e")
+    // context-conditional mass is exactly conserved: for every context,
+    // sum_w2 p(w2|w1) over the FULL vocabulary must be 1 (the discounted
+    // seen mass plus the redistributed delta*N1+/cxt)
+    for (w1 <- cxt.keys) {
+      val mass = uni.keys.map(w2 =>
+        bim.get((w1, w2)).map(c => math.max(c - d, 0.0) / cxt(w1)).getOrElse(0.0) +
+          d * n1p(w1) / cxt(w1) * (uni(w2) * 1.0 / nTot)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $w1 mass $mass != 1")
+    }
+  }
+
+  test("interpolated LM never pays the add-one floor for seen-context events") {
+    // the add-one x43 score of a common transition degrades with vocab
+    // size; absolute discounting doesn't — on the same corpus the
+    // interpolated model assigns the frequent transition strictly more
+    // probability mass, so the corpus-pattern doc scores higher under x59
+    // than under x43
+    val docs = ((1L to 20L).map(i => (i, "alpha beta gamma delta")) ++
+      Seq((100L, "alpha beta gamma delta"))).toDF("doc_id", "text")
+    val addOne = TextQuality.bigramLogprob(docs)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    val interp = TextQuality.interpBigramLogprob(docs)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect().toMap
+    assert(interp(100L) > addOne(100L),
+      s"interp ${interp(100L)} should exceed add-one ${addOne(100L)}")
+  }
+
   test("bigram count is tokens-1 for docs with >=2 tokens; short docs drop") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"), (3L, ""))
       .toDF("doc_id", "text")
