@@ -158,6 +158,7 @@ object SparkEntry {
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
     "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
+    "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -785,6 +786,9 @@ object SparkEntry {
     "x56_kmv_distinct" -> graft.oracles.TrainSql.kmvShingleDistinctSql(),
     // x58: source-pair equi-join on the shared shingle-hash set
     "x58_source_overlap" -> graft.oracles.TrainSql.sourceOverlapSql,
+    // x60: x1 + x45 keep flags joined to token counts, one aggregate per
+    // method (the minhash side embeds the full x45 closure oracle)
+    "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

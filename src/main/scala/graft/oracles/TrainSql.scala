@@ -1814,6 +1814,37 @@ object TrainSql {
        |FROM rk r JOIN ndc n USING (cell)
        |WHERE r.rank <= $topTerms""".stripMargin
 
+  /** Dedup ROI report ([[graft.operators.Dedup.dedupReport]], x60): the
+    * x1 and x45 keep flags joined to whitespace token counts, one global
+    * aggregate per method.
+    */
+  def dedupReportSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |             x -> x <> '')) AS ws_tokens
+       |  FROM documents),
+       |ex AS (SELECT doc_id,
+       |              NOT (doc_id <> min(doc_id) OVER (PARTITION BY digest)) AS kept
+       |       FROM (SELECT doc_id, md5(text) AS digest FROM documents)),
+       |mh AS (SELECT doc_id, kept FROM (${minhashDedupSql(minEstJaccard)})),
+       |rep AS (
+       |  SELECT 'exact' AS method, e.kept, t.ws_tokens
+       |  FROM ex e JOIN t USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'minhash' AS method, m.kept, t.ws_tokens
+       |  FROM mh m JOIN t USING (doc_id))
+       |SELECT method, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(ws_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(sum(CASE WHEN kept THEN ws_tokens ELSE 0 END) AS BIGINT)
+       |         AS tokens_kept,
+       |       round((count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)) * 1.0
+       |             / count(*), 6) AS doc_drop_pct,
+       |       round((sum(ws_tokens) - sum(CASE WHEN kept THEN ws_tokens ELSE 0 END))
+       |             * 1.0 / sum(ws_tokens), 6) AS token_drop_pct
+       |FROM rep GROUP BY method""".stripMargin
+
   /** Shared CTEs for the DSIR family ([[graft.operators.Dsir]], x53/x54):
     * hashed unigram+bigram bucket counts, the raw and target bucket
     * distributions, the add-1-smoothed per-bucket log-likelihood ratio,

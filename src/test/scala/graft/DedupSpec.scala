@@ -197,6 +197,26 @@ class DedupSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("dedup report: clone losses accounted exactly per method") {
+    // docs 0 and 5 of the shared fixture are byte-identical → the exact
+    // method drops exactly one doc and its token count; minhash drops at
+    // least as much (near-dups subsume exact dups)
+    val docs = sampleDocs.withColumn("source", lit("s"))
+    val rep = graft.operators.Dedup.dedupReport(docs).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rep.keySet == Set("exact", "minhash"))
+    val ex = rep("exact")
+    assert(ex.getAs[Long]("n_docs") == 6L && ex.getAs[Long]("n_kept") == 5L)
+    val cloneTokens = sampleTexts(0).split("\\s+").length
+    assert(ex.getAs[Long]("tokens_total") - ex.getAs[Long]("tokens_kept") == cloneTokens)
+    val mh = rep("minhash")
+    assert(mh.getAs[Long]("n_kept") <= ex.getAs[Long]("n_kept"))
+    assert(mh.getAs[Long]("tokens_kept") <= ex.getAs[Long]("tokens_kept"))
+    // drop fractions agree with the counts they summarize
+    assert(ex.getAs[Double]("doc_drop_pct") ==
+      BigDecimal(1.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("hard negatives: different-label only, ranked, and exact at full probes") {
     val e = Tables.embeddings(spark, sf0001)
     val corpus = e.where(col("vec_id") % 50 =!= 0)
