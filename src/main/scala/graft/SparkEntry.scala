@@ -159,6 +159,7 @@ object SparkEntry {
     "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
+    "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -789,6 +790,10 @@ object SparkEntry {
     // x60: x1 + x45 keep flags joined to token counts, one aggregate per
     // method (the minhash side embeds the full x45 closure oracle)
     "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),
+    // x61: base BM25 -> feedback top-k -> rounded-TF-IDF expansion terms
+    // -> terms-CTE BM25 re-rank
+    "x61_prf_bm25"     -> graft.oracles.NlpSql.prfBm25Sql(
+      graft.operators.Relevance.Keywords),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

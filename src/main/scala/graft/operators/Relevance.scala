@@ -158,6 +158,71 @@ object Relevance {
       .limit(topK)
   }
 
+  /** BM25 over a query-terms FRAME — [[bm25Rank]]'s scoring body with the
+    * literal keyword filter replaced by a broadcast equi-join, so
+    * data-derived term sets (the PRF expansion below) ride as data and
+    * the plan shape stays term-set-invariant (the x39/x37 literal
+    * lesson). `terms` needs one `token` column; duplicates are dropped.
+    */
+  def bm25RankFromTerms(docs: DataFrame, terms: DataFrame, k1: Double = 1.2,
+                        b: Double = 0.75, topK: Int = 100): DataFrame = {
+    val counts = termCounts(docs).cache()
+    val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
+      .select(col("n_docs"),
+        (col("tot_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val matched = counts.join(broadcast(terms.select("token").distinct()), "token")
+    val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val scores = matched
+      .join(broadcast(dfs), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("cnt") * lit(k1 + 1.0)) /
+          (col("cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    docs.select("doc_id")
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), round(coalesce(col("score"), lit(0.0)), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 / the RM
+    * relevance-model family): run BM25 with the original query, take the
+    * top `fbDocs` positive hits as implicit relevance feedback, pick the
+    * `expandTerms` highest summed-TF-IDF terms those docs contain (query
+    * terms excluded; selection orders on the 6-dp-rounded weight with a
+    * term tie-break), and re-rank with BM25 over the expanded term set —
+    * the classic fix for vocabulary mismatch, where a relevant document
+    * uses synonyms of the query and scores zero lexically.
+    *
+    * Scale shape: the feedback set is fbDocs rows, the expansion
+    * aggregation runs over the feedback docs' Zipf-compressed term
+    * counts, and the expanded set rides [[bm25RankFromTerms]]' broadcast
+    * frame — no stage widens with corpus size beyond the two BM25 passes.
+    */
+  def prfExpandedBm25(docs: DataFrame, keywords: Seq[String] = Keywords,
+                      fbDocs: Int = 10, expandTerms: Int = 5,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kw = keywords.map(_.toLowerCase)
+    val fb = bm25Rank(docs, keywords, k1, b, fbDocs).where(col("bm25") > 0)
+    val counts = termCounts(docs).cache()
+    val exp = counts.join(fb.select("doc_id"), "doc_id")
+      .join(idfFromCounts(counts, docs).select("token", "idf"), "token")
+      .where(!col("token").isin(kw: _*))
+      .groupBy("token").agg(round(sum(col("cnt") * col("idf")), 6).as("w"))
+      .orderBy(desc("w"), asc("token")).limit(expandTerms)
+    val allTerms = exp.select("token").unionByName(kw.toDF("token")).distinct()
+    bm25RankFromTerms(docs, allTerms, k1, b, topK)
+  }
+
   /** N10: ranked corpus, top-k by combined score (tie-broken on doc_id). */
   def rankDocuments(docs: DataFrame, keywords: Seq[String] = Keywords,
                     topK: Int = 100): DataFrame =
@@ -189,4 +254,7 @@ object Relevance {
 
   def qBm25(spark: SparkSession, sfDir: String): DataFrame =
     bm25Rank(Tables.documents(spark, sfDir))
+
+  def qPrfBm25(spark: SparkSession, sfDir: String): DataFrame =
+    prfExpandedBm25(Tables.documents(spark, sfDir))
 }

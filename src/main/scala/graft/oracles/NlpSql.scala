@@ -116,6 +116,60 @@ object NlpSql {
        |ORDER BY bm25 DESC, d.doc_id LIMIT $topK""".stripMargin
   }
 
+  /** PRF query expansion ([[graft.operators.Relevance.prfExpandedBm25]],
+    * x61): base BM25 over the literal query, top-`fbDocs` positive hits as
+    * feedback, `expandTerms` highest rounded summed-TF-IDF non-query
+    * terms, then BM25 again over the expanded set (terms via a CTE join —
+    * the same shape the engine's terms-frame variant plans).
+    */
+  def prfBm25Sql(kws: Seq[String], fbDocs: Int = 10, expandTerms: Int = 5,
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+    val lower = kws.map(_.toLowerCase)
+    val in = kwList(lower)
+    val kwValues = lower.map(k => s"('$k')").mkString(", ")
+    s"""WITH $baseCtes,
+       |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnts GROUP BY doc_id),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT sum(cnt) FROM cnts) * 1.0
+       |           / (SELECT count(*) FROM documents) AS avgdl),
+       |bdfs AS (SELECT token, count(*) AS df FROM cnts
+       |         WHERE token IN $in GROUP BY token),
+       |bs AS (
+       |  SELECT c.doc_id,
+       |         sum(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |             (c.cnt * ${k1 + 1.0}) /
+       |             (c.cnt + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))) AS score
+       |  FROM cnts c JOIN bdfs f USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats st
+       |  GROUP BY c.doc_id),
+       |fb AS (SELECT d.doc_id, round(coalesce(bs.score, 0.0), 6) AS bm25
+       |       FROM documents d LEFT JOIN bs USING (doc_id)
+       |       ORDER BY bm25 DESC, d.doc_id LIMIT $fbDocs),
+       |fbpos AS (SELECT doc_id FROM fb WHERE bm25 > 0),
+       |idf AS (SELECT token,
+       |               ln((SELECT count(*) FROM documents) * 1.0 / (1 + count(*))) AS idf
+       |        FROM cnts GROUP BY token),
+       |expt AS (SELECT c.token, round(sum(c.cnt * idf.idf), 6) AS w
+       |         FROM cnts c JOIN fbpos USING (doc_id) JOIN idf USING (token)
+       |         WHERE c.token NOT IN $in
+       |         GROUP BY c.token ORDER BY w DESC, c.token LIMIT $expandTerms),
+       |allt AS (SELECT token FROM expt UNION SELECT * FROM (VALUES $kwValues) v(token)),
+       |edfs AS (SELECT token, count(*) AS df FROM cnts
+       |         WHERE token IN (SELECT token FROM allt) GROUP BY token),
+       |es AS (
+       |  SELECT c.doc_id,
+       |         sum(ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |             (c.cnt * ${k1 + 1.0}) /
+       |             (c.cnt + $k1 * (${1.0 - b} + $b * dl.dl / st.avgdl))) AS score
+       |  FROM cnts c JOIN edfs f USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats st
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id, round(coalesce(es.score, 0.0), 6) AS bm25
+       |FROM documents d LEFT JOIN es USING (doc_id)
+       |ORDER BY bm25 DESC, d.doc_id LIMIT $topK""".stripMargin
+  }
+
   /** Sum-normalized TF + inverted-index cosine pairs ≥ θ on rounded sim. */
   def dupPairsSql(threshold: Double = 0.8): String =
     s"""WITH $baseCtes,

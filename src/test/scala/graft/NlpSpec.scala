@@ -178,4 +178,27 @@ class NlpSpec extends SparkSpec {
     val total = Priority.distribution(docs).agg(sum("n")).as[Long].head()
     assert(total == docs.count())
   }
+
+  test("PRF expansion retrieves the vocabulary-mismatch doc plain BM25 scores zero") {
+    // feedback docs pair the query term with "synonym" vocabulary; doc 100
+    // uses ONLY the synonym vocabulary — lexically invisible to the query
+    val docs = ((1L to 8L).map(i =>
+        (i, "spark engine cluster executor shuffle partition")) ++ Seq(
+        (100L, "engine cluster executor shuffle partition runtime"),
+        (101L, "completely unrelated words gardening flowers blooming")))
+      .toDF("doc_id", "text")
+    val base = Relevance.bm25Rank(docs, Seq("spark"), topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base(100L) == 0.0, "mismatch doc must be invisible to plain BM25")
+    val prf = Relevance.prfExpandedBm25(docs, Seq("spark"),
+      fbDocs = 5, expandTerms = 3, topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prf(100L) > 0.0, "expansion must surface the synonym-vocabulary doc")
+    assert(prf(100L) > prf(101L), "off-topic doc must stay below the mismatch doc")
+    // the terms-frame variant agrees with the literal variant on the same set
+    val viaFrame = Relevance.bm25RankFromTerms(docs,
+      Seq("spark").toDF("token"), topK = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaFrame == base)
+  }
 }

@@ -259,6 +259,7 @@ class PlanSpec extends SparkSpec {
       // stream — Spark plans any non-equi broadcast join as BNLJ, but a
       // 1-row build side is a constant, not a blow-up
       "n2_idf", "n3_tfidf_top", "n4_relevance", "n5_rank", "n13_bm25",
+      "x61_prf_bm25",        // both BM25 passes ride n13's 1-row stats build
       "n8_priority", "n9_priority_distribution",
       "p1_pipeline", "p1b_pipeline_graded", "p2_pipeline_stats",
       "x25_unigram_lm", "x31_ccnet_buckets",
