@@ -160,6 +160,7 @@ object SparkEntry {
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
+    "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -794,6 +795,8 @@ object SparkEntry {
     // -> terms-CTE BM25 re-rank
     "x61_prf_bm25"     -> graft.oracles.NlpSql.prfBm25Sql(
       graft.operators.Relevance.Keywords),
+    // x62: integer block arithmetic per candidate context length
+    "x62_packing_efficiency" -> graft.oracles.TrainSql.packingEfficiencySql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

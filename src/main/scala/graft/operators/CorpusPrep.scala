@@ -391,4 +391,40 @@ object CorpusPrep {
     */
   def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame =
     weightedSample(Tables.documents(spark, sfDir))
+
+  /** Packing-efficiency report (x62): per candidate context length, the
+    * padding waste of naive one-doc-per-sequence padding (every document
+    * rounds up to ⌈tokens/ctx⌉ blocks) versus [[packOffsets]]' concat-
+    * then-chunk layout (only the global tail pads) — the report that
+    * justifies the packing pass before a training run commits to a
+    * context length. Waste fractions are exact-integer ratios rounded
+    * 6 dp; block counts are pure integer arithmetic, so both engines
+    * agree bit-for-bit. One aggregation over the narrow x11 token-count
+    * frame exploded by the candidate lengths — corpus-size-independent
+    * output.
+    */
+  def packingEfficiency(docs: DataFrame,
+                        ctxLens: Seq[Int] = Seq(256, 512, 1024)): DataFrame = {
+    val toks = TextQuality.tokenCounts(docs).select(col("doc_id"), col("ws_tokens"))
+    toks.select(col("ws_tokens"),
+        explode(lit(ctxLens.toArray)).as("ctx"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_tokens"),
+        sum(floor((col("ws_tokens") + col("ctx") - 1) / col("ctx")))
+          .cast("long").as("naive_blocks"))
+      .select(col("ctx"), col("n_docs"), col("total_tokens"),
+        col("naive_blocks"),
+        (floor((col("total_tokens") + col("ctx") - 1) / col("ctx")))
+          .cast("long").as("packed_blocks"))
+      .select(col("ctx"), col("n_docs"), col("total_tokens"),
+        col("naive_blocks"), col("packed_blocks"),
+        round(lit(1.0) - col("total_tokens") * lit(1.0) /
+          (col("naive_blocks") * col("ctx")), 6).as("naive_waste"),
+        round(lit(1.0) - col("total_tokens") * lit(1.0) /
+          (col("packed_blocks") * col("ctx")), 6).as("packed_waste"))
+  }
+
+  def qPackingEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    packingEfficiency(Tables.documents(spark, sfDir))
 }

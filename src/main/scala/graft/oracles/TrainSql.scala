@@ -1845,6 +1845,34 @@ object TrainSql {
        |             * 1.0 / sum(ws_tokens), 6) AS token_drop_pct
        |FROM rep GROUP BY method""".stripMargin
 
+  /** Packing-efficiency report
+    * ([[graft.operators.CorpusPrep.packingEfficiency]], x62): integer
+    * block arithmetic per candidate context length, waste ratios rounded
+    * 6 dp.
+    */
+  def packingEfficiencySql(ctxLens: Seq[Int] = Seq(256, 512, 1024)): String = {
+    val lens = ctxLens.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |             x -> x <> '')) AS ws_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT c.ctx, count(*) AS n_docs, sum(t.ws_tokens) AS total_tokens,
+       |         sum((t.ws_tokens + c.ctx - 1) // c.ctx) AS naive_blocks
+       |  FROM t CROSS JOIN (SELECT unnest([$lens]) AS ctx) c
+       |  GROUP BY c.ctx)
+       |SELECT CAST(ctx AS INTEGER) AS ctx, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(total_tokens AS BIGINT) AS total_tokens,
+       |       CAST(naive_blocks AS BIGINT) AS naive_blocks,
+       |       CAST((total_tokens + ctx - 1) // ctx AS BIGINT) AS packed_blocks,
+       |       round(1.0 - total_tokens * 1.0 / (naive_blocks * ctx), 6)
+       |         AS naive_waste,
+       |       round(1.0 - total_tokens * 1.0 /
+       |             (((total_tokens + ctx - 1) // ctx) * ctx), 6) AS packed_waste
+       |FROM g""".stripMargin
+  }
+
   /** Shared CTEs for the DSIR family ([[graft.operators.Dsir]], x53/x54):
     * hashed unigram+bigram bucket counts, the raw and target bucket
     * distributions, the add-1-smoothed per-bucket log-likelihood ratio,

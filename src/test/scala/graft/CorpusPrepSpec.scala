@@ -241,4 +241,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got(2L) == ((2L, "a", 0L, 0L, 3L, 0L)))
     assert(got(3L) == ((3L, "a", 2L, 0L, 3L, 2L))) // 2 tokens across packs 0/1
   }
+
+  test("packing efficiency: block counts and waste match hand-computed values") {
+    // 3 docs of 3, 5, and 9 whitespace tokens; ctx = 4:
+    // naive blocks = ceil(3/4)+ceil(5/4)+ceil(9/4) = 1+2+3 = 6
+    // packed blocks = ceil(17/4) = 5
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c d e"),
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val r = CorpusPrep.packingEfficiency(docs, Seq(4)).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("total_tokens") == 17L)
+    assert(r.getAs[Long]("naive_blocks") == 6L)
+    assert(r.getAs[Long]("packed_blocks") == 5L)
+    assert(r.getAs[Double]("naive_waste") ==
+      BigDecimal(1.0 - 17.0 / 24.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("packed_waste") ==
+      BigDecimal(1.0 - 17.0 / 20.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // packed waste never exceeds naive waste at any length
+    val multi = CorpusPrep.packingEfficiency(docs).collect()
+    assert(multi.forall(m =>
+      m.getAs[Double]("packed_waste") <= m.getAs[Double]("naive_waste")))
+  }
 }
