@@ -161,6 +161,7 @@ object SparkEntry {
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
+    "x63_quality_keep" -> (Dedup.qQualityKeepDedup _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
@@ -797,6 +798,8 @@ object SparkEntry {
       graft.operators.Relevance.Keywords),
     // x62: integer block arithmetic per candidate context length
     "x62_packing_efficiency" -> graft.oracles.TrainSql.packingEfficiencySql(),
+    // x63: the x45 family closure re-kept by the x10 quality window
+    "x63_quality_keep" -> graft.oracles.TrainSql.qualityKeepDedupSql(),
     "x26_knn_join"     -> graft.oracles.TrainSql.knnJoinSql,
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)

@@ -1845,6 +1845,19 @@ object TrainSql {
        |             * 1.0 / sum(ws_tokens), 6) AS token_drop_pct
        |FROM rep GROUP BY method""".stripMargin
 
+  /** Quality-keep dedup ([[graft.operators.Dedup.qualityKeepDedup]], x63):
+    * the x45 families re-kept by the x10 quality score (DESC, doc_id).
+    */
+  def qualityKeepDedupSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH mh AS (SELECT doc_id, family, family_size
+       |            FROM (${minhashDedupSql(minEstJaccard)})),
+       |qs AS (SELECT doc_id, quality FROM ($qualitySql))
+       |SELECT m.doc_id, m.family, CAST(m.family_size AS BIGINT) AS family_size,
+       |       qs.quality,
+       |       row_number() OVER (PARTITION BY m.family
+       |                          ORDER BY qs.quality DESC, m.doc_id) = 1 AS kept
+       |FROM mh m JOIN qs USING (doc_id)""".stripMargin
+
   /** Packing-efficiency report
     * ([[graft.operators.CorpusPrep.packingEfficiency]], x62): integer
     * block arithmetic per candidate context length, waste ratios rounded

@@ -217,6 +217,32 @@ class DedupSpec extends SparkSpec {
       BigDecimal(1.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("quality-keep dedup keeps the highest-quality family member, one per family") {
+    // docs 0 and 5 are byte-identical (same quality — doc_id breaks the
+    // tie at the lower id), so the shared fixture pins the tie rule; a
+    // quality-ORDERED case: a long clean doc vs a punctuation-mangled
+    // near-dup of it must keep the clean one regardless of id order
+    val base = "machine learning pipelines process large corpora with careful " +
+      "deduplication quality filtering and tokenization before any training run"
+    val docs = (sampleTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++ Seq(
+      (100L, "!!! ??? " + base + " ### $$$ %%% @@@ !!! ??? ###"),
+      (101L, base))).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.qualityKeepDedup(docs).collect()
+    // exactly one kept per family
+    for ((fam, rows) <- out.groupBy(_.getAs[Long]("family")))
+      assert(rows.count(_.getAs[Boolean]("kept")) == 1, s"family $fam")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the identical pair ties on quality -> lower id kept
+    assert(byId(0L).getAs[Long]("family") == byId(5L).getAs[Long]("family"))
+    assert(byId(0L).getAs[Boolean]("kept") && !byId(5L).getAs[Boolean]("kept"))
+    // the mangled/clean pair must be one family with the CLEAN doc kept,
+    // even though the mangled one has the lower id
+    assert(byId(100L).getAs[Long]("family") == byId(101L).getAs[Long]("family"),
+      "planted near-dups must land in one family")
+    assert(byId(101L).getAs[Boolean]("kept") && !byId(100L).getAs[Boolean]("kept"),
+      "the higher-quality member must be the keeper")
+  }
+
   test("hard negatives: different-label only, ranked, and exact at full probes") {
     val e = Tables.embeddings(spark, sf0001)
     val corpus = e.where(col("vec_id") % 50 =!= 0)
