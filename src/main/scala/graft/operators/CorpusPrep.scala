@@ -410,13 +410,13 @@ object CorpusPrep {
         explode(lit(ctxLens.toArray)).as("ctx"))
       .groupBy("ctx")
       .agg(count(lit(1)).as("n_docs"),
-        sum("ws_tokens").as("total_tokens"),
-        sum(floor((col("ws_tokens") + col("ctx") - 1) / col("ctx")))
-          .cast("long").as("naive_blocks"))
+        sum(col("ws_tokens")).as("total_tokens"),
+        // integer `div`, not double-divide + floor: exact at any magnitude
+        // (double division drifts past 2^53 total tokens — 100 TB territory)
+        sum(expr("(ws_tokens + ctx - 1) div ctx")).as("naive_blocks"))
       .select(col("ctx"), col("n_docs"), col("total_tokens"),
         col("naive_blocks"),
-        (floor((col("total_tokens") + col("ctx") - 1) / col("ctx")))
-          .cast("long").as("packed_blocks"))
+        expr("(total_tokens + ctx - 1) div ctx").as("packed_blocks"))
       .select(col("ctx"), col("n_docs"), col("total_tokens"),
         col("naive_blocks"), col("packed_blocks"),
         round(lit(1.0) - col("total_tokens") * lit(1.0) /

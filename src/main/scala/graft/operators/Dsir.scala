@@ -111,16 +111,21 @@ object Dsir {
   /** Gumbel-top-k resample over the importance weights: key =
     * log w + Gumbel(0,1), the n largest keys are a without-replacement
     * draw with P(doc) ∝ w (Gumbel-max trick). The Gumbel comes from the
-    * salted md5-60 uniform — u = (h + ½)/2^60 lies strictly inside (0,1)
-    * (the x42 sampler's (h+1)/2^60 ∈ (0,1] form would put −ln(−ln u) at
-    * +∞ on u = 1), so the key is always finite.
+    * salted md5-60 uniform — u = (h + ½)/2^60, clamped to
+    * ≤ 1 − 1e-12 (identically in the DuckDB oracle). The clamp closes a
+    * double-rounding edge: for h within an ulp of 2^60 the cast rounds up
+    * and absorbs the +½, giving u == 1.0 exactly, where −ln(−ln u) is NULL
+    * here but may differ in another engine. (~1e-16 per doc, but the
+    * finiteness guarantee should be unconditional.) The x42 sampler's
+    * (h+1)/2^60 ∈ (0,1] form would hit the same pole without it.
     */
   def gumbelSample(docs: DataFrame, n: Int = 100,
                    targetSources: Seq[String] = DefaultTargetSources,
                    buckets: Int = NumBuckets,
                    salt: String = DefaultSalt): DataFrame = {
     val h = Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id")))
-    val u = (h.cast("double") + 0.5) / lit(1.152921504606846976e18)
+    val u = least((h.cast("double") + 0.5) / lit(1.152921504606846976e18),
+      lit(1.0 - 1e-12))
     val key = round(col("log_weight") - log(-log(u)), 6)
     val ranked = importanceWeights(docs, targetSources, buckets)
       .select(col("doc_id"), col("source"), col("log_weight"),

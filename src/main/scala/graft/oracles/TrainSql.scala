@@ -1942,8 +1942,10 @@ object TrainSql {
        |SELECT doc_id, source, n_grams, log_weight FROM fullw""".stripMargin
 
   /** Gumbel-top-k DSIR resample ([[graft.operators.Dsir.gumbelSample]]):
-    * key = log w − ln(−ln u) with u = (md5-60(salt:doc_id) + ½)/2^60 —
-    * strictly inside (0,1) so the key is finite.
+    * key = log w − ln(−ln u) with u = (md5-60(salt:doc_id) + ½)/2^60,
+    * clamped to ≤ 1 − 1e-12 exactly as the engine does (the double cast
+    * of h near 2^60 can round u to exactly 1.0, where −ln(−ln u) hits a
+    * pole that engines disagree on).
     */
   def dsirSampleSql(n: Int = 100,
                     targetSources: Seq[String] =
@@ -1954,8 +1956,9 @@ object TrainSql {
        |keyed AS (
        |  SELECT doc_id, source, log_weight,
        |         round(log_weight -
-       |               ln(-ln((CAST(${md5Long60Sql(s"'$salt:' || doc_id")}
-       |                            AS DOUBLE) + 0.5) / 1152921504606846976.0)),
+       |               ln(-ln(least((CAST(${md5Long60Sql(s"'$salt:' || doc_id")}
+       |                                  AS DOUBLE) + 0.5) / 1152921504606846976.0,
+       |                            1.0 - 1e-12))),
        |               6) AS gumbel_key
        |  FROM fullw),
        |top AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT $n)
