@@ -147,6 +147,7 @@ object SparkEntry {
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
+    "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -757,6 +758,7 @@ object SparkEntry {
       SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,
       SemanticSearch.VocabSize, SemanticSearch.Threshold),
     "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
+    "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator

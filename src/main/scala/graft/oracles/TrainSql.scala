@@ -1397,6 +1397,33 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** x45b oracle ([[graft.operators.Dedup.qMinhashDedupIterative]]): the
+    * x45 closure recipe over the planted-hot fixture. The engine runs it
+    * with `maxCollectEdges = 0` — the distributed min-label-propagation
+    * arm — and the answer must be byte-identical to this recursive-CTE
+    * closure; the physical components path is invisible to the result.
+    * The nested LSH WITH references the outer `corpus` CTE (DuckDB scopes
+    * outer CTEs into nested WITH bodies).
+    */
+  def minhashDedupIterSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${plantedCorpusCte()},
+       |mh AS (${minhashLshSqlFrom(minEstJaccard, shingleCtesFrom("corpus"), "")}),
+       |medges AS (SELECT id1 AS a, id2 AS b FROM mh
+       |           UNION ALL SELECT id2, id1 FROM mh),
+       |mreach(a, b) AS (
+       |  SELECT a, b FROM medges
+       |  UNION
+       |  SELECT r.a, e.b FROM mreach r JOIN medges e ON r.b = e.a),
+       |mcomp AS (
+       |  SELECT d.doc_id,
+       |         CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS family
+       |  FROM corpus d LEFT JOIN mreach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |mfams AS (SELECT family, CAST(count(*) AS BIGINT) AS family_size
+       |          FROM mcomp GROUP BY family)
+       |SELECT doc_id, family, family_size, doc_id = family AS kept
+       |FROM mcomp JOIN mfams USING (family)""".stripMargin
+
   /** BPE merge learning oracle ([[graft.operators.Bpe.learnMerges]]):
     * the iterative argmax+merge loop unrolled as chained CTEs (the x39
     * recipe). Each step's state and argmax are referenced twice, so both

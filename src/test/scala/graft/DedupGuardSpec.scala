@@ -115,6 +115,24 @@ class DedupGuardSpec extends SparkSpec {
       s"missing pairs outside the hot neighborhood: $missing (nbr=$nbr)")
   }
 
+  test("x45b runs the distributed components arm and matches the collect arm") {
+    val planted = Dedup.plantedHotCorpus(Tables.documents(spark, sf0001))
+    val viaCollect = Dedup.minhashDedup(planted)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(graft.operators.Duplicates.lastComponentsPath == "collect")
+    val viaIter = Dedup.qMinhashDedupIterative(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(graft.operators.Duplicates.lastComponentsPath == "iterative",
+      s"maxCollectEdges=0 must force the iterative arm, " +
+        s"got ${graft.operators.Duplicates.lastComponentsPath}")
+    assert(viaIter == viaCollect,
+      "the physical components path must be invisible to the result")
+    // the planted family collapsed into one kept representative
+    val famRows = viaIter.filter(_._1 >= 100000L)
+    assert(famRows.size == 200 && famRows.forall(r => !r._4 && r._3 >= 201L),
+      s"planted clones must all be dropped members of a ≥201 family")
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs join at every threshold") {
     // exactness of the PPJoin-style candidate pruning: same pairs, same
     // values as the single-join form the DuckDB oracle runs
