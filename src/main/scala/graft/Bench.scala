@@ -142,10 +142,26 @@ object Bench {
         if (prevFamily.nonEmpty) { spark.catalog.clearCache(); System.gc() }
         prevFamily = family
       }
-      (1 to repeat).map { i =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (if (i == 1) name else s"$name#$i") -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to repeat).map { i =>
+        val t1 = timeOnce()
+        // Median-of-3 for expensive queries (auto mode only): single-shot
+        // timings above a couple of seconds are dominated by whichever
+        // GC pause / first-build cost happened to land on them (measured
+        // x36 3.6 s vs 10.3 s across identical sweeps), which mis-ranks
+        // queries and masks real regressions. The median of three runs is
+        // the steady-state per-query cost — the number a long-lived
+        // service pays and the one comparable to solo probes. Cheap ones
+        // stay single-shot: their absolute error is bounded by their cost.
+        val t = if (repeat == 1 && t1 > 2.0) {
+          val ts = Seq(t1, timeOnce(), timeOnce()).sorted
+          ts(1)
+        } else t1
+        (if (i == 1) name else s"$name#$i") -> t
       }
     }
     // Locale.ROOT: the f-interpolator uses the default locale, which on a

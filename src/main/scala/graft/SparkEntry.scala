@@ -200,6 +200,9 @@ object SparkEntry {
     "i6_detect_platform" -> ((s: SparkSession, d: String) =>
       graft.sources.Ingest.qDetectPlatform(s, d)),
     "d19_csv_roundtrip" -> (Export.qCsvRoundtrip _),
+    "d20_context_window" -> ((s: SparkSession, d: String) => DocOps.contextWindowSearch(s, d)),
+    "d21_json_roundtrip" -> (Export.qJsonRoundtrip _),
+    "d22_markdown_roundtrip" -> (Export.qMarkdownRoundtrip _),
     "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
     "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
     "w11_stream_quality" -> (graft.streaming.DocStream.qQualityGate _),
@@ -887,6 +890,23 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars,
         |       CAST(length(text) AS BIGINT) AS text_len,
         |       substr(text, 1, 80) AS head
+        |FROM documents""".stripMargin,
+    "d20_context_window" -> graft.oracles.NlpSql.contextWindowSql(),
+    // d21/d22: the Spark side dumps JSON-sink round-trips (write → read
+    // back); the oracles recompute the exported rows straight from
+    // parquet, so a hash match proves the sink preserved every value
+    "d21_json_roundtrip" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       '[' || string_agg('{"event_id":' || event_id || ',"event_type":"' ||
+        |                         event_type || '"}', ',' ORDER BY event_id) || ']'
+        |         AS events_json
+        |FROM events GROUP BY user_id""".stripMargin,
+    "d22_markdown_roundtrip" ->
+      """SELECT doc_id,
+        |       '# Doc ' || doc_id::VARCHAR || ' [' || lang || '/' || source || ']'
+        |         || chr(10) || chr(10)
+        |         || regexp_replace(text, '```(\w*)\n(.*?)```', '<pre>\2</pre>', 'gs')
+        |         AS markdown
         |FROM documents""".stripMargin,
     "w1_daily_counts"  -> graft.oracles.TrainSql.dailyCountsSql,
     "w4_moving_avg"    -> graft.oracles.TrainSql.movingAvgDailySql,

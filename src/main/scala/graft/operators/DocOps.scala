@@ -69,6 +69,38 @@ object DocOps {
       .limit(100)
   }
 
+  /** Context-window search over the document corpus (J5/W3,
+    * `sql_search.py:906-1027`): the reference finds top-50 keyword hits,
+    * then issues ONE SQL query PER HIT for `order_index BETWEEN hit±k` —
+    * the classic N+1. Here both phases fold into one plan: the hit list
+    * (LIMIT applied BEFORE expansion, preserving the reference's
+    * limit-then-context semantics) is ≤`topN` rows, so Catalyst
+    * broadcasts it and the context expansion is a single broadcast range
+    * join against the sentence frame — one corpus scan, no per-hit
+    * round-trips, no shuffle of the big side.
+    *
+    * The corpus analog of "±k messages in the conversation" is "±k
+    * sentences in the document"; the synthetic docs carry no sentence
+    * punctuation, so the same deterministic 12-word boundary as the s4
+    * entry sentencifies first (both engines replicate the regex).
+    */
+  def contextWindowSearch(spark: SparkSession, sfDir: String,
+                          kw: String = "window", k: Int = 2,
+                          topN: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sentencified = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "((?:\\S+\\s+){12})", "$1. ").as("text"))
+    val sents = Summarizer.sentencesDf(sentencified)
+    val hits = sents.where(lower(col("sentence")).contains(kw))
+      .orderBy(asc("doc_id"), asc("sidx")).limit(topN)
+      .select(col("doc_id"), col("sidx").as("hit_sidx"))
+    hits.join(sents, Seq("doc_id"))
+      .where(col("sidx").between(col("hit_sidx") - k, col("hit_sidx") + k))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("hit_sidx"), col("sidx"),
+        col("sentence"), (col("sidx") === col("hit_sidx")).as("is_match"))
+  }
+
   /** Boolean keyword search (F2, `sql_search.py:286-392`): the parsed
     * `a AND b OR (c NOT d)` predicate as Column algebra.
     */

@@ -71,7 +71,7 @@ object Duplicates {
     // One tokenize pass feeds the dispatch statistics and whichever
     // strategy wins (the kernel alone needs two more passes over tf —
     // vocabulary and vectors — so the cache pays for itself immediately).
-    val tf = tfSum(docs).cache()
+    val tf = Caches.shared(tfSum(docs))
     val stats = tf.agg(
       countDistinct(col("token")).as("vocab"),
       countDistinct(col("doc_id")).as("docs")).head()
@@ -85,7 +85,7 @@ object Duplicates {
     // it. Persisting lets Spark's CacheManager substitute the materialized
     // result into any later plan that canonically matches (the reference
     // caches its IDF corpus and TF vectors for the same reason).
-    pairs.cache()
+    Caches.shared(pairs)
   }
 
   /** The inverted-index (sparse) strategy for [[pairSimilarities]]. */

@@ -127,6 +127,47 @@ object Export {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** d21 (S10, oracle-checkable): push the nested-JSON-by-user export
+    * through a REAL JSON file sink and read it back with an explicit
+    * schema — parity with d19's CSV treatment. d13 verifies the formatted
+    * `events_json` column; this row hashes the ROUND-TRIPPED rows, so an
+    * oracle match proves the sink write→read preserves every value — the
+    * doubly-JSON-encoded `events_json` string (embedded quotes/braces
+    * escaped and restored) being exactly what a column check can't see.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = nestedJsonByUser(Tables.events(spark, sfDir))
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_json_roundtrip_" + Integer.toHexString(sfDir.hashCode)).getPath
+    writeJson(out, dir)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("n_events", LongType),
+        StructField("events_json", StringType))))
+      .json(dir)
+  }
+
+  /** d22 (S11, oracle-checkable): the Markdown export written to a real
+    * file sink and read back — the reference writes one .md file per
+    * conversation (`sql_search.py:1843-1903`); the distributed analog is a
+    * JSON-lines sink (the only line-oriented sink that survives the
+    * markdown bodies' embedded newlines losslessly without multiLine
+    * reads), keyed by doc_id so every byte of every document round-trips
+    * verifiably.
+    */
+  def markdownRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = markdownDocs(Tables.documents(spark, sfDir))
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_md_roundtrip_" + Integer.toHexString(sfDir.hashCode)).getPath
+    writeJson(out, dir)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("markdown", StringType))))
+      .json(dir)
+  }
+
   // --- query entries ---
 
   def qNestedJson(spark: SparkSession, sfDir: String): DataFrame =
@@ -140,4 +181,10 @@ object Export {
 
   def qCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
     csvRoundtrip(spark, sfDir)
+
+  def qJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    jsonRoundtrip(spark, sfDir)
+
+  def qMarkdownRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    markdownRoundtrip(spark, sfDir)
 }

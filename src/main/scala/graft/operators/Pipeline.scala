@@ -23,7 +23,7 @@ object Pipeline {
               keywords: Seq[String] = Relevance.Keywords,
               dupThreshold: Double = 0.8,
               summarySentences: Int = 3): DataFrame = {
-    val rel = Relevance.relevanceScores(docs, keywords).cache()
+    val rel = Caches.shared(Relevance.relevanceScores(docs, keywords))
     val unique = Duplicates.uniqueDocuments(docs, dupThreshold)
     docs.join(unique, "doc_id")
       .join(rel, "doc_id")
@@ -46,6 +46,22 @@ object Pipeline {
       round(avg("relevance_score"), 6).as("avg_relevance"),
       round(min("relevance_score"), 6).as("min_relevance"),
       round(max("relevance_score"), 6).as("max_relevance"))
+
+  /** The batch-job form of the pipeline: process → sink, with every
+    * shared cached subtree built along the way ([[Caches.shared]] sites —
+    * the tokenized term counts, the Duplicates TF/pair frames, the
+    * relevance frame) released deterministically once the write completes.
+    * Long-lived sessions running many corpora through the pipeline stay
+    * flat on cache memory; interactive callers keep using [[process]],
+    * whose caches remain resident for follow-up queries by design.
+    */
+  def processAndWrite(docs: DataFrame, path: String,
+                      keywords: Seq[String] = Relevance.Keywords,
+                      dupThreshold: Double = 0.8,
+                      summarySentences: Int = 3): Unit =
+    Caches.withScope {
+      writeResults(process(docs, keywords, dupThreshold, summarySentences), path)
+    }
 
   /** Sink: the reference's `analysis_results` table as partitioned parquet
     * (`pipeline/pipeline.py:374-429` — message_id/relevance/summary/

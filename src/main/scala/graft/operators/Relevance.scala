@@ -88,7 +88,7 @@ object Relevance {
   def relevanceScores(docs: DataFrame, keywords: Seq[String] = Keywords): DataFrame = {
     val kw = keywords.map(_.toLowerCase)
     val kwArr = lit(kw.toArray)
-    val counts = termCounts(docs).cache()
+    val counts = Caches.shared(termCounts(docs))
     val perDoc = counts.groupBy("doc_id").agg(
       sum("cnt").as("n_tokens"),
       sum(when(array_contains(kwArr, col("token")), col("cnt")).otherwise(0L)).as("kw_tokens"),
@@ -133,7 +133,7 @@ object Relevance {
     // rounded afterwards — summation order could flip the 6th decimal only
     // on an exact rounding boundary; with ≤8 terms per doc the risk is
     // negligible (if n13 ever wobbles, round per-term contributions first).
-    val counts = termCounts(docs).cache()
+    val counts = Caches.shared(termCounts(docs))
     val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
@@ -166,7 +166,7 @@ object Relevance {
     */
   def bm25RankFromTerms(docs: DataFrame, terms: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, topK: Int = 100): DataFrame = {
-    val counts = termCounts(docs).cache()
+    val counts = Caches.shared(termCounts(docs))
     val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
@@ -213,7 +213,7 @@ object Relevance {
     import spark.implicits._
     val kw = keywords.map(_.toLowerCase)
     val fb = bm25Rank(docs, keywords, k1, b, fbDocs).where(col("bm25") > 0)
-    val counts = termCounts(docs).cache()
+    val counts = Caches.shared(termCounts(docs))
     val exp = counts.join(fb.select("doc_id"), "doc_id")
       .join(idfFromCounts(counts, docs).select("token", "idf"), "token")
       .where(!col("token").isin(kw: _*))

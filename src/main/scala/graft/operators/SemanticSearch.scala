@@ -62,7 +62,7 @@ object SemanticSearch {
     // one tokenize pass: IDF, TF, norms and dots all derive from this
     // cached frame (CacheManager dedupes it against relevanceScores' cache
     // of the canonically-equal plan, so the pipeline shares it too)
-    val counts = Relevance.termCounts(docs).cache()
+    val counts = Caches.shared(Relevance.termCounts(docs))
     // vocab is ≤5000 rows but sits behind a window aggregate, so Catalyst
     // has no size estimate and would pick a sort-merge join — hint it.
     val idf = Relevance.idfFromCounts(counts, docs)

@@ -284,7 +284,7 @@ object TextQuality {
     // tokenize pass is the same cached subtree n1–n5/x-family already use.
     // Σ_occurrences ln p ≡ Σ_tokens cnt·ln p (the oracle uses the same
     // weighted form so both engines sum the identical term multiset).
-    val counts = graft.operators.Relevance.termCounts(docs).cache()
+    val counts = Caches.shared(graft.operators.Relevance.termCounts(docs))
     val model = counts.groupBy("token").agg(sum("cnt").as("gcnt"))
     val totals = model.agg(sum("gcnt").as("n_total"), count("*").as("n_vocab"))
     counts.join(model, "token")

@@ -441,6 +441,31 @@ object NlpSql {
        |       round(sim, 6) AS sim
        |FROM smsim""".stripMargin
 
+  /** d20 context-window search — mirrors
+    * [[graft.operators.DocOps.contextWindowSearch]]: the s4 sentencify +
+    * split CTEs, top-`topN` keyword hits in (doc_id, sidx) order, then the
+    * ±`k` context expansion as a window replay of the reference's per-hit
+    * N+1 loop (`sql_search.py:906-1027`). LIMIT binds before expansion.
+    */
+  def contextWindowSql(kw: String = "window", k: Int = 2,
+                       topN: Int = 50): String =
+    s"""WITH sdocs AS (
+       |  SELECT doc_id,
+       |         regexp_replace(text, '(\\S+\\s+){12}', '\\0. ', 'g') AS text
+       |  FROM documents),
+       |${sentenceCtesFrom("sdocs")},
+       |hits AS (
+       |  SELECT doc_id, sidx FROM smsents
+       |  WHERE contains(lower(s), '$kw')
+       |  ORDER BY doc_id, sidx LIMIT $topN)
+       |SELECT h.doc_id, d.source, CAST(h.sidx AS BIGINT) AS hit_sidx,
+       |       CAST(s.sidx AS BIGINT) AS sidx, s.s AS sentence,
+       |       s.sidx = h.sidx AS is_match
+       |FROM hits h
+       |JOIN smsents s ON s.doc_id = h.doc_id
+       |  AND s.sidx BETWEEN h.sidx - $k AND h.sidx + $k
+       |JOIN documents d ON d.doc_id = h.doc_id""".stripMargin
+
   /** Summary CTEs on top of [[textrankCtes]]: top-3 by (score desc, index
     * desc — numpy's reversed argsort tie-break), re-sorted into document
     * order; documents with ≤3 sentences short-circuit to all sentences.

@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
     assert(physical(DocOps.keywordSearch(spark, sf0001)).contains("TakeOrderedAndProject"))
   }
 
+  test("d20 context expansion broadcasts the limited hit list (no N+1, no big-side shuffle)") {
+    val p = physical(DocOps.contextWindowSearch(spark, sf0001))
+    // the ≤50-row hit list must be the broadcast side of the range join —
+    // the whole point of folding the reference's per-hit query loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"hit list must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "context expansion must not sort-merge")
+    // limit-before-expansion: a limit operator exists below the join
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      "the hit LIMIT must be applied before expansion")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
     val loc = new java.io.File("spark-warehouse/events_bucketed_test")
