@@ -206,6 +206,7 @@ object SparkEntry {
     "w8_stream_daily" -> (graft.streaming.EventStream.qStreamDailyDemo _),
     "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
     "w11_stream_quality" -> (graft.streaming.DocStream.qQualityGate _),
+    "w12_neardup_admission" -> (graft.streaming.DocStream.qNearDupAdmission _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -883,6 +884,10 @@ object SparkEntry {
     // w11: the sink contents of a replayed streaming x10 quality gate;
     // counts are order-free so the batch formula is the exact oracle
     "w11_stream_quality" -> graft.oracles.TrainSql.streamQualityGateSql(),
+    // w12: the replayed admission stream's verdict table; the oracle is
+    // the greedy (arrival-order) maximal-independent-set recursion over
+    // the x3 LSH pair graph — NOT x45's transitive closure (see Scaladoc)
+    "w12_neardup_admission" -> graft.oracles.TrainSql.nearDupAdmissionSql(),
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

@@ -1397,6 +1397,44 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** w12 oracle ([[graft.streaming.DocStream.replayNearDupAdmission]]):
+    * greedy near-dup admission in doc_id (arrival) order over the x3 LSH
+    * pair graph — kept(d) ⟺ no KEPT earlier neighbor. This is the
+    * lexicographically-first maximal independent set, computed as a
+    * recursive wave: round 0 decides docs with no smaller neighbor; each
+    * later round decides docs whose smaller neighbors all carry verdicts
+    * (the working table re-emits the full verdict set each round — the
+    * smtr state-carrying recipe — and stops when everyone is decided).
+    * Deliberately NOT the x45 transitive-closure keep rule: an admission
+    * stream cannot retro-reject, so chain middles are dropped and chain
+    * ends both kept; on clique-shaped families the two coincide.
+    */
+  def nearDupAdmissionSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE mh AS (${minhashLshSql(minEstJaccard)}),
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |adm(it, doc_id, kept) AS (
+       |  SELECT 0, d.doc_id, true FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM mh WHERE id2 = d.doc_id)
+       |  UNION ALL
+       |  (
+       |    SELECT it + 1, doc_id, kept FROM adm
+       |    WHERE (SELECT count(*) FROM adm) < (SELECT n FROM tot)
+       |    UNION ALL
+       |    SELECT (SELECT max(it) FROM adm) + 1, d.doc_id,
+       |           NOT EXISTS (SELECT 1 FROM mh e JOIN adm a ON a.doc_id = e.id1
+       |                       WHERE e.id2 = d.doc_id AND a.kept)
+       |    FROM documents d
+       |    WHERE NOT EXISTS (SELECT 1 FROM adm a2 WHERE a2.doc_id = d.doc_id)
+       |      AND NOT EXISTS (SELECT 1 FROM mh e WHERE e.id2 = d.doc_id
+       |                      AND e.id1 NOT IN (SELECT doc_id FROM adm))
+       |  )
+       |)
+       |SELECT doc_id, kept FROM (
+       |  SELECT doc_id, kept,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY it DESC) AS rn
+       |  FROM adm)
+       |WHERE rn = 1""".stripMargin
+
   /** x45b oracle ([[graft.operators.Dedup.qMinhashDedupIterative]]): the
     * x45 closure recipe over the planted-hot fixture. The engine runs it
     * with `maxCollectEdges = 0` — the distributed min-label-propagation

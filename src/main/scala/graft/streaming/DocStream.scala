@@ -89,6 +89,99 @@ object DocStream {
     })
   }
 
+  /** w12: streaming NEAR-duplicate admission — the LSH-band stateful
+    * variant of the exact-dedup stream (w2's `dropDuplicatesWithinWatermark`
+    * keys on identity; this keys on content similarity). Each arriving
+    * document is admitted iff its MinHash signature, estimated against
+    * every PREVIOUSLY ADMITTED document sharing an LSH band bucket, stays
+    * under `minEstJaccard` — the greedy admission rule streaming ingest
+    * actually runs (a rejected doc is gone; a later chain-merge cannot
+    * retro-reject what was already admitted, which is where this
+    * deliberately differs from batch x45's transitive-closure families:
+    * on clique-shaped duplicate families — the planted fixture, identical
+    * copies — the two keep-sets coincide; on chains a-b-c the stream keeps
+    * the chain ends, the replay spec pins both facts).
+    *
+    * Shape, 100 TB-first: state is the admitted corpus's band-bucket
+    * table plus its signatures — parquet keyed by `band_key`, the same
+    * layout a production admission service holds in a key-value store.
+    * Each micro-batch does ONE equi-join of its band rows against the
+    * state (collisions only — never a corpus scan), verifies candidates
+    * by signature agreement, resolves within-batch pairs with the LSH
+    * pair join, and appends the admitted docs' bands/signatures. The only
+    * driver-side step is the greedy scan over the batch's own verdicts —
+    * bounded by micro-batch size, never by corpus size.
+    */
+  private[graft] def admitBatch(batch: DataFrame, stateDir: String,
+                                minEstJaccard: Double): DataFrame =
+    graft.operators.Caches.withScope {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      import graft.operators.Dedup
+      val docs = batch.select("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs)
+      val bands = Dedup.bandRows(sigs)
+      val bandsPath = s"$stateDir/bands"
+      val sigsPath = s"$stateDir/sigs"
+      val haveState = new java.io.File(bandsPath).exists()
+      val extColl: Set[Long] = if (!haveState) Set.empty else {
+        val stBands = spark.read.parquet(bandsPath)
+          .withColumnRenamed("doc_id", "old_id")
+        val stSigs = spark.read.parquet(sigsPath)
+          .select(col("doc_id").as("old_id"), col("signature").as("old_sig"))
+        bands.join(stBands, Seq("band_idx", "band_key"))
+          .select("doc_id", "old_id").distinct()
+          .join(sigs, "doc_id")
+          .join(stSigs, "old_id")
+          .where((size(filter(zip_with(col("signature"), col("old_sig"),
+              (x, y) => x === y), b => b)).cast("double") / Dedup.NumHashes)
+            >= minEstJaccard)
+          .select(col("doc_id")).distinct().as[Long].collect().toSet
+      }
+      // within-batch near-dup pairs (id1 < id2), then the greedy scan in
+      // arrival (doc_id) order — both bounded by the micro-batch
+      val internal = Dedup.minhashLshPairs(docs, minEstJaccard)
+        .select("id1", "id2").as[(Long, Long)].collect()
+      val smaller = internal.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+      val ids = docs.select("doc_id").as[Long].collect().sorted
+      val kept = scala.collection.mutable.Set.empty[Long]
+      val verdicts = ids.map { d =>
+        val admit = !extColl(d) &&
+          !smaller.getOrElse(d, Array.empty[Long]).exists(kept)
+        if (admit) kept += d
+        (d, admit)
+      }
+      val keptDf = verdicts.filter(_._2).map(_._1).toSeq.toDF("doc_id")
+      bands.join(keptDf, "doc_id").write.mode("append").parquet(bandsPath)
+      sigs.join(keptDf, "doc_id").write.mode("append").parquet(sigsPath)
+      verdicts.toSeq.toDF("doc_id", "kept")
+    }
+
+  /** Replay the admission stream over a static directory to completion;
+    * returns the full (doc_id, kept) verdict table. Fresh state per call —
+    * the replay is idempotent.
+    */
+  def replayNearDupAdmission(spark: SparkSession, dir: String,
+                             minEstJaccard: Double = 0.5): DataFrame = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_w12_state").toString
+    val resultDir = java.nio.file.Files.createTempDirectory("graft_w12_res").toString + "/verdicts"
+    val q: StreamingQuery = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, stateDir, minEstJaccard)
+          .write.mode("append").parquet(resultDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(resultDir)
+  }
+
+  def qNearDupAdmission(spark: SparkSession, sfDir: String): DataFrame =
+    replayNearDupAdmission(spark, docSrcDir(sfDir))
+
   def qQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
     val q = qualityGateStream(spark, docSrcDir(sfDir))
       .writeStream.outputMode("complete")

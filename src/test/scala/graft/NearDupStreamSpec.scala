@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.DocStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** w12 streaming near-dup admission — the replay contract:
+  *
+  *  1. the streamed keep-set equals a batch greedy replay of the same rule
+  *     (kept ⟺ no kept earlier near-dup) over the full arrived prefix,
+  *     including collisions resolved through the cross-batch band state;
+  *  2. on clique-shaped duplicate families (identical copies — the planted
+  *     fixture) the streamed keep-set coincides with batch x45's
+  *     transitive-closure keep rule, even when the copies arrive in a
+  *     LATER micro-batch than their original.
+  */
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `df` as a single parquet FILE at `target` with mtime `t`. */
+  private def writeOneFile(df: DataFrame, dir: java.nio.file.Path,
+                           name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("w12-part")
+    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val target = dir.resolve(name)
+    java.nio.file.Files.copy(part.toPath, target)
+    target.toFile.setLastModified(mtime)
+  }
+
+  private def greedyReplay(all: DataFrame): Map[Long, Boolean] = {
+    val edges = Dedup.minhashLshPairs(all.select("doc_id", "text"))
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val smaller = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    val kept = scala.collection.mutable.Set.empty[Long]
+    all.select("doc_id").as[Long].collect().sorted.map { d =>
+      val admit = !smaller.getOrElse(d, Array.empty[Long]).exists(kept)
+      if (admit) kept += d
+      d -> admit
+    }.toMap
+  }
+
+  test("streamed verdicts == batch greedy replay; clones in a later batch " +
+       "are rejected via the band state; clique families match x45") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val clones = docs.where(col("doc_id") === 0L)
+      .select(explode(sequence(lit(100000L), lit(100019L))).as("doc_id"),
+        col("text"))
+    val full = DocStream.docSchema.fieldNames.toSeq
+    def pad(df: DataFrame): DataFrame =
+      df.withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(full.map(col): _*)
+    val dir = java.nio.file.Files.createTempDirectory("w12-arrivals")
+    val t0 = System.currentTimeMillis() - 60000
+    writeOneFile(pad(docs), dir, "a_originals.parquet", t0)
+    writeOneFile(pad(clones), dir, "b_clones.parquet", t0 + 30000)
+
+    val streamed = DocStream.replayNearDupAdmission(spark, dir.toString)
+      .as[(Long, Boolean)].collect().toMap
+    val allDocs = docs.unionByName(clones)
+    assert(streamed.size == allDocs.count(),
+      "every arrived doc gets exactly one verdict")
+
+    // contract 1: exact equality with the batch greedy replay
+    assert(streamed == greedyReplay(allDocs))
+
+    // contract 2: the cross-batch clique — doc 0 admitted in batch 1, all
+    // 20 clones rejected in batch 2 THROUGH THE STATE (no within-batch
+    // pair involves doc 0), matching batch x45's keep rule on the family
+    assert(streamed(0L), "the original stays admitted")
+    assert((100000L to 100019L).forall(id => !streamed(id)),
+      "every later-arriving clone must be rejected")
+    val x45 = Dedup.minhashDedup(allDocs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(x45(0L) && (100000L to 100019L).forall(id => !x45(id)),
+      "x45 agrees on the clique family")
+  }
+}
