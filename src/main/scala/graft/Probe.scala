@@ -21,7 +21,9 @@ object Probe {
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      val path = graft.operators.Duplicates.lastComponentsPath
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n" +
+        (if (path.nonEmpty) s" componentsPath=$path" else ""))
     }
     spark.stop()
   }

@@ -148,6 +148,7 @@ object SparkEntry {
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
+    "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -763,6 +764,7 @@ object SparkEntry {
       SemanticSearch.VocabSize, SemanticSearch.Threshold),
     "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
     "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
+    "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator

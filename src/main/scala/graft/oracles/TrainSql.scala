@@ -1397,6 +1397,32 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** x64 oracle ([[graft.operators.Dedup.exactSubstrSpans]]): same window
+    * hashing (md5-60 over the joined K-token window), global count ≥ 2,
+    * gaps-and-islands merge of consecutive duplicated window starts.
+    */
+  def exactSubstrSpansSql(windowTokens: Int = 20): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, t FROM toksl WHERE len(t) >= $windowTokens),
+       |wins AS (
+       |  SELECT doc_id, i AS pos,
+       |         ${md5Long60Sql(s"array_to_string(t[i+1:i+$windowTokens], ' ')")} AS h
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - $windowTokens + 1)) AS i
+       |        FROM tk)),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+       |flagged AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+       |runs AS (SELECT doc_id, pos,
+       |                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |         FROM flagged)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) - min(pos) + $windowTokens AS BIGINT) AS span_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_windows
+       |FROM runs GROUP BY doc_id, run""".stripMargin
+
   /** w12 oracle ([[graft.streaming.DocStream.replayNearDupAdmission]]):
     * greedy near-dup admission in doc_id (arrival) order over the x3 LSH
     * pair graph — kept(d) ⟺ no KEPT earlier neighbor. This is the

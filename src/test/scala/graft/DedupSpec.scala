@@ -197,6 +197,37 @@ class DedupSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("exact-substring spans: planted shared run found with exact bounds, " +
+       "within-doc repetition flagged, unique docs clean") {
+    // distinct letter-only filler tokens (the tokenizer's \b[a-z]{3,}\b
+    // drops anything with digits), with docs 0 and 1 sharing an exact
+    // 24-token run mid-document
+    def toks(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}zz")
+      .mkString(" ")
+    val shared = toks("shared", 24)
+    val docs = Seq(
+      (0L, s"${toks("alpha", 8)} $shared ${toks("beta", 8)}"),
+      (1L, s"${toks("gamma", 5)} $shared ${toks("delta", 11)}"),
+      (2L, toks("unique", 40)),
+      // within-doc repetition: the same 20-token block twice back-to-back
+      (3L, s"${toks("rep", 20)} ${toks("rep", 20)}"))
+      .toDF("doc_id", "text")
+    val spans = graft.operators.Dedup.exactSubstrSpans(docs, windowTokens = 20)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+    // docs 0/1: one span each, exactly the 24-token shared run — window
+    // starts 8..12 (doc 0) and 5..9 (doc 1), 5 windows, 24 tokens
+    assert(spans(0L) == Seq((0L, 8L, 24L, 5L)), s"doc0: ${spans.get(0L)}")
+    assert(spans(1L) == Seq((1L, 5L, 24L, 5L)), s"doc1: ${spans.get(1L)}")
+    assert(!spans.contains(2L), "the unique doc carries no span")
+    // doc 3 (the 20-token block twice): exactly w(0) == w(20) — interior
+    // windows straddle the boundary and are unique — so two disjoint
+    // 20-token spans at starts 0 and 20, each supported by one window
+    assert(spans(3L) == Seq((3L, 0L, 20L, 1L), (3L, 20L, 20L, 1L)),
+      s"doc3: ${spans.get(3L)}")
+  }
+
   test("dedup report: clone losses accounted exactly per method") {
     // docs 0 and 5 of the shared fixture are byte-identical → the exact
     // method drops exactly one doc and its token count; minhash drops at
