@@ -18,7 +18,7 @@ object Bench {
         "x3_minhash_lsh", "x3b_minhash_lsh_capped", "x4_simhash_pairs",
         "x33_dup_spans", "x36_containment", "x36b_containment_capped",
         "x45_minhash_dedup", "x45b_minhash_dedup_iter", "x60_dedup_report",
-        "x63_quality_keep", "x64_exact_substr"),
+        "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats"),
       "x-vec" -> Seq("x5_ann_topk", "x6_emb_near_dups", "x7_ann_lsh",
         "x8_centroid_norms", "x14_ann_ivf", "x15_quantized", "x26_knn_join",
         "x30_semantic_dedup", "x37_ivf_knn_join", "x38_ann_recall",

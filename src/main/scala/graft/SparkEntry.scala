@@ -149,6 +149,7 @@ object SparkEntry {
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
+    "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -765,6 +766,7 @@ object SparkEntry {
     "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
     "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
+    "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator

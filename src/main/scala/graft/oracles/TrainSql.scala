@@ -1423,6 +1423,45 @@ object TrainSql {
        |       CAST(count(*) AS BIGINT) AS n_windows
        |FROM runs GROUP BY doc_id, run""".stripMargin
 
+  /** x65 oracle ([[graft.operators.Dedup.dupSpanStats]]): the x64 span
+    * CTEs, a per-document interval union over (start, end) (running max of
+    * previous ends marks island starts), then coverage joined to token
+    * counts; zero-span documents report zero via the left join.
+    */
+  def dupSpanStatsSql(windowTokens: Int = 20,
+                      dropThreshold: Double = 0.5): String =
+    s"""WITH spans AS (${exactSubstrSpansSql(windowTokens)}),
+       |iv AS (SELECT doc_id, span_start AS s,
+       |              span_start + span_tokens - 1 AS e FROM spans),
+       |pm AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (
+       |                PARTITION BY doc_id ORDER BY s
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS fresh
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         sum(fresh) OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |  FROM pm),
+       |cov AS (
+       |  SELECT doc_id, CAST(sum(cov) AS BIGINT) AS dup_tokens
+       |  FROM (SELECT doc_id, island, max(e) - min(s) + 1 AS cov
+       |        FROM isl GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents)
+       |SELECT tl.doc_id, CAST(len(tl.t) AS BIGINT) AS n_tokens,
+       |       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |       round(coalesce(c.dup_tokens, 0) * 1.0 /
+       |             greatest(len(tl.t), 1), 6) AS dup_fraction,
+       |       round(coalesce(c.dup_tokens, 0) * 1.0 /
+       |             greatest(len(tl.t), 1), 6) >= $dropThreshold AS would_drop
+       |FROM toksl tl LEFT JOIN cov c ON c.doc_id = tl.doc_id""".stripMargin
+
   /** w12 oracle ([[graft.streaming.DocStream.replayNearDupAdmission]]):
     * greedy near-dup admission in doc_id (arrival) order over the x3 LSH
     * pair graph — kept(d) ⟺ no KEPT earlier neighbor. This is the

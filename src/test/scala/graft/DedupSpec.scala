@@ -228,6 +228,46 @@ class DedupSpec extends SparkSpec {
       s"doc3: ${spans.get(3L)}")
   }
 
+  test("dup-span stats: overlapping span intervals union; zero-span docs report 0") {
+    def toks(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}zz")
+      .mkString(" ")
+    val blockA = toks("ovla", 22) // shared run A: windows 0..2 of doc 0
+    val blockB = toks("ovlb", 22) // shared run B, overlapping A's coverage
+    val docs = (Seq(
+      // doc 0: A then B back-to-back, A alone in doc 1, B alone in doc 2;
+      // doc 0's two spans [0,21] and [22,43] are ADJACENT islands that
+      // must sum exactly. Docs 4-6 below add genuinely OVERLAPPING spans.
+      (0L, s"$blockA $blockB"),
+      (1L, s"$blockA ${toks("tail", 10)}"),
+      (2L, s"${toks("head", 10)} $blockB"),
+      (3L, toks("clean", 30))) ++ {
+      // TRUE interval overlap: S is 32 tokens; doc 4 = S; doc 5 shares
+      // S's 22-token PREFIX, doc 6 its 22-token SUFFIX. Doc 4's dup spans
+      // are (start 0, 22 tokens) and (start 10, 22 tokens) — naive sum 44
+      // exceeds the 32-token doc; the interval union must report 32.
+      val s32 = toks("ess", 32).split(" ")
+      Seq(
+        (4L, s32.mkString(" ")),
+        (5L, s"${s32.take(22).mkString(" ")} ${toks("fin", 10)}"),
+        (6L, s"${toks("pre", 10)} ${s32.drop(10).mkString(" ")}"))
+    }).toDF("doc_id", "text")
+    val stats = graft.operators.Dedup.dupSpanStats(docs)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: 44 tokens, both blocks duplicated → full coverage
+    assert(stats(0L) == ((0L, 44L, 44L, 1.0, true)), s"doc0: ${stats(0L)}")
+    // doc 1: 32 tokens, A's 22 covered → 0.6875 ≥ 0.5 → drop
+    assert(stats(1L) == ((1L, 32L, 22L, 0.6875, true)), s"doc1: ${stats(1L)}")
+    assert(stats(2L)._3 == 22L && stats(2L)._5, s"doc2: ${stats(2L)}")
+    // doc 3: clean — zero coverage via the left join
+    assert(stats(3L) == ((3L, 30L, 0L, 0.0, false)), s"doc3: ${stats(3L)}")
+    // doc 4: spans (0,22) and (10,22) overlap — union reports 32, not 44
+    assert(stats(4L) == ((4L, 32L, 32L, 1.0, true)), s"doc4: ${stats(4L)}")
+    assert(stats(5L)._3 == 22L && stats(6L)._3 == 22L,
+      s"prefix/suffix sharers: ${stats(5L)} ${stats(6L)}")
+  }
+
   test("dedup report: clone losses accounted exactly per method") {
     // docs 0 and 5 of the shared fixture are byte-identical → the exact
     // method drops exactly one doc and its token count; minhash drops at
