@@ -150,6 +150,7 @@ object SparkEntry {
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
+    "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
     "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
+    "x67_novelty_curve" -> (Sketches.qNoveltyCurve _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
@@ -767,6 +769,7 @@ object SparkEntry {
     "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
+    "x66_incremental_dedup" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator
@@ -799,6 +802,7 @@ object SparkEntry {
     "x56_kmv_distinct" -> graft.oracles.TrainSql.kmvShingleDistinctSql(),
     // x58: source-pair equi-join on the shared shingle-hash set
     "x58_source_overlap" -> graft.oracles.TrainSql.sourceOverlapSql,
+    "x67_novelty_curve" -> graft.oracles.TrainSql.noveltyCurveSql(),
     // x60: x1 + x45 keep flags joined to token counts, one aggregate per
     // method (the minhash side embeds the full x45 closure oracle)
     "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),

@@ -106,6 +106,40 @@ object Sketches {
           least(col("n1"), col("n2")).cast("double"), 6).as("containment"))
   }
 
+  /** Corpus novelty curve (x67) — the Heaps'-law statistic behind "is the
+    * next crawl shard still adding information?": documents are read in
+    * id-order shards of `shardWidth`, and each shard reports how many
+    * distinct shingles it contains, how many of those are NOVEL (first
+    * seen in that shard), the novelty rate, and the cumulative distinct
+    * count through that shard. A flattening novel-count column is the
+    * empirical signal to stop ingesting a source (or raise its dedup
+    * aggressiveness) before paying to process it.
+    *
+    * Scale shape: two aggregations over the suite-shared
+    * [[Dedup.distinctShingleHashes]] frame — per-shard distinct counts,
+    * and first-seen = min(shard) per shingle hash grouped by that minimum.
+    * Both shuffle 8-byte hash keys (Zipf-compressed, never text); the
+    * cumulative sum is a window over the tiny per-shard frame. No step is
+    * ever quadratic, and at 100 TB both aggregates are the same map-side
+    * partial-combine shape as a word count.
+    */
+  def noveltyCurve(docs: DataFrame, shardWidth: Long = 50L): DataFrame = {
+    val sh = Dedup.distinctShingleHashes(docs)
+      .select(expr(s"doc_id div ${shardWidth}L").as("shard"), col("h60"))
+      .distinct()
+    val perShard = sh.groupBy("shard").agg(count(lit(1)).as("n_distinct"))
+    val novel = sh.groupBy("h60").agg(min("shard").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_novel"))
+    val byShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perShard.join(novel, Seq("shard"), "left")
+      .select(col("shard"), col("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_distinct"), 6))
+      .withColumn("cum_distinct", sum("n_novel").over(byShard))
+  }
+
   // --- query entries ---
 
   def qKmvShingleDistinct(spark: SparkSession, sfDir: String): DataFrame =
@@ -113,4 +147,7 @@ object Sketches {
 
   def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, sfDir))
+
+  def qNoveltyCurve(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyCurve(Tables.documents(spark, sfDir))
 }

@@ -173,15 +173,16 @@ object TrainSql {
            s"${plantedCorpusCte()},\n${shingleCtesFrom("corpus")}", "")}),
        |${cappedExclusionTail("id1, id2, est_jaccard", baseId)}""".stripMargin
 
-  private def minhashLshSqlFrom(minEstJaccard: Double, ctes: String,
-                                extraWhere: String): String = {
+  /** The `hashed → perms → sigl → sigs → bands` MinHash/LSH CTE chain
+    * (expects a `ds(doc_id, h60)` CTE in scope) — shared by the x3 pair
+    * oracles and the x66 incremental oracle.
+    */
+  private def sigBandCtes: String = {
     val permVals = Dedup.HashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val p = Dedup.Prime
-    val n = Dedup.NumHashes
     val rb = Dedup.RowsPerBand
-    s"""WITH $ctes,
-       |hashed AS (SELECT doc_id, h60 % $p AS h FROM ds),
+    s"""hashed AS (SELECT doc_id, h60 % $p AS h FROM ds),
        |perms(pidx, a, b) AS (VALUES $permVals),
        |sigl AS (SELECT doc_id, pidx, min((a * h + b) % $p) AS s
        |         FROM hashed CROSS JOIN perms GROUP BY doc_id, pidx),
@@ -191,7 +192,14 @@ object TrainSql {
        |         ${md5Long60Sql(
                    s"b.bidx::VARCHAR || '_' || array_to_string(sig[b.bidx * $rb + 1 : b.bidx * $rb + $rb], '_')")}
        |           AS band_key
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS bidx) b),
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Dedup.NumBands})) AS bidx) b)""".stripMargin
+  }
+
+  private def minhashLshSqlFrom(minEstJaccard: Double, ctes: String,
+                                extraWhere: String): String = {
+    val n = Dedup.NumHashes
+    s"""WITH $ctes,
+       |$sigBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.band_key = b.band_key
@@ -202,6 +210,48 @@ object TrainSql {
        |FROM cand JOIN sigs s1 ON id1 = s1.doc_id JOIN sigs s2 ON id2 = s2.doc_id
        |WHERE len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
        |        >= $minEstJaccard$extraWhere""".stripMargin
+  }
+
+  /** Incremental delta-vs-index dedup ([[Dedup.incrementalDedup]], x66):
+    * the x3 signature/band chain with a ONE-SIDED candidate join — delta
+    * docs (`doc_id % m = m−1`) probe index docs (the rest) only — then
+    * best-match selection by (est_jaccard DESC, index_id ASC) and a left
+    * join back onto every delta doc. est_jaccard = agreeing/32 is dyadic,
+    * so the cross-engine ordering is exact.
+    */
+  def incrementalDedupSql(deltaMod: Int = 5, minEstJaccard: Double = 0.5): String = {
+    val n = Dedup.NumHashes
+    val d = deltaMod - 1
+    s"""WITH $shingleCtes,
+       |$sigBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS index_id
+       |  FROM bands a JOIN bands b ON a.bidx = b.bidx AND a.band_key = b.band_key
+       |  WHERE a.doc_id % $deltaMod = $d AND b.doc_id % $deltaMod <> $d),
+       |ver AS (
+       |  SELECT delta_id, index_id,
+       |         len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
+       |           AS est_jaccard
+       |  FROM cand JOIN sigs s1 ON delta_id = s1.doc_id
+       |            JOIN sigs s2 ON index_id = s2.doc_id
+       |  WHERE len(list_filter(range(1, ${n + 1}), i -> s1.sig[i] = s2.sig[i])) / $n.0
+       |          >= $minEstJaccard),
+       |ranked AS (
+       |  SELECT delta_id, index_id, est_jaccard,
+       |         row_number() OVER (PARTITION BY delta_id
+       |                            ORDER BY est_jaccard DESC, index_id) AS rn,
+       |         count(*) OVER (PARTITION BY delta_id) AS n_matches
+       |  FROM ver),
+       |best AS (
+       |  SELECT delta_id, n_matches, index_id AS best_id, est_jaccard AS best_est
+       |  FROM ranked WHERE rn = 1)
+       |SELECT doc.doc_id,
+       |       coalesce(b.n_matches, 0) AS n_index_matches,
+       |       coalesce(b.best_id, -1) AS best_match_id,
+       |       coalesce(b.best_est, 0.0) AS best_est_jaccard,
+       |       b.delta_id IS NULL AS keep
+       |FROM documents doc LEFT JOIN best b ON doc.doc_id = b.delta_id
+       |WHERE doc.doc_id % $deltaMod = $d""".stripMargin
   }
 
   /** Longest shared token run per LSH candidate pair
@@ -1888,6 +1938,23 @@ object TrainSql {
        |       round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard,
        |       round(c * 1.0 / least(x.n, y.n), 6) AS containment
        |FROM inter JOIN sz x ON src1 = x.source JOIN sz y ON src2 = y.source""".stripMargin
+
+  /** Corpus novelty curve ([[graft.operators.Sketches.noveltyCurve]],
+    * x67): per id-order shard, distinct shingles, novel shingles
+    * (first-seen = min shard), novelty rate, cumulative distinct.
+    */
+  def noveltyCurveSql(shardWidth: Long = 50L): String =
+    s"""WITH $shingleCtes,
+       |shrd AS (SELECT DISTINCT doc_id // $shardWidth AS shard, h60 FROM ds),
+       |per AS (SELECT shard, count(*) AS n_distinct FROM shrd GROUP BY 1),
+       |fs AS (SELECT h60, min(shard) AS shard FROM shrd GROUP BY 1),
+       |nov AS (SELECT shard, count(*) AS n_novel FROM fs GROUP BY 1)
+       |SELECT p.shard, p.n_distinct,
+       |       coalesce(n.n_novel, 0) AS n_novel,
+       |       round(coalesce(n.n_novel, 0) * 1.0 / p.n_distinct, 6) AS novelty_rate,
+       |       CAST(sum(coalesce(n.n_novel, 0)) OVER (ORDER BY p.shard) AS BIGINT)
+       |         AS cum_distinct
+       |FROM per p LEFT JOIN nov n USING (shard)""".stripMargin
 
   /** Cluster topic labels ([[graft.operators.ClusterTopics]], x55): the
     * x47 hashed-TF-IDF embedder at document granularity, the shared Lloyd

@@ -555,4 +555,39 @@ class DedupSpec extends SparkSpec {
     assert(ivf.nonEmpty && !ivf.exists(_._1 == 0L))
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
+
+  test("incremental dedup: delta docs drop only on INDEX matches; " +
+       "delta-internal duplicates are invisible to the one-sided join") {
+    // ids 0..14, deltaMod=5 → delta = {4, 9, 14}, index = the rest.
+    //  - doc 9 copies index docs 0 AND 1 → dropped, 2 matches, best id 0
+    //  - docs 4 and 14 are identical to EACH OTHER (both delta) but match
+    //    nothing in the index → both kept, proving delta×delta never joins
+    val fillers = Seq(
+      "Deep learning uses neural networks with multiple layers to process patterns.",
+      "The transformer architecture revolutionized processing with attention mechanisms.",
+      "Relational databases organize information into tables with rows and columns.",
+      "Photosynthesis converts sunlight carbon dioxide and water into glucose energy.",
+      "Volcanic eruptions reshape landscapes through lava flows and ash deposition.",
+      "Symphony orchestras balance strings woodwinds brass and percussion sections.",
+      "Coral reefs host extraordinary biodiversity across tropical ocean waters.",
+      "Medieval cathedrals demonstrate remarkable engineering with flying buttresses.",
+      "Quantum computers exploit superposition and entanglement for parallel computation.",
+      "Glaciers carve valleys over millennia leaving moraines and polished bedrock.")
+    val dupText = sampleTexts.head
+    val deltaOnlyText = "Natural language processing enables computers to parse human language."
+    val texts = (0 to 14).map {
+      case 0 | 1 => dupText
+      case 9     => dupText
+      case 4 | 14 => deltaOnlyText
+      case i     => fillers((i * 7) % fillers.length)
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs, deltaMod = 5)
+      .select("doc_id", "n_index_matches", "best_match_id", "best_est_jaccard", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(4L, 9L, 14L))
+    assert(out(1) == ((9L, 2L, 0L, 1.0, false)))
+    assert(out(0) == ((4L, 0L, -1L, 0.0, true)))
+    assert(out(2) == ((14L, 0L, -1L, 0.0, true)))
+  }
 }

@@ -84,4 +84,27 @@ class SketchesSpec extends SparkSpec {
     assert(out.count() == out.select("source").distinct().count())
     assert(out.count() > 0)
   }
+
+  test("novelty curve: an all-repeat shard reports zero novelty and the " +
+       "cumulative count equals the exact distinct total") {
+    // shards of 2: shard 0 = {novel A, novel B}, shard 1 = {copy of A, copy
+    // of B} (nothing novel), shard 2 = {novel C, copy of B}
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "ocean tide current wave reef lagoon surf harbor"
+    val c = "granite basalt quartz feldspar mica schist gneiss marble"
+    val docs = Seq(0L -> a, 1L -> b, 2L -> a, 3L -> b, 4L -> c, 5L -> b)
+      .toDF("doc_id", "text")
+    val out = Sketches.noveltyCurve(docs, shardWidth = 2L)
+      .select("shard", "n_distinct", "n_novel", "novelty_rate", "cum_distinct")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L))
+    val distinctShingles = out.head._2 // shard 0 holds A∪B, all novel
+    assert(out(0)._3 == distinctShingles && out(0)._4 == 1.0)
+    assert(out(1)._3 == 0L && out(1)._4 == 0.0)
+    assert(out(2)._3 > 0L && out(2)._4 < 1.0)
+    // cumulative distinct through the last shard == exact corpus distinct
+    val exact = graft.operators.Dedup.distinctShingleHashes(docs)
+      .select("h60").distinct().count()
+    assert(out.last._5 == exact && out.last._5 == out.map(_._3).sum)
+  }
 }
