@@ -115,6 +115,7 @@ object SparkEntry {
     "x6_emb_near_dups" -> (VectorSearch.qEmbNearDups _),
     "x7_ann_lsh"       -> (VectorSearch.qAnnLsh _),
     "x14_ann_ivf"      -> (VectorSearch.qAnnIvf _),
+    "x68_ivf_cell_stats" -> (VectorSearch.qIvfCellStats _),
     "x15_quantized"    -> (VectorSearch.qQuantized _),
     "x30_semantic_dedup" -> (VectorSearch.qSemanticDedup _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "m3_frames"        -> (Multimodal.qFrames _),
     "m4_resized"       -> (Multimodal.qResized _),
     "m5_features"      -> (Multimodal.qFeatures _),
+    "m6_asset_dups"    -> (Multimodal.qExactAssetDups _),
     // streaming (batch-equivalent entry; streaming form tested via memory sink)
     "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
     "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),
@@ -707,6 +709,7 @@ object SparkEntry {
     // coordinates round to 6 decimals each iteration on both sides, which
     // is what makes the float fixpoint engine-reproducible.
     "x14_ann_ivf"      -> graft.oracles.TrainSql.ivfTopKSql(),
+    "x68_ivf_cell_stats" -> graft.oracles.TrainSql.ivfCellStatsSql(),
     // x30: same Lloyd chain as x14, then within-cell pairwise cosine and
     // the greedy first-occurrence keep rule (deterministic on both sides).
     "x30_semantic_dedup" -> graft.oracles.TrainSql.semanticDedupSql(),
@@ -851,6 +854,7 @@ object SparkEntry {
         |LEFT JOIN cnt ON cnt.asset_id = s.asset_id AND cnt.bucket = s.bucket""".stripMargin,
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
     "m2_decoded_meta"  -> graft.oracles.TrainSql.decodedMetaSql,
+    "m6_asset_dups"    -> graft.oracles.TrainSql.exactAssetDupsSql,
     "m3_frames" ->
       """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS olen
         |           FROM documents WHERE doc_id % 3 = 2),

@@ -174,4 +174,31 @@ object Multimodal {
           .as(Seq("bucket", "f")))
       .select(col("asset_id"), col("kind"),
         col("bucket").cast("long").as("bucket"), round(col("f"), 6).as("f"))
+
+  /** Exact multimodal dedup by decoded content identity (m6) — the x1
+    * digest pass for binary assets: group on (n_bytes, checksum) from the
+    * per-partition decode, keep the lowest asset_id per family, flag the
+    * rest. Content identity deliberately ignores `kind` — the same bytes
+    * ingested under two modalities is still one payload, which is how
+    * content-addressed asset stores dedup. The checksum is the
+    * [[FakeDecoder]] rolling hash (a real deployment uses the codec's
+    * content digest); the grouping/keep plumbing is the real contract.
+    *
+    * Scale shape: identical to [[Dedup.exactDuplicates]] — one hash
+    * shuffle on the (n_bytes, checksum) key, a broadcast-size family
+    * frame joined back, never any pairwise comparison.
+    */
+  def exactAssetDups(assets: Dataset[Asset]): DataFrame = {
+    val meta = extractMeta(assets).toDF()
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"))
+    val families = meta.groupBy("n_bytes", "checksum")
+      .agg(count(lit(1)).as("family_size"), min("asset_id").as("keep_id"))
+    meta.join(families, Seq("n_bytes", "checksum"))
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("checksum"),
+        col("family_size"), col("keep_id"),
+        (col("asset_id") =!= col("keep_id")).as("is_duplicate"))
+  }
+
+  def qExactAssetDups(spark: SparkSession, sfDir: String): DataFrame =
+    exactAssetDups(syntheticAssets(spark, sfDir))
 }

@@ -832,4 +832,54 @@ object VectorSearch {
       .select(col("label"),
         round(sqrt(aggregate(transform(col("centroid"), x => x * x),
           lit(0.0d), (acc, x) => acc + x)), 6).as("centroid_norm"))
+
+  /** IVF index-health report (x68) — the maintenance statistic an ANN
+    * deployment reads before deciding to re-train its coarse quantizer:
+    * per cell, the population, its share of the corpus, the skew factor
+    * vs a uniform spread (n·nCells/total — cells ≫ 1 are probe hotspots,
+    * cells ≈ 0 waste the probe budget), and the quantization distortion
+    * (mean squared distance to the cell centroid). Empty cells emit a
+    * zero row rather than vanishing — an empty cell is exactly what the
+    * report exists to surface.
+    *
+    * Scale shape: one codegen'd scan assigns cells against the broadcast
+    * centroid frame (the x37 pattern) and partially aggregates per cell —
+    * a ≤nCells-row frame regardless of corpus size; the share/skew window
+    * runs over that tiny frame. Distortion sums 6-dp-rounded squared
+    * distances in DECIMAL so the aggregate is order-independent and the
+    * oracle hash-checks the estimator, not just the counts.
+    */
+  def ivfCellStats(embeddings: DataFrame, nCells: Int = 16,
+                   iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val assigned = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroidsFrame(spark, centroids)))
+      .withColumn("dists", transform(col("__cents"), c =>
+        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x)))
+      .select(
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int")
+          .as("cell"),
+        round(array_min(col("dists")), 6).cast("decimal(28,6)").as("sqd"))
+    val perCell = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("sqd").as("sumd"))
+    val spine = spark.range(nCells).select(col("id").cast("int").as("cell"))
+    val global = Window.partitionBy()
+    spine.join(perCell, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("sumd"))
+      .withColumn("total", sum("n_vecs").over(global))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+        round(col("n_vecs").cast("double") * nCells / col("total"), 4).as("skew"),
+        round(when(col("n_vecs") > 0,
+          col("sumd").cast("double") / col("n_vecs")).otherwise(0.0), 6)
+          .as("avg_sqdist"))
+  }
+
+  def qIvfCellStats(spark: SparkSession, sfDir: String): DataFrame =
+    ivfCellStats(Tables.embeddings(spark, sfDir))
 }

@@ -431,6 +431,30 @@ object TrainSql {
        |ORDER BY sim DESC, f.vec_id LIMIT $k""".stripMargin
   }
 
+  /** IVF index-health report ([[graft.operators.VectorSearch.ivfCellStats]],
+    * x68): the engine's Lloyd chain, final assignment, per-cell population
+    * + share + skew-vs-uniform + DECIMAL-summed 6-dp quantization
+    * distortion, with a cell spine so empty cells report zero.
+    */
+  def ivfCellStatsSql(nCells: Int = 16, iters: Int = 5, dim: Int = 64): String =
+    s"""WITH ${lloydChain(nCells, iters, dim)},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |dd AS (
+       |  SELECT f.cell,
+       |         round(${sqDist("f.v", "c.c", dim)}, 6)::DECIMAL(28,6) AS sqd
+       |  FROM fin f JOIN c$iters c USING (cell)),
+       |per AS (SELECT cell, count(*) AS n_vecs, sum(sqd) AS sumd
+       |        FROM dd GROUP BY 1),
+       |spine AS (SELECT unnest(range(0, $nCells))::INTEGER AS cell),
+       |tot AS (SELECT sum(n_vecs) AS t FROM per)
+       |SELECT s.cell, coalesce(p.n_vecs, 0) AS n_vecs,
+       |       round(coalesce(p.n_vecs, 0) * 1.0 / t, 6) AS share,
+       |       round(coalesce(p.n_vecs, 0) * $nCells.0 / t, 4) AS skew,
+       |       round(CASE WHEN coalesce(p.n_vecs, 0) > 0
+       |                  THEN (p.sumd::DOUBLE) / p.n_vecs ELSE 0.0 END, 6)
+       |         AS avg_sqdist
+       |FROM spine s LEFT JOIN per p USING (cell) CROSS JOIN tot""".stripMargin
+
   /** Shared CTE tail for the batched-IVF family
     * ([[graft.operators.VectorSearch.ivfKnnJoin]]): final cell assignment,
     * the %50 query split, per-query nprobe cell probes (ties to the lower
@@ -1191,6 +1215,41 @@ object TrainSql {
        |       CASE WHEN ck.raw >= 9223372036854775808::HUGEINT
        |            THEN (ck.raw - $two64)::BIGINT ELSE ck.raw::BIGINT END AS checksum
        |FROM documents d JOIN ck USING (doc_id)""".stripMargin
+  }
+
+  /** Exact multimodal dedup by decoded content identity
+    * ([[graft.operators.Multimodal.exactAssetDups]], m6): the
+    * [[decodedMetaSql]] checksum fold, grouped on (n_bytes, checksum),
+    * min-id keeper per family.
+    */
+  val exactAssetDupsSql: String = {
+    val seed = 1125899906842597L
+    val two64 = "18446744073709551616::HUGEINT"
+    s"""WITH ck AS (
+       |  SELECT doc_id,
+       |         list_reduce(
+       |           list_concat([$seed::HUGEINT],
+       |             list_transform(
+       |               list_filter(string_split(text, ''), c -> c <> ''),
+       |               c -> unicode(c)::HUGEINT)),
+       |           (acc, x) -> (acc * 31 + x) % $two64) AS raw
+       |  FROM documents),
+       |meta AS (
+       |  SELECT d.doc_id AS asset_id,
+       |         CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |              WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |         octet_length(encode(d.text)) AS n_bytes,
+       |         CASE WHEN ck.raw >= 9223372036854775808::HUGEINT
+       |              THEN (ck.raw - $two64)::BIGINT ELSE ck.raw::BIGINT END AS checksum
+       |  FROM documents d JOIN ck USING (doc_id)),
+       |fam AS (
+       |  SELECT n_bytes, checksum, count(*) AS family_size,
+       |         min(asset_id) AS keep_id
+       |  FROM meta GROUP BY 1, 2)
+       |SELECT m.asset_id, m.kind, m.n_bytes, m.checksum,
+       |       f.family_size, f.keep_id,
+       |       m.asset_id <> f.keep_id AS is_duplicate
+       |FROM meta m JOIN fam f USING (n_bytes, checksum)""".stripMargin
   }
 
   val dailyCountsSql: String =

@@ -556,6 +556,27 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("ivf cell stats: populations partition the corpus, shares sum to 1, " +
+       "and surplus cells report empty") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val out = VectorSearch.ivfCellStats(emb, nCells = 16)
+      .select("cell", "n_vecs", "share", "skew", "avg_sqdist")
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == (0 until 16))
+    assert(out.map(_._2).sum == n)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    out.foreach { case (_, nv, share, skew, d) =>
+      assert(d >= 0.0)
+      assert(math.abs(skew - share * 16) < 2e-3)
+      if (nv == 0) assert(share == 0.0 && d == 0.0)
+    }
+    // more cells than vectors forces empty cells into the report
+    val tiny = VectorSearch.ivfCellStats(emb.where(col("vec_id") < 5), nCells = 8)
+      .select("n_vecs").as[Long].collect()
+    assert(tiny.length == 8 && tiny.count(_ == 0L) >= 3 && tiny.sum == 5)
+  }
+
   test("incremental dedup: delta docs drop only on INDEX matches; " +
        "delta-internal duplicates are invisible to the one-sided join") {
     // ids 0..14, deltaMod=5 → delta = {4, 9, 14}, index = the rest.

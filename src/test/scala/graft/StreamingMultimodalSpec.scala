@@ -244,4 +244,22 @@ class StreamingMultimodalSpec extends SparkSpec {
       .filter(_.kind == "video").map(_.asset_id).collect().toSet
     assert(frames.map(_.asset_id).toSet.subsetOf(videoIds))
   }
+
+  test("multimodal exact dedup: identical payloads group across kinds, " +
+       "lowest id keeps, distinct payloads stay singletons") {
+    val payload = "shared binary payload".getBytes("UTF-8")
+    val assets = Seq(
+      Multimodal.Asset(0L, "image", payload),
+      Multimodal.Asset(1L, "audio", payload.clone()), // same bytes, other kind
+      Multimodal.Asset(2L, "video", "different bytes".getBytes("UTF-8")),
+      Multimodal.Asset(3L, "image", payload.clone())).toDS()
+    val out = Multimodal.exactAssetDups(assets)
+      .select("asset_id", "family_size", "keep_id", "is_duplicate")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(out(0) == ((0L, 3L, 0L, false)))
+    assert(out(1) == ((1L, 3L, 0L, true)))
+    assert(out(2) == ((2L, 1L, 2L, false)))
+    assert(out(3) == ((3L, 3L, 0L, true)))
+  }
 }
