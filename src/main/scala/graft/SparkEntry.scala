@@ -152,6 +152,7 @@ object SparkEntry {
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
+    "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "x56_kmv_distinct" -> (Sketches.qKmvShingleDistinct _),
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
     "x67_novelty_curve" -> (Sketches.qNoveltyCurve _),
+    "x69_source_drift" -> (Sketches.qSourceDrift _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
@@ -213,6 +215,7 @@ object SparkEntry {
     "w9_stream_enriched" -> (graft.streaming.EventStream.qStreamEnriched _),
     "w11_stream_quality" -> (graft.streaming.DocStream.qQualityGate _),
     "w12_neardup_admission" -> (graft.streaming.DocStream.qNearDupAdmission _),
+    "w13_kmv_stream"   -> (graft.streaming.DocStream.qKmvStream _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -773,6 +776,9 @@ object SparkEntry {
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
     "x66_incremental_dedup" -> graft.oracles.TrainSql.incrementalDedupSql(),
+    // x70 runs the identical computation through a persisted parquet index,
+    // so it shares x66's oracle verbatim
+    "x70_incremental_persisted" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator
@@ -806,6 +812,7 @@ object SparkEntry {
     // x58: source-pair equi-join on the shared shingle-hash set
     "x58_source_overlap" -> graft.oracles.TrainSql.sourceOverlapSql,
     "x67_novelty_curve" -> graft.oracles.TrainSql.noveltyCurveSql(),
+    "x69_source_drift" -> graft.oracles.TrainSql.sourceDriftSql,
     // x60: x1 + x45 keep flags joined to token counts, one aggregate per
     // method (the minhash side embeds the full x45 closure oracle)
     "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),
@@ -900,6 +907,7 @@ object SparkEntry {
     // the greedy (arrival-order) maximal-independent-set recursion over
     // the x3 LSH pair graph — NOT x45's transitive closure (see Scaladoc)
     "w12_neardup_admission" -> graft.oracles.TrainSql.nearDupAdmissionSql(),
+    "w13_kmv_stream"   -> graft.oracles.TrainSql.kmvStreamSql(),
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

@@ -140,6 +140,42 @@ object Sketches {
       .withColumn("cum_distinct", sum("n_novel").over(byShard))
   }
 
+  /** Per-source distribution drift (x69): KL(source ‖ corpus) over the
+    * unigram token distributions — the domain-shift audit read next to
+    * [[sourceOverlap]] when setting mixing weights: overlap says how much
+    * *content* two sources share, drift says how far each source's
+    * *language* sits from the corpus mixture (a code dump in a prose
+    * corpus scores high drift even with zero shared shingles). KL is
+    * finite without smoothing because every source term is, by
+    * construction, in the corpus distribution.
+    *
+    * Scale shape: per-(source, token) sums ride the same map-side
+    * partial-combine as a word count; the corpus marginal derives from
+    * that frame (never a second text scan); the final reduce is one
+    * aggregate over Zipf-compressed (source, token) rows. Determinism:
+    * both engines evaluate the identical double expression per term, and
+    * the 6-dp rounding boundary sits ~7 orders above float-sum
+    * partition-order wobble (the x25/x59 argument).
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val st = Relevance.termCounts(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "token").agg(sum("cnt").as("scnt"))
+    val srcTot = st.groupBy("source")
+      .agg(sum("scnt").as("stot"), count(lit(1)).as("n_types"))
+    val corpus = st.groupBy("token").agg(sum("scnt").as("ccnt"))
+    val corpTot = corpus.agg(sum("ccnt").as("ctot"))
+    val ps = col("scnt").cast("double") / col("stot")
+    val pc = col("ccnt").cast("double") / col("ctot")
+    st.join(corpus, "token")
+      .join(srcTot, "source")
+      .crossJoin(broadcast(corpTot))
+      .groupBy("source", "stot", "n_types")
+      .agg(round(sum(ps * log(ps / pc)), 6).as("kl_vs_corpus"))
+      .select(col("source"), col("stot").as("n_tokens"), col("n_types"),
+        col("kl_vs_corpus"))
+  }
+
   // --- query entries ---
 
   def qKmvShingleDistinct(spark: SparkSession, sfDir: String): DataFrame =
@@ -150,4 +186,7 @@ object Sketches {
 
   def qNoveltyCurve(spark: SparkSession, sfDir: String): DataFrame =
     noveltyCurve(Tables.documents(spark, sfDir))
+
+  def qSourceDrift(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDrift(Tables.documents(spark, sfDir))
 }

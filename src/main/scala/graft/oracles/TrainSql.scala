@@ -1979,6 +1979,26 @@ object TrainSql {
        |       round(abs(est_distinct - n_distinct) / n_distinct, 4) AS rel_err
        |FROM est""".stripMargin
 
+  /** Streaming KMV sketch replay
+    * ([[graft.streaming.DocStream.kmvDistinctStream]], w13): the x56
+    * estimator columns only — the stream never sees the exact distinct
+    * count, but KMV is set-based so its estimate equals the batch one.
+    */
+  def kmvStreamSql(k: Int = graft.operators.Sketches.DefaultK): String =
+    s"""WITH $shingleCtes,
+       |pairs AS (SELECT DISTINCT d.source, s.h60
+       |          FROM ds s JOIN documents d USING (doc_id)),
+       |rk AS (SELECT source, h60,
+       |              row_number() OVER (PARTITION BY source ORDER BY h60) AS r
+       |       FROM pairs),
+       |sk AS (SELECT source, count(*) AS n_kept, max(h60) AS hk
+       |       FROM rk WHERE r <= $k GROUP BY 1)
+       |SELECT source, CAST(n_kept AS BIGINT) AS n_kept,
+       |       round(CASE WHEN n_kept < $k THEN n_kept * 1.0
+       |                  ELSE ($k - 1) * 1.0 / (hk * 1.0 / 1152921504606846976.0)
+       |             END, 4) AS est_distinct
+       |FROM sk""".stripMargin
+
   /** Cross-source overlap matrix
     * ([[graft.operators.Sketches.sourceOverlap]], x58): equi-join on the
     * shared shingle-hash set, Jaccard + containment per source pair.
@@ -1997,6 +2017,32 @@ object TrainSql {
        |       round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard,
        |       round(c * 1.0 / least(x.n, y.n), 6) AS containment
        |FROM inter JOIN sz x ON src1 = x.source JOIN sz y ON src2 = y.source""".stripMargin
+
+  /** Per-source unigram KL drift
+    * ([[graft.operators.Sketches.sourceDrift]], x69): the x25 token CTE,
+    * per-(source, word) sums, KL(source ‖ corpus) with the engine's exact
+    * double expression per term.
+    */
+  val sourceDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |dtc AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |st AS (SELECT d.source, t.word, sum(cnt) AS scnt
+       |       FROM dtc t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |stot AS (SELECT source, sum(scnt) AS stot, count(*) AS n_types
+       |         FROM st GROUP BY 1),
+       |corp AS (SELECT word, sum(scnt) AS ccnt FROM st GROUP BY 1),
+       |ctot AS (SELECT sum(ccnt) AS ctot FROM corp)
+       |SELECT s.source, CAST(t.stot AS BIGINT) AS n_tokens,
+       |       CAST(t.n_types AS BIGINT) AS n_types,
+       |       round(sum((s.scnt * 1.0 / t.stot) *
+       |                 ln((s.scnt * 1.0 / t.stot) /
+       |                    (c.ccnt * 1.0 / ctot.ctot))), 6) AS kl_vs_corpus
+       |FROM st s JOIN corp c USING (word) JOIN stot t USING (source), ctot
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** Corpus novelty curve ([[graft.operators.Sketches.noveltyCurve]],
     * x67): per id-order shard, distinct shingles, novel shingles

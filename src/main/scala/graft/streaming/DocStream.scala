@@ -191,4 +191,45 @@ object DocStream {
     q.stop()
     spark.table("w11_stream_quality")
   }
+
+  /** w13: streaming KMV distinct-shingle sketch per source — the
+    * mergeable-synopsis member of the streaming pack. The batch x56
+    * derives each source's bottom-k with a window over the distinct-hash
+    * shuffle; here the [[graft.functions.KmvSketch]] aggregator folds
+    * arriving shingle hashes into a bounded sorted buffer per source and
+    * Spark's partial/merge aggregation does the union — state is
+    * k longs per source, NOT the distinct-hash set, which is the whole
+    * point of a sketch on an unbounded ingest. KMV is set-based, so the
+    * streamed estimate equals the batch estimate exactly (no distinct()
+    * needed upstream), and the replay hash-checks against the same
+    * estimator SQL as x56.
+    */
+  def kmvDistinctStream(spark: SparkSession, dir: String,
+                        k: Int = graft.operators.Sketches.DefaultK): DataFrame = {
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    src.select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(graft.operators.Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
+      .select(col("source"), graft.operators.Dedup.md5Long60(col("shingle")).as("h60"))
+      .groupBy("source")
+      .agg(graft.functions.KmvSketch.kmv(col("h60"), k).as("sk"))
+      .select(col("source"), col("sk.n_kept").as("n_kept"),
+        col("sk.est_distinct").as("est_distinct"))
+  }
+
+  def replayKmvDistinct(spark: SparkSession, dir: String,
+                        k: Int = graft.operators.Sketches.DefaultK): DataFrame = {
+    val q: StreamingQuery = kmvDistinctStream(spark, dir, k)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("w13_kmv")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("w13_kmv")
+  }
+
+  def qKmvStream(spark: SparkSession, sfDir: String): DataFrame =
+    replayKmvDistinct(spark, docSrcDir(sfDir))
 }

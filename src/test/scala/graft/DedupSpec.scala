@@ -556,6 +556,23 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("persisted LSH index: the parquet round-trip probe equals the inline " +
+       "incremental dedup, and a band filter prunes partitions") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_index_matches", "best_match_id", "best_est_jaccard", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val inline = rows(Dedup.qIncrementalDedup(spark, sf0001))
+    val persisted = rows(Dedup.qIncrementalDedupPersisted(spark, sf0001))
+    assert(inline.nonEmpty && persisted == inline)
+    // the partitioned band layout prunes at file listing when probing
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_lsh_index_" + Integer.toHexString(sf0001.hashCode)).getPath
+    val pruned = spark.read.parquet(dir + "/bands").where(col("band_idx") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("band_idx"),
+      s"expected band_idx partition filter in:\n$scan")
+  }
+
   test("ivf cell stats: populations partition the corpus, shares sum to 1, " +
        "and surplus cells report empty") {
     val emb = Tables.embeddings(spark, sf0001)

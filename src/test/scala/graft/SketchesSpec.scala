@@ -107,4 +107,50 @@ class SketchesSpec extends SparkSpec {
       .select("h60").distinct().count()
     assert(out.last._5 == exact && out.last._5 == out.map(_._3).sum)
   }
+
+  test("streaming KMV sketch replay == batch x56 estimator columns") {
+    val streamed = graft.streaming.DocStream.qKmvStream(spark, sf0001)
+      .select("source", "n_kept", "est_distinct")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = Sketches.qKmvShingleDistinct(spark, sf0001)
+      .select("source", "n_kept", "est_distinct")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("KMV aggregator: bounded buffer, duplicate-insensitive, merge-order-free") {
+    val agg = new graft.functions.KmvSketch.KmvAgg(4)
+    val hs = Seq(50L, 10L, 30L, 10L, 20L, 40L, 5L, 50L)
+    val folded = hs.foldLeft(agg.zero)(agg.reduce)
+    assert(folded.ks == Vector(5L, 10L, 20L, 30L)) // bottom-4 distinct
+    val (l, r) = hs.splitAt(3)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == folded)
+    assert(agg.finish(folded).n_kept == 4)
+  }
+
+  test("source drift: a source matching the corpus mixture scores near 0, " +
+       "a divergent source scores higher; KL is non-negative") {
+    // two big prose-alike sources + one tiny divergent jargon source
+    val prose = "machine learning models train gradient descent optimizer weights"
+    val jargon = "mutex semaphore deadlock spinlock interrupt scheduler kernel preemption"
+    val rows =
+      (0 until 20).map(i => (i.toLong, prose, "A")) ++
+      (20 until 40).map(i => (i.toLong, prose, "B")) ++
+      Seq((40L, jargon, "C"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val out = Sketches.sourceDrift(docs)
+      .select("source", "n_tokens", "n_types", "kl_vs_corpus")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("A", "B", "C"))
+    out.values.foreach { case (_, nt, ty, kl) =>
+      assert(kl >= 0.0 && nt > 0 && ty > 0)
+    }
+    // A and B are identical distributions ≈ the corpus bulk → tiny KL;
+    // C's vocabulary is disjoint from the bulk → large KL
+    assert(out("A")._4 == out("B")._4)
+    assert(out("C")._4 > out("A")._4 + 1.0)
+    assert(out("A")._4 < 0.1)
+  }
 }
