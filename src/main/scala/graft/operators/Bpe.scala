@@ -92,6 +92,17 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("cnt").as("pair_count"))
 
+  /** Session-scoped memo of learned merge tables, keyed by the corpus
+    * plan + file fingerprint + numMerges ([[Caches.planMemoKey]] — the
+    * kernel/edge-memo recipe). A tokenizer is trained ONCE and applied
+    * everywhere; without the memo every x46/x48 invocation re-runs the
+    * full 2·numMerges-job training chain on an unchanged corpus. The
+    * memoized value is the tiny driver-side merge list (numMerges rows),
+    * model-sized derived state a long-lived service holds resident.
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, Long)]]()
+
   /** Learn `numMerges` merges; returns (rank, merge_left, merge_right,
     * pair_count) in merge order. Stops early if the corpus runs out of
     * pairs (single-symbol words everywhere).
@@ -99,6 +110,11 @@ object Bpe {
   def learnMerges(docs: DataFrame, numMerges: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val key0 = Caches.planMemoKey(docs)
+    val key = if (key0.nonEmpty) s"$key0|m=$numMerges" else ""
+    val hit = if (key.nonEmpty) mergeMemo.get(key) else null
+    if (hit != null)
+      return hit.toDF("rank", "merge_left", "merge_right", "pair_count")
     var state = initState(wordTable(docs)).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -118,6 +134,10 @@ object Bpe {
             mergePass(col("sym"), col("ma"), col("mb")).as("sym"))
           .localCheckpoint()
       }
+    }
+    if (key.nonEmpty) {
+      if (mergeMemo.size >= 8) mergeMemo.clear()
+      mergeMemo.put(key, merges.toSeq)
     }
     merges.toSeq.toDF("rank", "merge_left", "merge_right", "pair_count")
   }

@@ -57,4 +57,62 @@ object Caches {
       }
     }
   }
+
+  /** Memo key for a file-backed plan, or "" when the plan is not safely
+    * memoizable — shared by the JVM-level derived-model memos (the
+    * Duplicates kernel/edge memos, the Bpe merge-table memo). Only plans
+    * whose every leaf is a file relation qualify: a LocalRelation's
+    * canonicalized form omits its data, so two different in-memory corpora
+    * would collide on the same key.
+    *
+    * The key folds in a fingerprint of the underlying FILES (name, length,
+    * mtime), not just the root paths: a parquet directory rewritten in
+    * place (compaction, an external refresh) must miss the memo, or a
+    * long-lived session would serve stale models forever. Listing the
+    * leaves' files is one namenode round-trip — noise next to the
+    * computation the memo exists to skip.
+    */
+  private[operators] def planMemoKey(df: DataFrame): String = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val filePaths = leaves.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    if (filePaths.length == leaves.length)
+      pathsFingerprint(df.sparkSession, filePaths) match {
+        case Some(fp) =>
+          df.queryExecution.analyzed.canonicalized.toString + "|" +
+            filePaths.mkString(";") + "|fp=" + fp
+        case None => "" // can't attest freshness -> not memoizable
+      }
+    else ""
+  }
+
+  /** 64-bit fold of (file name, length, modification time) over every file
+    * under the given roots — the in-place-rewrite detector for
+    * [[planMemoKey]]. None when any root can't be listed: an unverifiable
+    * fingerprint must disable memoization, never risk a stale hit.
+    */
+  private def pathsFingerprint(spark: org.apache.spark.sql.SparkSession,
+                               roots: Seq[String]): Option[String] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      Some(roots.flatMap(_.split(",")).map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val it = fs.listFiles(hp, true)
+        var h = 1125899906842597L
+        while (it.hasNext) {
+          val st = it.next()
+          h = h * 31 + st.getPath.getName.hashCode
+          h = h * 31 + st.getLen
+          h = h * 31 + st.getModificationTime
+        }
+        java.lang.Long.toHexString(h)
+      }.mkString(","))
+    } catch { case _: Throwable => None }
 }

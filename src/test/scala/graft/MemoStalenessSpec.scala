@@ -44,6 +44,25 @@ class MemoStalenessSpec extends SparkSpec {
     assert(c2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("in-place parquet rewrite refreshes the BPE merge-table memo") {
+    val dir = java.nio.file.Files.createTempDirectory("memo-bpe").toString
+    val path = s"$dir/docs.parquet"
+    writeDocs(path, Seq("aaa aaa aaa aaa", "aaa aab"))
+    val m1 = graft.operators.Bpe.learnMerges(spark.read.parquet(path), 1)
+      .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
+    assert(m1 == Seq(("a", "a"))) // "aa" dominates
+    // same path, new corpus where (b, </w>) is the most frequent pair
+    writeDocs(path, Seq("aab ccb ddb eeb ffb", "aab ccb ddb eeb ffb"))
+    spark.catalog.clearCache()
+    val m2 = graft.operators.Bpe.learnMerges(spark.read.parquet(path), 1)
+      .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
+    assert(m2 == Seq(("b", graft.operators.Bpe.Eow)))
+    // unchanged files hit the memo and return the same table
+    val m3 = graft.operators.Bpe.learnMerges(spark.read.parquet(path), 1)
+      .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
+    assert(m3 == m2)
+  }
+
   test("unchanged files still hit the memo (fingerprint is stable)") {
     val dir = java.nio.file.Files.createTempDirectory("memo-stable").toString
     val path = s"$dir/docs.parquet"
