@@ -153,6 +153,7 @@ object SparkEntry {
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
+    "x71_family_sizes" -> (Dedup.qFamilySizeStats _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
@@ -779,6 +780,7 @@ object SparkEntry {
     // x70 runs the identical computation through a persisted parquet index,
     // so it shares x66's oracle verbatim
     "x70_incremental_persisted" -> graft.oracles.TrainSql.incrementalDedupSql(),
+    "x71_family_sizes" -> graft.oracles.TrainSql.familySizeStatsSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator

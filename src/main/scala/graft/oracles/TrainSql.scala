@@ -1506,6 +1506,23 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** Family-size histogram + power-law MLE
+    * ([[graft.operators.Dedup.familySizeStats]], x71): the x45 closure as
+    * a derived table, one row per family, Clauset α̂ = 1 + n/Σln(sᵢ/0.5).
+    */
+  def familySizeStatsSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH fams AS (
+       |  SELECT family, family_size FROM (${minhashDedupSql(minEstJaccard)})
+       |  WHERE kept),
+       |hist AS (SELECT family_size, count(*) AS n_families FROM fams GROUP BY 1),
+       |mle AS (SELECT count(*) AS nf, sum(ln(family_size / 0.5)) AS logsum
+       |        FROM fams)
+       |SELECT h.family_size, CAST(h.n_families AS BIGINT) AS n_families,
+       |       CAST(h.family_size * h.n_families AS BIGINT) AS n_docs,
+       |       round(h.n_families * 1.0 / mle.nf, 6) AS family_share,
+       |       round(1.0 + mle.nf / mle.logsum, 6) AS alpha_mle
+       |FROM hist h, mle""".stripMargin
+
   /** x64 oracle ([[graft.operators.Dedup.exactSubstrSpans]]): same window
     * hashing (md5-60 over the joined K-token window), global count ≥ 2,
     * gaps-and-islands merge of consecutive duplicated window starts.

@@ -556,6 +556,29 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("family-size stats: planted families land in the right histogram " +
+       "buckets and the MLE matches the closed form") {
+    // 3 identical copies of A (family of 3), 2 of B (family of 2), 2 singletons
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "ocean tide current wave reef lagoon surf harbor breeze cliff"
+    val texts = Seq(a, a, a, b, b,
+      "granite basalt quartz feldspar mica schist gneiss marble slate",
+      "violin cello clarinet bassoon trumpet timpani harp piccolo flute")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Dedup.familySizeStats(docs)
+      .select("family_size", "n_families", "n_docs", "family_share", "alpha_mle")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    assert(out.map(_._4).sum == 1.0)
+    // α̂ = 1 + n / Σ ln(s/0.5), n = 4 families with sizes {1,1,2,3}
+    val expected = 1.0 + 4.0 /
+      Seq(1.0, 1.0, 2.0, 3.0).map(s => math.log(s / 0.5)).sum
+    assert(math.abs(out.head._5 - expected) < 1e-6)
+    assert(out.map(_._5).distinct.size == 1) // alpha constant across rows
+  }
+
   test("persisted LSH index: the parquet round-trip probe equals the inline " +
        "incremental dedup, and a band filter prunes partitions") {
     def rows(df: org.apache.spark.sql.DataFrame) = df
