@@ -42,6 +42,7 @@ object SparkEntry {
     "r13_top_types_other"      -> ((s: SparkSession, d: String) => Relational.topTypesWithOther(s, d)),
     "r14_revenue_rollup"       -> (Relational.revenueRollup _),
     "r15_revenue_cube"         -> (Relational.revenueCube _),
+    "r16_revenue_salted"       -> (Relational.regionRevenueSalted _),
     // event-sequence operators
     "e1_activity_heatmap"    -> (EventOps.activityHeatmap _),
     "e1b_heatmap_dense"      -> (EventOps.activityHeatmapDense _),
@@ -297,6 +298,17 @@ object SparkEntry {
         |GROUP BY o.o_orderkey, o.o_orderdate
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "r3_region_revenue" ->
+      """SELECT r_name,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    // r16 salts only the physical distribution; the logical result is r3's
+    "r16_revenue_salted" ->
       """SELECT r_name,
         |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
         |       count(*) AS n_items

@@ -275,4 +275,36 @@ object Relational {
     agged.withColumn("pct",
         round(col("type_value") * 100.0 / sum(col("type_value")).over(Window.partitionBy()), 6))
   }
+
+  /** r16: [[regionRevenue]] with the fact⋈nation edge running through
+    * [[graft.functions.Skew.saltedJoin]] — the declarative skew-mitigation
+    * form for a hot low-cardinality join key (25 nations over millions of
+    * fact rows: every reducer of a plain shuffle join receives a whole
+    * nation). The fact's rows spread across 8 deterministic salts, the
+    * nation×region dim replicates once per salt, and the shuffle keys on
+    * (nationkey, salt) — no single reducer owns a nation. AQE's skew split
+    * covers this at runtime when it can; this is the plan-level form for
+    * exchanges AQE can't rewrite (stateful/bucketed consumers), registered
+    * so the driver times it and the oracle proves result-equality with the
+    * unsalted r3.
+    */
+  def regionRevenueSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    val dim = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val fact = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_nationkey").as("n_nationkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+    graft.functions.Skew
+      .saltedJoin(fact, dim, "n_nationkey", col("l_orderkey"), nSalts = 8)
+      .groupBy("r_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
 }

@@ -149,4 +149,14 @@ class SkewSpec extends SparkSpec {
       .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rewrite == direct)
   }
+
+  test("r16 salted region revenue equals the unsalted r3 result") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("r_name", "revenue", "n_items")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val salted = rows(graft.operators.Relational.regionRevenueSalted(spark, sf0001))
+    val plain = rows(graft.operators.Relational.regionRevenue(spark, sf0001))
+    assert(salted.nonEmpty && salted == plain)
+  }
 }
