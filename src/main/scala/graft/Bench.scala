@@ -39,7 +39,8 @@ object Bench {
         "x49_split_novelty", "x53_dsir_weights", "x54_dsir_sample",
         "x62_packing_efficiency"),
       "x-retrieval" -> Seq("x41_phrase_search", "x44_hybrid_search",
-        "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25"))
+        "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25",
+        "x72_wp_vocab", "x73_wp_segment"))
     for ((cohort, names) <- groups; n <- names) yield n -> cohort
   }
 

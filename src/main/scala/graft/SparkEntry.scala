@@ -157,6 +157,8 @@ object SparkEntry {
     "x71_family_sizes" -> (Dedup.qFamilySizeStats _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
+    "x72_wp_vocab"     -> (Wordpiece.qWordpieceVocab _),
+    "x73_wp_segment"   -> (Wordpiece.qWordpieceSegment _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
@@ -797,6 +799,8 @@ object SparkEntry {
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator
     "x46_bpe_merges"   -> graft.oracles.TrainSql.bpeMergesSql(),
+    "x72_wp_vocab"     -> graft.oracles.TrainSql.wordpieceVocabSql(),
+    "x73_wp_segment"   -> graft.oracles.TrainSql.wordpieceSegmentSql(),
     // x48: the same chain's final state is the segmented vocabulary;
     // documents join it on the word key (the apply pass runs per vocab
     // word, never per token)

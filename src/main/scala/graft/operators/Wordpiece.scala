@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WordPiece-style tokenizer: frequency-seeded piece vocabulary + greedy
+  * longest-match segmentation (Schuster & Nakajima 2012; the serving-side
+  * algorithm of BERT's tokenizer). Completes the tokenizer family next to
+  * BPE (x46/x48): BPE derives its vocabulary from iterative pair merges,
+  * WordPiece from substring frequencies, and its apply pass is the greedy
+  * longest-prefix match — deliberately float-free (string/int algebra
+  * only), which is what makes the whole trainer+tokenizer pair exactly
+  * replicable in the DuckDB oracle.
+  *
+  * Spark-first shape (the x46 lesson): everything runs on the
+  * Zipf-compressed word-frequency table, never the token stream. Vocab
+  * seeding is one substring explode + hash aggregation; segmentation folds
+  * once per VOCABULARY word and documents join the segmented vocab on the
+  * word key — at 100 TB the fold cost is vocabulary-sized and the join is
+  * the same narrow equi-join x48 rides.
+  */
+object Wordpiece {
+
+  val DefaultVocab = 200
+  val MaxPieceLen = 6
+
+  /** Candidate piece vocabulary: every substring (length 1..maxLen) of
+    * every vocabulary word, weighted by word count per occurrence
+    * (overlaps count), top `vocabSize` by (freq DESC, piece ASC) — plus
+    * every single character unconditionally, the WordPiece completeness
+    * guarantee that greedy matching can always advance.
+    * `in_top` marks the frequency-selected rows (false = char backstop).
+    */
+  def pieceVocab(docs: DataFrame, vocabSize: Int = DefaultVocab,
+                 maxLen: Int = MaxPieceLen): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Bpe.wordTable(docs)
+    val subs = words.select(col("cnt"),
+        explode(substringsOf(col("word"), maxLen)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+    val ranked = subs.withColumn("rank",
+      row_number().over(Window.orderBy(desc("freq"), asc("piece"))))
+    val top = ranked.where(col("rank") <= vocabSize)
+      .select(col("piece"), col("freq"), lit(true).as("in_top"))
+    val chars = ranked.where(length(col("piece")) === 1 && col("rank") > vocabSize)
+      .select(col("piece"), col("freq"), lit(false).as("in_top"))
+    top.unionByName(chars)
+  }
+
+  /** All substrings of `word` up to `maxLen`, with multiplicity. */
+  private[operators] def substringsOf(word: org.apache.spark.sql.Column,
+                                      maxLen: Int) =
+    flatten(transform(sequence(lit(1), length(word)), start =>
+      transform(sequence(lit(1), least(lit(maxLen), length(word) - start + 1)),
+        len => word.substr(start, len))))
+
+  /** Greedy longest-match segmentation of the word table against the
+    * learned vocabulary. The fold's accumulator is the space-joined piece
+    * string — the consumed position is derivable as its space-free length,
+    * so the state stays a single string and the identical fold runs as a
+    * DuckDB `list_reduce`. Each step consumes ≥ 1 character (single chars
+    * are always in vocab), so `length(word)` iterations always finish.
+    */
+  def segmentWords(docs: DataFrame, vocabSize: Int = DefaultVocab,
+                   maxLen: Int = MaxPieceLen): DataFrame = {
+    val vocab = pieceVocab(docs, vocabSize, maxLen)
+    val words = Bpe.wordTable(docs)
+    // per word: the array of its substrings that are IN the vocabulary
+    val wordSubs = words.select(col("word"),
+        explode(array_distinct(substringsOf(col("word"), maxLen))).as("piece"))
+      .join(vocab.select("piece"), "piece")
+      .groupBy("word").agg(collect_set("piece").as("subs"))
+    words.join(wordSubs, "word")
+      .withColumn("acc",
+        aggregate(sequence(lit(1), length(col("word"))), lit(""),
+          (acc, _) => {
+            val p = length(regexp_replace(acc, " ", ""))
+            val rem = length(col("word")) - p
+            val bestLen = element_at(
+              filter(sequence(least(lit(maxLen), rem), lit(1), lit(-1)),
+                l => array_contains(col("subs"), col("word").substr(p + 1, l))), 1)
+            when(rem <= 0, acc).otherwise(
+              concat(
+                when(acc === "", lit("")).otherwise(concat(acc, lit(" "))),
+                col("word").substr(p + 1, bestLen)))
+          }))
+      .select(col("word"), col("cnt"), split(col("acc"), " ").as("pieces"))
+  }
+
+  /** Per-document subword statistics under the WordPiece tokenizer —
+    * x48's shape (n_words, n_subwords, fertility) so the two tokenizers'
+    * quality metrics compare row-for-row.
+    */
+  def segmentCorpus(docs: DataFrame, vocabSize: Int = DefaultVocab,
+                    maxLen: Int = MaxPieceLen): DataFrame = {
+    val segVocab = segmentWords(docs, vocabSize, maxLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .join(segVocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"))
+  }
+
+  def qWordpieceVocab(spark: SparkSession, sfDir: String): DataFrame =
+    pieceVocab(Tables.documents(spark, sfDir))
+
+  def qWordpieceSegment(spark: SparkSession, sfDir: String): DataFrame =
+    segmentCorpus(Tables.documents(spark, sfDir))
+}

@@ -1969,6 +1969,76 @@ object TrainSql {
        |FROM toks JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** WordPiece vocab/segment CTEs
+    * ([[graft.operators.Wordpiece]], x72/x73): substring frequencies over
+    * the word table, (freq DESC, piece) ranking with the single-char
+    * backstop, and the greedy longest-match segmentation as a RECURSIVE
+    * CTE — each step left-joins the vocabulary once per candidate length
+    * ($maxLen..2) against the substring at the current position and
+    * advances by the longest hit (1 = the char backstop), so pieces per
+    * word = recursion rows − 1.
+    *
+    * Relational on purpose: the natural `list_reduce` fold hits a
+    * nondeterministic DuckDB 1.0.0 executor bug — under this query shape
+    * a row's fold result could be swapped with another row's ('small'
+    * receiving 'group''s segmentation), even with every input carried
+    * inside the accumulator struct. The recursive join form has no
+    * lambdas and replays the identical greedy semantics.
+    */
+  private def wordpieceCtes(vocabSize: Int, maxLen: Int): String = {
+    val subExpr =
+      s"""flatten(list_transform(range(1, len(word) + 1), s ->
+         |  list_transform(range(1, least($maxLen, len(word) - s + 1) + 1),
+         |    l -> word[s:s+l-1])))""".stripMargin
+    val joins = (maxLen to 2 by -1).map(l =>
+      s"LEFT JOIN vocab v$l ON len(w.word) - w.pos >= $l " +
+        s"AND v$l.piece = w.word[w.pos+1:w.pos+$l]").mkString("\n  ")
+    val step = "COALESCE(" + (maxLen to 2 by -1)
+      .map(l => s"CASE WHEN v$l.piece IS NOT NULL THEN $l END")
+      .mkString(", ") + ", 1)"
+    s"""toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |words AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+       |subpieces AS (
+       |  SELECT cnt, unnest($subExpr) AS piece FROM words),
+       |ranked AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq,
+       |         row_number() OVER (ORDER BY sum(cnt) DESC, piece) AS rnk
+       |  FROM subpieces GROUP BY piece),
+       |vocab AS (
+       |  SELECT piece, freq, TRUE AS in_top FROM ranked WHERE rnk <= $vocabSize
+       |  UNION ALL
+       |  SELECT piece, freq, FALSE FROM ranked
+       |  WHERE len(piece) = 1 AND rnk > $vocabSize),
+       |wseg(word, pos) AS (
+       |  SELECT word, 0 FROM words
+       |  UNION ALL
+       |  SELECT w.word, w.pos + $step
+       |  FROM wseg w
+       |  $joins
+       |  WHERE w.pos < len(w.word)),
+       |segn AS (
+       |  SELECT word, CAST(count(*) - 1 AS BIGINT) AS n_pieces
+       |  FROM wseg GROUP BY word)""".stripMargin
+  }
+
+  def wordpieceVocabSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
+                        maxLen: Int = graft.operators.Wordpiece.MaxPieceLen): String =
+    s"""WITH RECURSIVE ${wordpieceCtes(vocabSize, maxLen)}
+       |SELECT piece, freq, in_top FROM vocab""".stripMargin
+
+  def wordpieceSegmentSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
+                          maxLen: Int = graft.operators.Wordpiece.MaxPieceLen): String =
+    s"""WITH RECURSIVE ${wordpieceCtes(vocabSize, maxLen)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_subwords,
+       |       round(sum(n_pieces) * 1.0 / count(*), 6) AS fertility
+       |FROM toks JOIN segn USING (word)
+       |GROUP BY doc_id""".stripMargin
+
   /** KMV distinct sketch ([[graft.operators.Sketches.kmvShingleDistinct]],
     * x56): per-source bottom-k over the shared distinct-shingle-hash set,
     * estimate (k−1)/u₍k₎ with u₍k₎ = h₍k₎/2^60, exact when the group is
