@@ -40,7 +40,7 @@ object Bench {
         "x62_packing_efficiency"),
       "x-retrieval" -> Seq("x41_phrase_search", "x44_hybrid_search",
         "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25",
-        "x72_wp_vocab", "x73_wp_segment"))
+        "x72_wp_vocab", "x73_wp_segment", "x74_unigram_viterbi"))
     for ((cohort, names) <- groups; n <- names) yield n -> cohort
   }
 

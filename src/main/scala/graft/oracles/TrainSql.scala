@@ -1985,17 +1985,14 @@ object TrainSql {
     * inside the accumulator struct. The recursive join form has no
     * lambdas and replays the identical greedy semantics.
     */
-  private def wordpieceCtes(vocabSize: Int, maxLen: Int): String = {
+  /** toks/words/substring-frequency/vocab CTEs shared by the WordPiece
+    * (x72/x73) and unigram-LM (x74) oracles.
+    */
+  private def wpVocabCtes(vocabSize: Int, maxLen: Int): String = {
     val subExpr =
       s"""flatten(list_transform(range(1, len(word) + 1), s ->
          |  list_transform(range(1, least($maxLen, len(word) - s + 1) + 1),
          |    l -> word[s:s+l-1])))""".stripMargin
-    val joins = (maxLen to 2 by -1).map(l =>
-      s"LEFT JOIN vocab v$l ON len(w.word) - w.pos >= $l " +
-        s"AND v$l.piece = w.word[w.pos+1:w.pos+$l]").mkString("\n  ")
-    val step = "COALESCE(" + (maxLen to 2 by -1)
-      .map(l => s"CASE WHEN v$l.piece IS NOT NULL THEN $l END")
-      .mkString(", ") + ", 1)"
     s"""toks AS (
        |  SELECT doc_id, unnest(
        |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
@@ -2012,7 +2009,17 @@ object TrainSql {
        |  SELECT piece, freq, TRUE AS in_top FROM ranked WHERE rnk <= $vocabSize
        |  UNION ALL
        |  SELECT piece, freq, FALSE FROM ranked
-       |  WHERE len(piece) = 1 AND rnk > $vocabSize),
+       |  WHERE len(piece) = 1 AND rnk > $vocabSize)""".stripMargin
+  }
+
+  private def wordpieceCtes(vocabSize: Int, maxLen: Int): String = {
+    val joins = (maxLen to 2 by -1).map(l =>
+      s"LEFT JOIN vocab v$l ON len(w.word) - w.pos >= $l " +
+        s"AND v$l.piece = w.word[w.pos+1:w.pos+$l]").mkString("\n  ")
+    val step = "COALESCE(" + (maxLen to 2 by -1)
+      .map(l => s"CASE WHEN v$l.piece IS NOT NULL THEN $l END")
+      .mkString(", ") + ", 1)"
+    s"""${wpVocabCtes(vocabSize, maxLen)},
        |wseg(word, pos) AS (
        |  SELECT word, 0 FROM words
        |  UNION ALL
@@ -2038,6 +2045,53 @@ object TrainSql {
        |       round(sum(n_pieces) * 1.0 / count(*), 6) AS fertility
        |FROM toks JOIN segn USING (word)
        |GROUP BY doc_id""".stripMargin
+
+  /** Unigram-LM Viterbi oracle ([[graft.operators.UnigramLm]], x74): the
+    * shared vocab CTEs, logp = ln(freq/Σfreq), and the DP unrolled one
+    * MATERIALIZED CTE per consumed-prefix length (the Lloyd-chain recipe —
+    * recursive CTEs can't take the per-word argmax). dp_i holds, for every
+    * word of length ≥ i, the best (score, −n_pieces) over segmentations of
+    * its first i characters; candidates come from dp_(i−l) + logp of the
+    * length-l piece ending at i, tie-break (score DESC, negn DESC) ==
+    * Spark's lexicographic struct max.
+    */
+  def unigramViterbiSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
+                        maxLen: Int = graft.operators.Wordpiece.MaxPieceLen,
+                        maxWordLen: Int = graft.operators.UnigramLm.MaxWordLen): String = {
+    val dpCtes = (1 to maxWordLen).map { i =>
+      val arms = (1 to math.min(maxLen, i)).map { l =>
+        s"""SELECT d.word, d.score + v.logp AS score, d.negn - 1 AS negn
+           |      FROM dp${i - l} d JOIN vocabp v ON v.piece = d.word[${i - l + 1}:$i]
+           |      WHERE len(d.word) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT word, score, negn FROM (
+         |    SELECT word, score, negn,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY score DESC, negn DESC) AS rk
+         |    FROM (
+         |      $arms))
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val finArms = (1 to maxWordLen).map(i =>
+      s"SELECT word, score, negn FROM dp$i WHERE len(word) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${wpVocabCtes(vocabSize, maxLen)},
+       |vocabp AS (
+       |  SELECT piece, ln(freq * 1.0 / (SELECT sum(freq) FROM vocab)) AS logp
+       |  FROM vocab),
+       |dp0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS score, 0 AS negn
+       |        FROM words WHERE len(word) <= $maxWordLen),
+       |$dpCtes,
+       |fin AS (
+       |  $finArms)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(-f.negn) AS BIGINT) AS n_subwords,
+       |       round(sum(-f.negn) * 1.0 / count(*), 6) AS fertility,
+       |       round(sum(f.score) / count(*), 6) AS avg_logprob
+       |FROM toks t JOIN fin f USING (word)
+       |GROUP BY t.doc_id""".stripMargin
+  }
 
   /** KMV distinct sketch ([[graft.operators.Sketches.kmvShingleDistinct]],
     * x56): per-source bottom-k over the shared distinct-shingle-hash set,

@@ -294,7 +294,15 @@ class PlanSpec extends SparkSpec {
                              // family's broadcast centroid frame; the c-TF-IDF
                              // joins themselves are token-keyed equi joins
       "x51_pq_adc_topk",     // codebooks frame + the 1-row ADC lookup table
-      "x52_ivfpq_topk"       // centroid frame + codebooks + per-cell LUT stack
+      "x52_ivfpq_topk",      // centroid frame + codebooks + per-cell LUT stack
+      "x68_ivf_cell_stats",  // the IVF family's broadcast centroid frame; the
+                             // per-cell aggregate is a plain hash aggregate
+      "x69_source_drift",    // 1-row corpus-token-total aggregate onto the
+                             // (source, token) stream — the n2/x25 pattern
+      "x71_family_sizes",    // 1-row (n_families, logsum) MLE aggregate onto
+                             // the histogram rows
+      "x74_unigram_viterbi"  // 1-row piece-frequency total onto the vocab
+                             // frame (the x25 scalar-broadcast pattern)
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
