@@ -160,6 +160,7 @@ object SparkEntry {
     "x72_wp_vocab"     -> (Wordpiece.qWordpieceVocab _),
     "x73_wp_segment"   -> (Wordpiece.qWordpieceSegment _),
     "x74_unigram_viterbi" -> (UnigramLm.qUnigramViterbi _),
+    "x75_tokenizer_report" -> (UnigramLm.qTokenizerReport _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
@@ -803,6 +804,7 @@ object SparkEntry {
     "x72_wp_vocab"     -> graft.oracles.TrainSql.wordpieceVocabSql(),
     "x73_wp_segment"   -> graft.oracles.TrainSql.wordpieceSegmentSql(),
     "x74_unigram_viterbi" -> graft.oracles.TrainSql.unigramViterbiSql(),
+    "x75_tokenizer_report" -> graft.oracles.TrainSql.tokenizerReportSql(),
     // x48: the same chain's final state is the segmented vocabulary;
     // documents join it on the word key (the apply pass runs per vocab
     // word, never per token)

@@ -107,4 +107,26 @@ object UnigramLm {
 
   def qUnigramViterbi(spark: SparkSession, sfDir: String): DataFrame =
     segmentCorpus(Tables.documents(spark, sfDir))
+
+  /** x75: the tokenizer bake-off — one row per tokenizer (BPE, WordPiece,
+    * unigram-LM) with corpus-level word/subword totals and global
+    * fertility, i.e. the table a pipeline owner reads to pick the
+    * tokenizer before a training run commits to one. Composes the three
+    * already-oracle-checked segmenters; each rides its own
+    * vocabulary-sized training and the same narrow word-keyed document
+    * join, so the report costs no more than its parts.
+    */
+  def tokenizerReport(docs: DataFrame): DataFrame = {
+    def summarize(name: String, perDoc: DataFrame): DataFrame =
+      perDoc.agg(sum("n_words").as("nw"), sum("n_subwords").as("ns"))
+        .select(lit(name).as("tokenizer"),
+          col("nw").as("n_words"), col("ns").as("n_subwords"),
+          round(col("ns").cast("double") / col("nw"), 6).as("fertility"))
+    summarize("bpe", Bpe.segmentCorpus(docs))
+      .unionByName(summarize("wordpiece", Wordpiece.segmentCorpus(docs)))
+      .unionByName(summarize("unigram", segmentCorpus(docs)))
+  }
+
+  def qTokenizerReport(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizerReport(Tables.documents(spark, sfDir))
 }

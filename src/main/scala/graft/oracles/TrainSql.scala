@@ -2093,6 +2093,26 @@ object TrainSql {
        |GROUP BY t.doc_id""".stripMargin
   }
 
+  /** Tokenizer bake-off ([[graft.operators.UnigramLm.tokenizerReport]],
+    * x75): the three segmenter oracles embedded as derived tables, one
+    * corpus-level summary row each.
+    */
+  def tokenizerReportSql(): String = {
+    def arm(name: String, sql: String): String =
+      s"""SELECT '$name' AS tokenizer,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+         |       round(sum(n_subwords) * 1.0 / sum(n_words), 6) AS fertility
+         |FROM (
+         |$sql
+         |)""".stripMargin
+    s"""${arm("bpe", bpeSegmentSql())}
+       |UNION ALL
+       |${arm("wordpiece", wordpieceSegmentSql())}
+       |UNION ALL
+       |${arm("unigram", unigramViterbiSql())}""".stripMargin
+  }
+
   /** KMV distinct sketch ([[graft.operators.Sketches.kmvShingleDistinct]],
     * x56): per-source bottom-k over the shared distinct-shingle-hash set,
     * estimate (k−1)/u₍k₎ with u₍k₎ = h₍k₎/2^60, exact when the group is

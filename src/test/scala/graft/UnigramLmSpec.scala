@@ -57,6 +57,17 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer report: one row per tokenizer over the same word stream") {
+    val rows = UnigramLm.tokenizerReport(sampleDocs)
+      .select("tokenizer", "n_words", "n_subwords", "fertility")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("bpe", "unigram", "wordpiece"))
+    assert(rows.map(_._2).distinct.size == 1) // same corpus word count
+    rows.foreach { case (_, nw, ns, f) =>
+      assert(nw > 0 && ns >= nw && f >= 1.0)
+    }
+  }
+
   test("a word whose whole form is in vocab segments as one piece") {
     // 'alpha' repeated often enough that the full word enters the vocab
     val docs = Seq((0L, "alpha alpha alpha beta"), (1L, "alpha beta")).toDF("doc_id", "text")
