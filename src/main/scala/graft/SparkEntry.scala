@@ -183,6 +183,7 @@ object SparkEntry {
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
     "x28_crossdoc_dup" -> (CorpusPrep.qCrossDocDuplication _),
     "p3_prep_pipeline" -> (CorpusPrep.qPrepPipeline _),
+    "p4_ingest_pipeline" -> ((s: SparkSession, d: String) => Pipeline.qIngestPipeline(s, d)),
     // multimodal plumbing
     "m1_asset_meta"    -> (Multimodal.qAssetMeta _),
     "m2_decoded_meta"  -> (Multimodal.qDecodedMeta _),
@@ -857,6 +858,7 @@ object SparkEntry {
     "x27_ngram_rep"    -> graft.oracles.TrainSql.ngramRepetitionSql(),
     "x28_crossdoc_dup" -> graft.oracles.TrainSql.crossDocDuplicationSql(),
     "p3_prep_pipeline" -> graft.oracles.TrainSql.prepPipelineSql,
+    "p4_ingest_pipeline" -> graft.oracles.TrainSql.ingestPipelineSql(),
     "m1_asset_meta"    -> graft.oracles.TrainSql.assetMetaSql,
     // m5: the float32 histogram IS replicable — counts are exact float32
     // integers, the one k/n division is IEEE binary32 in both engines

@@ -87,4 +87,48 @@ object Pipeline {
     */
   def qPipelineGraded(spark: SparkSession, sfDir: String): DataFrame =
     process(Tables.documents(spark, sfDir)).drop("summary")
+
+  /** p4: the daily-ingest admission capstone — what actually runs when a
+    * new shard arrives at a curated 100 TB corpus. Per arriving (delta)
+    * document, the gates in production order, each one already
+    * oracle-checked on its own:
+    *
+    *   1. quality gate (x10 score ≥ threshold) — cheapest, runs first;
+    *   2. near-dup vs the PERSISTED index (x66's one-sided band probe);
+    *   3. exact dedup WITHIN the shard (x1's digest families, min-id keep).
+    *
+    * The verdict is the FIRST failing gate, so the report tells the
+    * operator where each rejected document died — the accounting a
+    * curation team reads after every ingest run. All three gates compose
+    * over the same shard scan; nothing touches the index beyond x66's
+    * band join.
+    */
+  def qIngestPipeline(spark: SparkSession, sfDir: String,
+                      qualityThreshold: Double = 0.5): DataFrame =
+    ingestAdmission(Tables.documents(spark, sfDir),
+      qualityThreshold = qualityThreshold)
+
+  def ingestAdmission(docs: DataFrame, deltaMod: Int = 5,
+                      qualityThreshold: Double = 0.5): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(deltaMod.toLong)) === (deltaMod - 1)
+    val delta = docs.where(isDelta)
+    val quality = TextQuality.qualityScore(delta).select("doc_id", "quality")
+    val inc = Dedup.incrementalDedup(docs, deltaMod)
+      .select(col("doc_id"), col("n_index_matches"))
+    val exact = delta
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val keepers = exact.groupBy("digest").agg(min("doc_id").as("exact_keep_id"))
+    val verdict =
+      when(col("quality") < qualityThreshold, "low_quality")
+        .when(col("n_index_matches") > 0, "index_duplicate")
+        .when(col("doc_id") =!= col("exact_keep_id"), "delta_exact_duplicate")
+        .otherwise("admitted")
+    delta.select("doc_id")
+      .join(quality, "doc_id")
+      .join(inc, "doc_id")
+      .join(exact.join(keepers, "digest").select("doc_id", "exact_keep_id"), "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_index_matches"),
+        col("exact_keep_id"), verdict.as("verdict"),
+        (verdict === "admitted").as("admitted"))
+  }
 }

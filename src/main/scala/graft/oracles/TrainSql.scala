@@ -2093,6 +2093,36 @@ object TrainSql {
        |GROUP BY t.doc_id""".stripMargin
   }
 
+  /** Daily-ingest admission capstone
+    * ([[graft.operators.Pipeline.qIngestPipeline]], p4): the x10 quality
+    * formula, the x66 one-sided probe as a derived table, and the x1
+    * digest families within the delta; verdict = first failing gate.
+    */
+  def ingestPipelineSql(deltaMod: Int = 5,
+                        qualityThreshold: Double = 0.5): String = {
+    val d = deltaMod - 1
+    s"""WITH q AS ($qualitySql),
+       |inc AS (SELECT doc_id, n_index_matches
+       |        FROM (${incrementalDedupSql(deltaMod)}) t),
+       |dig AS (SELECT doc_id, md5(text) AS digest FROM documents
+       |        WHERE doc_id % $deltaMod = $d),
+       |keepers AS (SELECT digest, min(doc_id) AS exact_keep_id
+       |            FROM dig GROUP BY 1),
+       |base AS (
+       |  SELECT g.doc_id, q.quality, i.n_index_matches, k.exact_keep_id,
+       |         CASE WHEN q.quality < $qualityThreshold THEN 'low_quality'
+       |              WHEN i.n_index_matches > 0 THEN 'index_duplicate'
+       |              WHEN g.doc_id <> k.exact_keep_id THEN 'delta_exact_duplicate'
+       |              ELSE 'admitted' END AS verdict
+       |  FROM dig g
+       |  JOIN q ON g.doc_id = q.doc_id
+       |  JOIN inc i ON g.doc_id = i.doc_id
+       |  JOIN keepers k USING (digest))
+       |SELECT doc_id, quality, n_index_matches, exact_keep_id, verdict,
+       |       verdict = 'admitted' AS admitted
+       |FROM base""".stripMargin
+  }
+
   /** Tokenizer bake-off ([[graft.operators.UnigramLm.tokenizerReport]],
     * x75): the three segmenter oracles embedded as derived tables, one
     * corpus-level summary row each.

@@ -556,6 +556,35 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("ingest admission (p4): verdicts fire in gate order on a planted shard") {
+    // high-quality text generator: ~120 words, ~1/3 stopwords, no punct
+    def longText(seedWords: Seq[String]): String =
+      (0 until 40).flatMap(i =>
+        Seq("the", seedWords(i % seedWords.length) + ('a' + i % 26).toChar,
+            "with")).mkString(" ")
+    val a = longText(Seq("alpha", "beta", "gamma"))
+    val b = longText(Seq("ocean", "tide", "reef"))
+    val fillers = (0 until 26).map(i => longText(Seq(
+      s"fill${('a' + i).toChar}", s"word${('a' + i).toChar}", s"stone${('a' + i).toChar}")))
+    // ids 0..24; delta = {4, 9, 14, 19, 24}
+    val texts = (0 to 24).map {
+      case 0      => a          // index original
+      case 9 | 14 => a          // delta copies of the index doc
+      case 4 | 24 => b          // delta twins, unseen by the index
+      case 19     => "zz !!"    // junk: fails the quality gate
+      case i      => fillers(i)
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.ingestAdmission(docs)
+      .select("doc_id", "verdict", "admitted")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(4L, 9L, 14L, 19L, 24L))
+    assert(out.map(_._2) == Seq("admitted", "index_duplicate",
+      "index_duplicate", "low_quality", "delta_exact_duplicate"))
+    assert(out.map(_._3) == Seq(true, false, false, false, false))
+  }
+
   test("family-size stats: planted families land in the right histogram " +
        "buckets and the MLE matches the closed form") {
     // 3 identical copies of A (family of 3), 2 of B (family of 2), 2 singletons
