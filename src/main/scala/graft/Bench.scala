@@ -20,7 +20,8 @@ object Bench {
         "x45_minhash_dedup", "x45b_minhash_dedup_iter", "x60_dedup_report",
         "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats",
         "x66_incremental_dedup", "x67_novelty_curve",
-        "x70_incremental_persisted", "x71_family_sizes"),
+        "x70_incremental_persisted", "x71_family_sizes",
+        "x76_minhash_calibration"),
       "x-vec" -> Seq("x5_ann_topk", "x6_emb_near_dups", "x7_ann_lsh",
         "x8_centroid_norms", "x14_ann_ivf", "x15_quantized", "x26_knn_join",
         "x30_semantic_dedup", "x37_ivf_knn_join", "x38_ann_recall",

@@ -155,6 +155,7 @@ object SparkEntry {
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
     "x71_family_sizes" -> (Dedup.qFamilySizeStats _),
+    "x76_minhash_calibration" -> (Dedup.qMinhashCalibration _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x72_wp_vocab"     -> (Wordpiece.qWordpieceVocab _),
@@ -798,6 +799,7 @@ object SparkEntry {
     // so it shares x66's oracle verbatim
     "x70_incremental_persisted" -> graft.oracles.TrainSql.incrementalDedupSql(),
     "x71_family_sizes" -> graft.oracles.TrainSql.familySizeStatsSql(),
+    "x76_minhash_calibration" -> graft.oracles.TrainSql.minhashCalibrationSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator

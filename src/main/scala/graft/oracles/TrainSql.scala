@@ -1506,6 +1506,33 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** MinHash estimator calibration
+    * ([[graft.operators.Dedup.minhashCalibration]], x76): the x3 pairs as
+    * a derived table, exact Jaccard only on those candidates, dyadic 1/8
+    * estimate buckets.
+    */
+  def minhashCalibrationSql(minEstJaccard: Double = 0.5): String =
+    s"""WITH $shingleCtes,
+       |mh AS (SELECT id1, id2, est_jaccard FROM (${minhashLshSql(minEstJaccard)}) t),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |iv AS (SELECT m.id1, m.id2, count(*) AS inter
+       |       FROM mh m JOIN ds a ON a.doc_id = m.id1
+       |                 JOIN ds b ON b.doc_id = m.id2 AND b.h60 = a.h60
+       |       GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT m.est_jaccard,
+       |         round(coalesce(iv.inter, 0) * 1.0 /
+       |               (s1.n + s2.n - coalesce(iv.inter, 0)), 6) AS exact_j
+       |  FROM mh m LEFT JOIN iv USING (id1, id2)
+       |       JOIN sz s1 ON m.id1 = s1.doc_id
+       |       JOIN sz s2 ON m.id2 = s2.doc_id)
+       |SELECT floor(est_jaccard * 8) / 8 AS est_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       round(avg(est_jaccard), 6) AS mean_est,
+       |       round(avg(exact_j), 6) AS mean_exact,
+       |       round(avg(abs(est_jaccard - exact_j)), 6) AS mae
+       |FROM ex GROUP BY 1""".stripMargin
+
   /** Family-size histogram + power-law MLE
     * ([[graft.operators.Dedup.familySizeStats]], x71): the x45 closure as
     * a derived table, one row per family, Clauset α̂ = 1 + n/Σln(sᵢ/0.5).

@@ -556,6 +556,14 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("minhash calibration: the planted identical pair reports " +
+       "est = exact = 1 with zero error") {
+    val out = Dedup.minhashCalibration(sampleDocs)
+      .select("est_bucket", "n_pairs", "mean_est", "mean_exact", "mae")
+      .as[(Double, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1.0, 1L, 1.0, 1.0, 0.0)))
+  }
+
   test("ingest admission (p4): verdicts fire in gate order on a planted shard") {
     // high-quality text generator: ~120 words, ~1/3 stopwords, no punct
     def longText(seedWords: Seq[String]): String =

@@ -301,8 +301,9 @@ class PlanSpec extends SparkSpec {
                              // (source, token) stream — the n2/x25 pattern
       "x71_family_sizes",    // 1-row (n_families, logsum) MLE aggregate onto
                              // the histogram rows
-      "x74_unigram_viterbi"  // 1-row piece-frequency total onto the vocab
+      "x74_unigram_viterbi", // 1-row piece-frequency total onto the vocab
                              // frame (the x25 scalar-broadcast pattern)
+      "x75_tokenizer_report" // embeds x74's 1-row piece-frequency total
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
