@@ -556,6 +556,21 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("incremental dedup on the fixture: output is exactly the delta " +
+       "shard, flags are mutually consistent, matches point at the index") {
+    val out = Dedup.qIncrementalDedup(spark, sf0001)
+      .select("doc_id", "n_index_matches", "best_match_id", "best_est_jaccard", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val expected = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 5 === 4).select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == expected && out.size == expected.size)
+    out.foreach { case (_, n, best, est, keep) =>
+      assert(keep == (n == 0L))
+      if (n == 0L) assert(best == -1L && est == 0.0)
+      else assert(best % 5 != 4 && est >= 0.5 && est <= 1.0)
+    }
+  }
+
   test("minhash calibration: the planted identical pair reports " +
        "est = exact = 1 with zero error") {
     val out = Dedup.minhashCalibration(sampleDocs)

@@ -108,6 +108,18 @@ class SketchesSpec extends SparkSpec {
     assert(out.last._5 == exact && out.last._5 == out.map(_._3).sum)
   }
 
+  test("novelty curve on the fixture: cumulative distinct is the running " +
+       "novel sum and novelty never exceeds the shard's distinct count") {
+    val out = Sketches.qNoveltyCurve(spark, sf0001)
+      .select("shard", "n_distinct", "n_novel", "novelty_rate", "cum_distinct")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out.nonEmpty && out.head._3 == out.head._2) // first shard all novel
+    assert(out.map(_._3).scanLeft(0L)(_ + _).tail == out.map(_._5))
+    out.foreach { case (_, d, n, r, _) =>
+      assert(n <= d && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("streaming KMV sketch replay == batch x56 estimator columns") {
     val streamed = graft.streaming.DocStream.qKmvStream(spark, sf0001)
       .select("source", "n_kept", "est_distinct")
