@@ -19,6 +19,7 @@ object Bench {
         "x33_dup_spans", "x36_containment", "x36b_containment_capped",
         "x45_minhash_dedup", "x45b_minhash_dedup_iter", "x60_dedup_report",
         "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats",
+        "x77_substr_decontaminate",
         "x66_incremental_dedup", "x67_novelty_curve",
         "x70_incremental_persisted", "x71_family_sizes",
         "x76_minhash_calibration"),

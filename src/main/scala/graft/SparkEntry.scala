@@ -152,6 +152,7 @@ object SparkEntry {
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
+    "x77_substr_decontaminate" -> (Dedup.qSubstrDecontaminate _),
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
     "x71_family_sizes" -> (Dedup.qFamilySizeStats _),
@@ -794,6 +795,7 @@ object SparkEntry {
     "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
+    "x77_substr_decontaminate" -> graft.oracles.TrainSql.substrDecontaminateSql(),
     "x66_incremental_dedup" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // x70 runs the identical computation through a persisted parquet index,
     // so it shares x66's oracle verbatim

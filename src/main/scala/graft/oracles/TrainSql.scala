@@ -1576,6 +1576,36 @@ object TrainSql {
        |       CAST(count(*) AS BIGINT) AS n_windows
        |FROM runs GROUP BY doc_id, run""".stripMargin
 
+  /** Exact-substring decontamination
+    * ([[graft.operators.Dedup.substrDecontaminate]], x77): x64's window
+    * hashes, eval = doc_id % evalMod = 0, one-sided hash join, left join
+    * back onto every train doc.
+    */
+  def substrDecontaminateSql(windowTokens: Int = 20, evalMod: Int = 20): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id, t FROM toksl WHERE len(t) >= $windowTokens),
+       |wins AS (
+       |  SELECT doc_id, i AS pos,
+       |         ${md5Long60Sql(s"array_to_string(t[i+1:i+$windowTokens], ' ')")} AS h
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - $windowTokens + 1)) AS i
+       |        FROM tk)),
+       |ev AS (SELECT DISTINCT h FROM wins WHERE doc_id % $evalMod = 0),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(min(pos) AS BIGINT) AS fp
+       |  FROM wins JOIN ev USING (h)
+       |  WHERE doc_id % $evalMod <> 0
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_windows,
+       |       coalesce(h.fp, -1) AS first_pos,
+       |       h.doc_id IS NULL AS clean
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $evalMod <> 0""".stripMargin
+
   /** x65 oracle ([[graft.operators.Dedup.dupSpanStats]]): the x64 span
     * CTEs, a per-document interval union over (start, end) (running max of
     * previous ends marks island starts), then coverage joined to token

@@ -556,6 +556,27 @@ class DedupSpec extends SparkSpec {
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("substring decontamination: a quoted 22-token eval passage flags " +
+       "exactly its 3 windows; clean and too-short train docs report clean") {
+    val passage = (0 until 25).map(i => s"bench${('a' + i).toChar}").mkString(" ")
+    val filler = (0 until 30).map(i =>
+      s"plain${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val clean = (0 until 30).map(i =>
+      s"other${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
+    val docs = Seq(
+      0L -> passage,                                            // eval (0 % 20 == 0)
+      1L -> (filler + " " + passage.split(" ").take(22).mkString(" ")),
+      2L -> clean,
+      3L -> "alpha beta gamma").toDF("doc_id", "text")
+    val out = Dedup.substrDecontaminate(docs)
+      .select("doc_id", "n_contaminated_windows", "first_pos", "clean")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out(0) == ((1L, 3L, 30L, false))) // windows at 30, 31, 32
+    assert(out(1) == ((2L, 0L, -1L, true)))
+    assert(out(2) == ((3L, 0L, -1L, true)))
+  }
+
   test("incremental dedup on the fixture: output is exactly the delta " +
        "shard, flags are mutually consistent, matches point at the index") {
     val out = Dedup.qIncrementalDedup(spark, sf0001)
