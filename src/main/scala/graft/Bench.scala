@@ -22,7 +22,7 @@ object Bench {
         "x77_substr_decontaminate",
         "x66_incremental_dedup", "x67_novelty_curve",
         "x70_incremental_persisted", "x71_family_sizes",
-        "x76_minhash_calibration"),
+        "x76_minhash_calibration", "x78_lsh_bucket_stats"),
       "x-vec" -> Seq("x5_ann_topk", "x6_emb_near_dups", "x7_ann_lsh",
         "x8_centroid_norms", "x14_ann_ivf", "x15_quantized", "x26_knn_join",
         "x30_semantic_dedup", "x37_ivf_knn_join", "x38_ann_recall",

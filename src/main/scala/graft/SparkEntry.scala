@@ -157,6 +157,7 @@ object SparkEntry {
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
     "x71_family_sizes" -> (Dedup.qFamilySizeStats _),
     "x76_minhash_calibration" -> (Dedup.qMinhashCalibration _),
+    "x78_lsh_bucket_stats" -> (Dedup.qLshBucketStats _),
     "x46_bpe_merges"   -> (Bpe.qBpeMerges _),
     "x48_bpe_segment"  -> (Bpe.qBpeSegment _),
     "x72_wp_vocab"     -> (Wordpiece.qWordpieceVocab _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "w11_stream_quality" -> (graft.streaming.DocStream.qQualityGate _),
     "w12_neardup_admission" -> (graft.streaming.DocStream.qNearDupAdmission _),
     "w13_kmv_stream"   -> (graft.streaming.DocStream.qKmvStream _),
+    "w14_substr_decontam_stream" -> (graft.streaming.DocStream.qSubstrDecontamStream _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -802,6 +804,7 @@ object SparkEntry {
     "x70_incremental_persisted" -> graft.oracles.TrainSql.incrementalDedupSql(),
     "x71_family_sizes" -> graft.oracles.TrainSql.familySizeStatsSql(),
     "x76_minhash_calibration" -> graft.oracles.TrainSql.minhashCalibrationSql(),
+    "x78_lsh_bucket_stats" -> graft.oracles.TrainSql.lshBucketStatsSql(),
     // x46: the BPE training loop unrolled as chained MATERIALIZED CTEs
     // (the x39 recipe); replace() is the same greedy non-overlapping merge
     // in both engines thanks to the two-space symbol separator
@@ -936,6 +939,8 @@ object SparkEntry {
     // the x3 LSH pair graph — NOT x45's transitive closure (see Scaladoc)
     "w12_neardup_admission" -> graft.oracles.TrainSql.nearDupAdmissionSql(),
     "w13_kmv_stream"   -> graft.oracles.TrainSql.kmvStreamSql(),
+    // w14 must equal batch x77 exactly (stateless join + sink aggregate)
+    "w14_substr_decontam_stream" -> graft.oracles.TrainSql.substrDecontaminateSql(),
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

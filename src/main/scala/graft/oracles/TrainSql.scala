@@ -1506,6 +1506,21 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** LSH band-bucket ledger ([[graft.operators.Dedup.lshBucketStats]],
+    * x78): the sig/band chain, bucket sizes, size histogram with row and
+    * candidate-pair accounting (integer arithmetic).
+    */
+  def lshBucketStatsSql(): String =
+    s"""WITH $shingleCtes,
+       |$sigBandCtes,
+       |bsz AS (SELECT bidx, band_key, count(*) AS bucket_n
+       |        FROM bands GROUP BY 1, 2)
+       |SELECT bucket_n, CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(bucket_n * count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(*) * bucket_n * (bucket_n - 1) // 2 AS BIGINT)
+       |         AS candidate_pairs
+       |FROM bsz GROUP BY bucket_n""".stripMargin
+
   /** MinHash estimator calibration
     * ([[graft.operators.Dedup.minhashCalibration]], x76): the x3 pairs as
     * a derived table, exact Jaccard only on those candidates, dyadic 1/8

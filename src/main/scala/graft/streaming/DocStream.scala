@@ -232,4 +232,60 @@ object DocStream {
 
   def qKmvStream(spark: SparkSession, sfDir: String): DataFrame =
     replayKmvDistinct(spark, docSrcDir(sfDir))
+
+  /** w14: streaming exact-substring decontamination — x77 as an admission
+    * stream. The eval set's distinct window hashes are a STATIC frame
+    * (benchmark-sized) broadcast into every micro-batch; each arriving
+    * train document's window stream joins it STATELESSLY and the sink
+    * receives one row per contaminated window. No streaming aggregation,
+    * no watermark, zero state — the per-doc verdicts are an ordinary
+    * batch aggregate over the sink, so the replay equals batch x77
+    * exactly. This is the decontamination shape a continuous ingest
+    * actually wants: the eval fingerprint table changes only when
+    * benchmarks do.
+    */
+  def substrDecontamStream(spark: SparkSession, dir: String,
+                           evalHashes: DataFrame,
+                           windowTokens: Int = 20,
+                           evalMod: Int = 20): DataFrame = {
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .where(pmod(col("doc_id"), lit(evalMod.toLong)) =!= 0)
+    graft.operators.Dedup.windowHashes(src, windowTokens)
+      .join(broadcast(evalHashes), "h")
+      .select("doc_id", "pos")
+  }
+
+  def replaySubstrDecontam(spark: SparkSession, dir: String,
+                           windowTokens: Int = 20,
+                           evalMod: Int = 20): DataFrame = {
+    val batchDocs = spark.read.schema(docSchema).parquet(dir)
+    val evalHashes = graft.operators.Dedup
+      .windowHashes(batchDocs.where(pmod(col("doc_id"), lit(evalMod.toLong)) === 0),
+        windowTokens)
+      .select("h").distinct()
+    val q: StreamingQuery =
+      substrDecontamStream(spark, dir, evalHashes, windowTokens, evalMod)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("w14_hits")
+        .start()
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("w14_hits")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated_windows"),
+        min("pos").cast("long").as("first_pos"))
+    batchDocs.where(pmod(col("doc_id"), lit(evalMod.toLong)) =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_windows"), lit(0L))
+          .as("n_contaminated_windows"),
+        coalesce(col("first_pos"), lit(-1L)).as("first_pos"),
+        col("n_contaminated_windows").isNull.as("clean"))
+  }
+
+  def qSubstrDecontamStream(spark: SparkSession, sfDir: String): DataFrame =
+    replaySubstrDecontam(spark, docSrcDir(sfDir))
 }

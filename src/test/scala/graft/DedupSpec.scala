@@ -592,6 +592,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lsh bucket ledger: every band row is accounted for and the " +
+       "candidate-pair arithmetic is exact") {
+    val out = Dedup.lshBucketStats(sampleDocs)
+      .select("bucket_n", "n_buckets", "n_rows", "candidate_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sum == 6L * Dedup.NumBands)
+    out.foreach { case (s, nb, nr, cp) =>
+      assert(nr == s * nb && cp == nb * s * (s - 1) / 2)
+    }
+    assert(out.exists(_._1 >= 2L)) // the planted identical pair collides
+  }
+
   test("minhash calibration: the planted identical pair reports " +
        "est = exact = 1 with zero error") {
     val out = Dedup.minhashCalibration(sampleDocs)

@@ -120,6 +120,16 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streaming substring decontamination replay == batch x77") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_contaminated_windows", "first_pos", "clean")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val streamed = rows(graft.streaming.DocStream.qSubstrDecontamStream(spark, sf0001))
+    val batch = rows(graft.operators.Dedup.substrDecontaminate(
+      Tables.documents(spark, sf0001)))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming KMV sketch replay == batch x56 estimator columns") {
     val streamed = graft.streaming.DocStream.qKmvStream(spark, sf0001)
       .select("source", "n_kept", "est_distinct")
