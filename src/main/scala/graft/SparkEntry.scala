@@ -227,6 +227,7 @@ object SparkEntry {
     "w12_neardup_admission" -> (graft.streaming.DocStream.qNearDupAdmission _),
     "w13_kmv_stream"   -> (graft.streaming.DocStream.qKmvStream _),
     "w14_substr_decontam_stream" -> (graft.streaming.DocStream.qSubstrDecontamStream _),
+    "w15_incremental_admission" -> (graft.streaming.DocStream.qIncrementalAdmissionStream _),
   )
 
   // ---- oracle SQL helpers (DuckDB dialect) ----
@@ -941,6 +942,8 @@ object SparkEntry {
     "w13_kmv_stream"   -> graft.oracles.TrainSql.kmvStreamSql(),
     // w14 must equal batch x77 exactly (stateless join + sink aggregate)
     "w14_substr_decontam_stream" -> graft.oracles.TrainSql.substrDecontaminateSql(),
+    // w15 must equal batch x66 (static index, stateless probe stream)
+    "w15_incremental_admission" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // the Spark side dumps the CSV-sink round-trip; the oracle recomputes
     // the exported projection straight from parquet, so a hash match means
     // the sink preserved every value exactly

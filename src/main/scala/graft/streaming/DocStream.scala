@@ -288,4 +288,100 @@ object DocStream {
 
   def qSubstrDecontamStream(spark: SparkSession, sfDir: String): DataFrame =
     replaySubstrDecontam(spark, docSrcDir(sfDir))
+
+  /** w15: incremental MinHash admission against a FIXED persisted index —
+    * x66/x70 as a stream, completing the admission set: w12 dedups the
+    * stream against ITSELF (stateful band buckets), this admits arrivals
+    * against yesterday's CORPUS (stateless — the index frames are static
+    * broadcast state, exactly x70's parquet artifact).
+    *
+    * The MinHash signature is computed PER ROW (array algebra over the
+    * document's own shingle set — no explode/groupBy, so the streaming
+    * plan carries zero aggregation state; min over the multiset equals
+    * min over the distinct set, so it matches [[graft.operators.Dedup
+    * .minhashSignatures]] exactly). Band rows fan out via posexplode
+    * (a stateless generator), join the static index bands, verify
+    * against the static index signatures, and the sink gets one row per
+    * (delta doc, matching index doc). Verdicts are a batch aggregate
+    * over the sink — the replay hash-matches batch x66's oracle.
+    */
+  def incrementalAdmissionStream(spark: SparkSession, dir: String,
+                                 indexBands: DataFrame, indexSigs: DataFrame,
+                                 minEstJaccard: Double = 0.5,
+                                 deltaMod: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    val toks = TextFns.tokens(col("text"))
+    val hs = transform(Dedup.shinglesFromTokens(col("__toks")),
+      s => pmod(Dedup.md5Long60(s), lit(Dedup.Prime)))
+    val as = Dedup.HashParams.map(_._1).toArray
+    val bs = Dedup.HashParams.map(_._2).toArray
+    val signature = transform(sequence(lit(0), lit(Dedup.NumHashes - 1)), i =>
+      array_min(transform(col("__hs"), h =>
+        pmod(h * element_at(lit(as), i + 1) + element_at(lit(bs), i + 1),
+          lit(Dedup.Prime)))))
+    val bandKeys = transform(sequence(lit(0), lit(Dedup.NumBands - 1)), b =>
+      Dedup.md5Long60(concat_ws("_", b,
+        slice(col("signature"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand)))))
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .where(pmod(col("doc_id"), lit(deltaMod.toLong)) === (deltaMod - 1))
+    val deltaBands = src
+      .withColumn("__toks", toks)
+      .withColumn("__hs", hs)
+      .withColumn("signature", signature)
+      .select(col("doc_id").as("delta_id"), col("signature"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    // a pair colliding in several bands emits several identical rows here
+    // (an in-stream dropDuplicates would be STATEFUL); the replay dedups
+    // them batch-side at the sink, keeping the stream state-free
+    deltaBands
+      .join(broadcast(indexBands.select(col("doc_id").as("index_id"),
+        col("band_idx"), col("band_key"))), Seq("band_idx", "band_key"))
+      .select("delta_id", "index_id", "signature")
+      .join(broadcast(indexSigs.select(col("doc_id").as("index_id"),
+        col("signature").as("sig2"))), "index_id")
+      .select(col("delta_id"), col("index_id"),
+        (size(filter(zip_with(col("signature"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("double") / Dedup.NumHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  def replayIncrementalAdmission(spark: SparkSession, dir: String,
+                                 minEstJaccard: Double = 0.5,
+                                 deltaMod: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val batchDocs = spark.read.schema(docSchema).parquet(dir)
+    val isDelta = pmod(col("doc_id"), lit(deltaMod.toLong)) === (deltaMod - 1)
+    val indexSigs = Dedup.minhashSignatures(batchDocs.where(!isDelta))
+    val indexBands = Dedup.bandRows(indexSigs)
+    val q: StreamingQuery =
+      incrementalAdmissionStream(spark, dir, indexBands, indexSigs,
+        minEstJaccard, deltaMod)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("w15_matches")
+        .start()
+    q.processAllAvailable()
+    q.stop()
+    val byBest = Window.partitionBy("delta_id")
+      .orderBy(col("est_jaccard").desc, col("index_id").asc)
+    val best = spark.table("w15_matches")
+      .dropDuplicates("delta_id", "index_id") // multi-band collisions
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byBest))
+      .groupBy("delta_id")
+      .agg(count(lit(1)).as("n_index_matches"),
+        max(when(col("rn") === 1, col("index_id"))).as("best_match_id"),
+        max(when(col("rn") === 1, col("est_jaccard"))).as("best_est_jaccard"))
+    batchDocs.where(isDelta).select("doc_id")
+      .join(best.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_index_matches"), lit(0L)).as("n_index_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_est_jaccard"), lit(0.0)).as("best_est_jaccard"),
+        col("n_index_matches").isNull.as("keep"))
+  }
+
+  def qIncrementalAdmissionStream(spark: SparkSession, sfDir: String): DataFrame =
+    replayIncrementalAdmission(spark, docSrcDir(sfDir))
 }

@@ -130,6 +130,16 @@ class SketchesSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming incremental admission replay == batch x66") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_index_matches", "best_match_id", "best_est_jaccard", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val streamed = rows(
+      graft.streaming.DocStream.qIncrementalAdmissionStream(spark, sf0001))
+    val batch = rows(graft.operators.Dedup.qIncrementalDedup(spark, sf0001))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming KMV sketch replay == batch x56 estimator columns") {
     val streamed = graft.streaming.DocStream.qKmvStream(spark, sf0001)
       .select("source", "n_kept", "est_distinct")
