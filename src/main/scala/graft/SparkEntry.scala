@@ -145,6 +145,7 @@ object SparkEntry {
     "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
     "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
+    "x79_worst_spans"  -> (TextQuality.qWorstSpans _),
     "x59_interp_bigram" -> (TextQuality.qInterpBigramLm _),
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
@@ -787,6 +788,7 @@ object SparkEntry {
       graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
     "x42_weighted_sample" -> graft.oracles.TrainSql.weightedSampleSql(),
     "x43_bigram_lm"    -> graft.oracles.TrainSql.bigramLmSql,
+    "x79_worst_spans"  -> graft.oracles.TrainSql.worstSpansSql(),
     // x59: x43's CTEs + context marginal / continuation counts + MLE
     // unigram; p mirrors the engine's operator order exactly
     "x59_interp_bigram" -> graft.oracles.TrainSql.interpBigramLmSql(),

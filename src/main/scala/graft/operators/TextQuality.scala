@@ -563,6 +563,57 @@ object TextQuality {
   def qBigramLm(spark: SparkSession, sfDir: String): DataFrame =
     bigramLogprob(Tables.documents(spark, sfDir))
 
+  /** Windowed low-likelihood span detector (x79) — sub-document quality
+    * localization: x43's doc-level mean log-prob says a document LOOKS
+    * fine on average while a pasted base64 blob or boilerplate run hides
+    * inside it; this finds, per document, the `window`-bigram span with
+    * the LOWEST mean log-prob under the corpus add-one bigram LM (the
+    * span a cleaning pass would cut, where x65 cuts duplicated spans).
+    *
+    * Scale shape: per-position log-probs come from the same two model
+    * joins as x43 (Zipf-compressed keys); the sliding mean is a
+    * doc-partitioned window over positions, and the argmin one
+    * row_number — no per-doc collection anywhere. Window means round to
+    * 6 dp BEFORE the argmin so the selection is engine-stable; ties break
+    * to the earliest span.
+    */
+  def worstSpans(docs: DataFrame, window: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+          struct(element_at(col("t"), i + 1).as("w1"),
+                 element_at(col("t"), i + 2).as("w2")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biModel = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val uniModel = graft.operators.Relevance.termCounts(docs)
+      .groupBy("token").agg(sum("cnt").as("ucnt"))
+      .withColumnRenamed("token", "w1")
+    val vocab = uniModel.agg(count(lit(1)).as("n_vocab"))
+    val lp = pairs.join(biModel, Seq("w1", "w2"))
+      .join(uniModel, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        log((col("bcnt") + 1).cast("double") / (col("ucnt") + col("n_vocab")))
+          .as("lp"))
+    val perDoc = Window.partitionBy("doc_id")
+    val sliding = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val byWorst = Window.partitionBy("doc_id")
+      .orderBy(col("wmean").asc, col("pos").asc)
+    lp.withColumn("n_bigrams", count(lit(1)).over(perDoc))
+      .withColumn("wmean", round(avg("lp").over(sliding), 6))
+      .where(col("pos") <= col("n_bigrams") - window) // complete windows only
+      .withColumn("rk", row_number().over(byWorst))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("pos").cast("long").as("worst_start"), col("wmean").as("worst_mean"))
+  }
+
+  def qWorstSpans(spark: SparkSession, sfDir: String): DataFrame =
+    worstSpans(Tables.documents(spark, sfDir))
+
   def qInterpBigramLm(spark: SparkSession, sfDir: String): DataFrame =
     interpBigramLogprob(Tables.documents(spark, sfDir))
 

@@ -1506,6 +1506,43 @@ object TrainSql {
        |SELECT doc_id, family, family_size, doc_id = family AS kept
        |FROM mcomp JOIN mfams USING (family)""".stripMargin
 
+  /** Windowed low-likelihood spans
+    * ([[graft.operators.TextQuality.worstSpans]], x79): per-position
+    * add-one bigram log-probs (the x43 model), doc-partitioned sliding
+    * mean rounded 6 dp, argmin with (mean, pos) tie-break.
+    */
+  def worstSpansSql(window: Int = 10): String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |pr AS (
+       |  SELECT doc_id, i AS pos, t[i+1] AS w1, t[i+2] AS w2
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+       |        FROM toksl WHERE len(t) >= 2)),
+       |bim AS (SELECT w1, w2, count(*) AS bcnt FROM pr GROUP BY 1, 2),
+       |uni AS (SELECT word AS w1, count(*) AS ucnt
+       |        FROM (SELECT unnest(t) AS word FROM toksl) GROUP BY 1),
+       |voc AS (SELECT count(*) AS n_vocab FROM uni),
+       |lp AS (
+       |  SELECT pr.doc_id, pr.pos,
+       |         ln((bcnt + 1) * 1.0 / (ucnt + n_vocab)) AS lp
+       |  FROM pr JOIN bim USING (w1, w2) JOIN uni USING (w1), voc),
+       |wm AS (
+       |  SELECT doc_id, pos,
+       |         count(*) OVER (PARTITION BY doc_id) AS n_bigrams,
+       |         round(avg(lp) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING), 6)
+       |           AS wmean
+       |  FROM lp)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |       CAST(pos AS BIGINT) AS worst_start, wmean AS worst_mean
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY wmean, pos) AS rk
+       |      FROM wm WHERE pos <= n_bigrams - $window)
+       |WHERE rk = 1""".stripMargin
+
   /** LSH band-bucket ledger ([[graft.operators.Dedup.lshBucketStats]],
     * x78): the sig/band chain, bucket sizes, size histogram with row and
     * candidate-pair accounting (integer arithmetic).

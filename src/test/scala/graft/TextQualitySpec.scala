@@ -1,5 +1,34 @@
 package graft
 
+class WorstSpansSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("worst span localizes the planted low-likelihood run") {
+    // common phrase repeated across docs -> its bigrams are high-prob;
+    // doc 0 hides a 12-token gibberish run between two common stretches
+    val common = "alpha beta gamma delta epsilon zeta"
+    val commonRun = (common + " ") * 3 // 18 tokens
+    val gibberish = (0 until 12).map(i =>
+      s"qxz${('a' + i).toChar}${('a' + i).toChar}junk").mkString(" ")
+    val target = commonRun + gibberish + " " + commonRun.trim
+    val docs = ((1 to 8).map(i => (i.toLong, (common + " ") * 5)) :+
+      (0L -> target)).toDF("doc_id", "text")
+    val out = graft.operators.TextQuality.worstSpans(docs)
+      .select("doc_id", "n_bigrams", "worst_start", "worst_mean")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n, start, mean) = out(0L)
+    assert(n == 18 + 12 + 18 - 1)
+    // the worst 10-bigram window must overlap the gibberish run
+    // (gibberish token positions 18..29 -> bigram positions 17..29)
+    assert(start >= 17L - 9 && start <= 29L,
+      s"worst span at $start does not overlap the planted run")
+    // and it must score strictly below a pure-common doc's worst window
+    val cleanWorst = out(1L)._4
+    assert(mean < cleanWorst)
+  }
+}
+
 import graft.operators.TextQuality
 
 /** Text-quality operators on planted fixtures: repetition, PII redaction,
