@@ -43,7 +43,7 @@ object Bench {
       "x-retrieval" -> Seq("x41_phrase_search", "x44_hybrid_search",
         "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25",
         "x72_wp_vocab", "x73_wp_segment", "x74_unigram_viterbi",
-        "x75_tokenizer_report"))
+        "x75_tokenizer_report", "x80_unigram_em"))
     for ((cohort, names) <- groups; n <- names) yield n -> cohort
   }
 

@@ -165,6 +165,7 @@ object SparkEntry {
     "x73_wp_segment"   -> (Wordpiece.qWordpieceSegment _),
     "x74_unigram_viterbi" -> (UnigramLm.qUnigramViterbi _),
     "x75_tokenizer_report" -> (UnigramLm.qTokenizerReport _),
+    "x80_unigram_em" -> (UnigramLm.qEmStep _),
     "x49_split_novelty" -> (CorpusPrep.qSplitNovelty _),
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
@@ -816,6 +817,7 @@ object SparkEntry {
     "x73_wp_segment"   -> graft.oracles.TrainSql.wordpieceSegmentSql(),
     "x74_unigram_viterbi" -> graft.oracles.TrainSql.unigramViterbiSql(),
     "x75_tokenizer_report" -> graft.oracles.TrainSql.tokenizerReportSql(),
+    "x80_unigram_em" -> graft.oracles.TrainSql.emStepSql(),
     // x48: the same chain's final state is the segmented vocabulary;
     // documents join it on the word key (the apply pass runs per vocab
     // word, never per token)

@@ -46,24 +46,27 @@ object UnigramLm {
         log(col("freq").cast("double") / col("total")).as("logp"))
   }
 
-  /** Per-word Viterbi solution: `(word, cnt, n_pieces, score)`. */
-  def viterbiWords(docs: DataFrame,
-                   vocabSize: Int = Wordpiece.DefaultVocab,
-                   maxLen: Int = Wordpiece.MaxPieceLen): DataFrame = {
-    val lp = pieceLogProbs(docs, vocabSize, maxLen)
-    val words = Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen)
-    // per word: map over its distinct in-vocab substrings -> logp
-    val wordMaps = words.select(col("word"),
-        explode(array_distinct(Wordpiece.substringsOf(col("word"), maxLen)))
-          .as("piece"))
-      .join(lp, "piece")
-      .groupBy("word")
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("logp"))))
-        .as("m"))
-    // DP fold: acc[j+1] = best (score, -n_pieces) for the first j chars;
-    // struct max is lexicographic, so (score, negn) DESC = score first,
-    // then FEWEST pieces.
-    val dp = aggregate(
+  /** `(word, cnt, m)` rows: each word's map over its distinct in-vocab
+    * substrings → logp, under the given model frame.
+    */
+  private def wordMaps(words: DataFrame, lp: DataFrame, maxLen: Int): DataFrame =
+    words.join(
+      words.select(col("word"),
+          explode(array_distinct(Wordpiece.substringsOf(col("word"), maxLen)))
+            .as("piece"))
+        .join(lp, "piece")
+        .groupBy("word")
+        .agg(map_from_entries(collect_list(struct(col("piece"), col("logp"))))
+          .as("m")),
+      "word")
+
+  /** The Viterbi DP as a column expression over (`word`, `m`): the value
+    * is the full dp array, `dp[j+1]` = best `(score, −n_pieces)` for the
+    * first j characters. Struct max is lexicographic, so (score, negn)
+    * DESC = score first, then FEWEST pieces.
+    */
+  private def dpExpr(maxLen: Int): Column =
+    aggregate(
       sequence(lit(1), length(col("word"))),
       array(struct(lit(0.0d).as("score"), lit(0).as("negn"))),
       (acc, i) => {
@@ -75,13 +78,74 @@ object UnigramLm {
               element_at(col("m"), col("word").substr(i - l + 1, l)))
               .as("score"),
             (element_at(acc, i - l + 1)("negn") - 1).as("negn")))
-        concat(acc, array(array_max(cands)))
+        // −1e18 sentinel = "unreachable prefix": under a RESTRICTED model
+        // (the EM-recounted vocabulary drops unused pieces) some prefixes
+        // have no decomposition; the sentinel loses every comparison a
+        // real candidate enters, mirroring the oracle's relational
+        // absence-of-row. Under the seeded model (chars always present)
+        // it never fires.
+        concat(acc, array(coalesce(array_max(cands),
+          struct(lit(-1.0e18).as("score"), lit(0).as("negn")))))
       })
-    words.join(wordMaps, "word")
-      .withColumn("fin", element_at(dp, length(col("word")) + 1))
+
+  /** Per-word Viterbi solution under an arbitrary `(piece, logp)` model:
+    * `(word, cnt, n_pieces, score)`.
+    */
+  private[graft] def viterbiFromModel(words: DataFrame, lp: DataFrame,
+                                          maxLen: Int): DataFrame =
+    wordMaps(words, lp, maxLen)
+      .withColumn("fin", element_at(dpExpr(maxLen), length(col("word")) + 1))
       .select(col("word"), col("cnt"),
         (-col("fin")("negn")).cast("long").as("n_pieces"),
         col("fin")("score").as("score"))
+
+  /** Per-word Viterbi solution: `(word, cnt, n_pieces, score)`. */
+  def viterbiWords(docs: DataFrame,
+                   vocabSize: Int = Wordpiece.DefaultVocab,
+                   maxLen: Int = Wordpiece.MaxPieceLen): DataFrame =
+    viterbiFromModel(
+      Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen),
+      pieceLogProbs(docs, vocabSize, maxLen), maxLen)
+
+  /** The Viterbi-optimal PIECES per word: the backwalk over the dp array.
+    * From consumed length p, take the SMALLEST l whose candidate
+    * (dp[p−l].score + logp, dp[p−l].negn − 1) equals dp[p] exactly —
+    * double equality is exact because the winner's value IS that very
+    * expression; smallest-l is the pinned tie-break when several
+    * candidates tie bit-for-bit. Emits `(word, cnt, piece)` rows in
+    * segmentation order multiplicity.
+    */
+  private[graft] def viterbiPieces(words: DataFrame, lp: DataFrame,
+                                       maxLen: Int): DataFrame = {
+    val dpCol = dpExpr(maxLen)
+    val walk = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(length(col("word")).as("pos"),
+        array().cast("array<int>").as("lens")),
+      (acc, _) => {
+        val p = acc("pos")
+        val fits = filter(sequence(lit(1), least(lit(maxLen), p)), l => {
+          val sub = col("word").substr(p - l + 1, l)
+          val prev = element_at(col("dp"), p - l + 1)
+          val cur = element_at(col("dp"), p + 1)
+          element_at(col("m"), sub).isNotNull &&
+            (prev("score") + element_at(col("m"), sub) === cur("score")) &&
+            (prev("negn") - 1 === cur("negn"))
+        })
+        when(p <= 0, acc).otherwise(
+          struct((p - element_at(fits, 1)).as("pos"),
+            concat(acc("lens"), array(element_at(fits, 1))).as("lens")))
+      })
+    wordMaps(words, lp, maxLen)
+      .withColumn("dp", dpCol)
+      .withColumn("lens", reverse(walk("lens"))) // walk goes right-to-left
+      .select(col("word"), col("cnt"),
+        explode(
+          // prefix-sum the lengths into (start, len) slices of the word
+          transform(sequence(lit(1), size(col("lens"))), k =>
+            col("word").substr(
+              aggregate(slice(col("lens"), lit(1), k - 1), lit(1), (a, x) => a + x),
+              element_at(col("lens"), k)))).as("piece"))
   }
 
   /** x74: per-document stats under the Viterbi tokenizer — x48/x73's
@@ -107,6 +171,47 @@ object UnigramLm {
 
   def qUnigramViterbi(spark: SparkSession, sfDir: String): DataFrame =
     segmentCorpus(Tables.documents(spark, sfDir))
+
+  /** One hard-EM refinement step (x80) — the full SentencePiece training
+    * move: Viterbi-segment the corpus under the seeded model (E-step),
+    * recount piece frequencies over the optimal segmentations weighted by
+    * word counts, re-estimate the model as the counted-piece MLE
+    * (M-step — pieces the optimal segmentations never use leave the
+    * vocabulary, exactly the paper's pruning), and re-segment. Reports
+    * one row per iteration with corpus totals and the total Viterbi
+    * log-likelihood; hard-EM guarantees the likelihood is non-decreasing
+    * (each word can at worst keep its previous segmentation, whose
+    * likelihood the MLE re-estimate can only improve).
+    *
+    * Scale shape: everything runs on the Zipf-compressed word table —
+    * the backwalk is one more per-word fold, the recount a piece-keyed
+    * aggregation, the second Viterbi the same vocabulary-sized pass.
+    */
+  def emStep(docs: DataFrame,
+             vocabSize: Int = Wordpiece.DefaultVocab,
+             maxLen: Int = Wordpiece.MaxPieceLen): DataFrame = {
+    val words = Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen)
+    val lp0 = pieceLogProbs(docs, vocabSize, maxLen)
+    val counted = viterbiPieces(words, lp0, maxLen)
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+    val tot = counted.agg(sum("freq").as("total"))
+    val lp1 = counted.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        log(col("freq").cast("double") / col("total")).as("logp"))
+    def summarize(iter: Int, solved: DataFrame): DataFrame =
+      solved.agg(sum("cnt").as("nw"),
+          sum(col("cnt") * col("n_pieces")).as("ns"),
+          sum(col("cnt") * col("score")).as("ll"))
+        .select(lit(iter.toLong).as("iteration"),
+          col("nw").as("n_words"), col("ns").as("n_subwords"),
+          round(col("ns").cast("double") / col("nw"), 6).as("fertility"),
+          round(col("ll"), 4).as("total_loglik"))
+    summarize(0, viterbiFromModel(words, lp0, maxLen))
+      .unionByName(summarize(1, viterbiFromModel(words, lp1, maxLen)))
+  }
+
+  def qEmStep(spark: SparkSession, sfDir: String): DataFrame =
+    emStep(Tables.documents(spark, sfDir))
 
   /** x75: the tokenizer bake-off — one row per tokenizer (BPE, WordPiece,
     * unigram-LM) with corpus-level word/subword totals and global

@@ -2164,16 +2164,21 @@ object TrainSql {
     * length-l piece ending at i, tie-break (score DESC, negn DESC) ==
     * Spark's lexicographic struct max.
     */
-  def unigramViterbiSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
-                        maxLen: Int = graft.operators.Wordpiece.MaxPieceLen,
-                        maxWordLen: Int = graft.operators.UnigramLm.MaxWordLen): String = {
+  /** The unrolled Viterbi DP chain over CTE `wl(word, cnt)` under model
+    * CTE `model(piece, logp)`: `${p}dp0..${p}dp$maxWordLen` plus
+    * `${p}fin(word, score, negn)` — one MATERIALIZED CTE per
+    * consumed-prefix length (the Lloyd-chain recipe), tie-break
+    * (score DESC, negn DESC) == Spark's lexicographic struct max.
+    */
+  private def viterbiDpChain(p: String, model: String, maxLen: Int,
+                             maxWordLen: Int): String = {
     val dpCtes = (1 to maxWordLen).map { i =>
       val arms = (1 to math.min(maxLen, i)).map { l =>
         s"""SELECT d.word, d.score + v.logp AS score, d.negn - 1 AS negn
-           |      FROM dp${i - l} d JOIN vocabp v ON v.piece = d.word[${i - l + 1}:$i]
+           |      FROM ${p}dp${i - l} d JOIN $model v ON v.piece = d.word[${i - l + 1}:$i]
            |      WHERE len(d.word) >= $i""".stripMargin
       }.mkString("\n      UNION ALL\n      ")
-      s"""dp$i AS MATERIALIZED (
+      s"""${p}dp$i AS MATERIALIZED (
          |  SELECT word, score, negn FROM (
          |    SELECT word, score, negn,
          |           row_number() OVER (PARTITION BY word
@@ -2183,23 +2188,90 @@ object TrainSql {
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     val finArms = (1 to maxWordLen).map(i =>
-      s"SELECT word, score, negn FROM dp$i WHERE len(word) = $i")
+      s"SELECT word, score, negn FROM ${p}dp$i WHERE len(word) = $i")
       .mkString("\n  UNION ALL\n  ")
+    s"""${p}dp0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS score, 0 AS negn FROM wl),
+       |$dpCtes,
+       |${p}fin AS (
+       |  $finArms)""".stripMargin
+  }
+
+  def unigramViterbiSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
+                        maxLen: Int = graft.operators.Wordpiece.MaxPieceLen,
+                        maxWordLen: Int = graft.operators.UnigramLm.MaxWordLen): String =
     s"""WITH ${wpVocabCtes(vocabSize, maxLen)},
        |vocabp AS (
        |  SELECT piece, ln(freq * 1.0 / (SELECT sum(freq) FROM vocab)) AS logp
        |  FROM vocab),
-       |dp0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS score, 0 AS negn
-       |        FROM words WHERE len(word) <= $maxWordLen),
-       |$dpCtes,
-       |fin AS (
-       |  $finArms)
+       |wl AS (SELECT word, cnt FROM words WHERE len(word) <= $maxWordLen),
+       |${viterbiDpChain("", "vocabp", maxLen, maxWordLen)}
        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(-f.negn) AS BIGINT) AS n_subwords,
        |       round(sum(-f.negn) * 1.0 / count(*), 6) AS fertility,
        |       round(sum(f.score) / count(*), 6) AS avg_logprob
        |FROM toks t JOIN fin f USING (word)
        |GROUP BY t.doc_id""".stripMargin
+
+  /** Hard-EM step oracle ([[graft.operators.UnigramLm.emStep]], x80): the
+    * seeded chain, a RECURSIVE backwalk over the union of its dp levels
+    * (per step, six vocab/dp left-join probes pick the SMALLEST piece
+    * length whose candidate equals dp[pos] bit-for-bit — the engine's
+    * tie-break), the recounted-MLE model, the second chain, one summary
+    * row per iteration.
+    */
+  def emStepSql(vocabSize: Int = graft.operators.Wordpiece.DefaultVocab,
+                maxLen: Int = graft.operators.Wordpiece.MaxPieceLen,
+                maxWordLen: Int = graft.operators.UnigramLm.MaxWordLen): String = {
+    val dpAllArms = (0 to maxWordLen).map(i =>
+      s"SELECT word, $i AS i, score, negn FROM adp$i")
+      .mkString("\n  UNION ALL\n  ")
+    val probes = (1 to maxLen).map { l =>
+      s"""LEFT JOIN vocabp v$l ON b.pos >= $l
+         |       AND v$l.piece = b.word[b.pos-$l+1:b.pos]
+         |  LEFT JOIN adpAll q$l ON q$l.word = b.word AND q$l.i = b.pos - $l
+         |       AND q$l.score + v$l.logp = cur.score
+         |       AND q$l.negn - 1 = cur.negn""".stripMargin
+    }.mkString("\n  ")
+    val pick = "COALESCE(" + (1 to maxLen)
+      .map(l => s"CASE WHEN q$l.i IS NOT NULL THEN $l END").mkString(", ") + ")"
+    def summary(iter: Int, fin: String): String =
+      s"""SELECT CAST($iter AS BIGINT) AS iteration,
+         |       CAST(sum(w.cnt) AS BIGINT) AS n_words,
+         |       CAST(sum(w.cnt * -f.negn) AS BIGINT) AS n_subwords,
+         |       round(sum(w.cnt * -f.negn) * 1.0 / sum(w.cnt), 6) AS fertility,
+         |       round(sum(w.cnt * f.score), 4) AS total_loglik
+         |FROM $fin f JOIN wl w USING (word)""".stripMargin
+    s"""WITH RECURSIVE ${wpVocabCtes(vocabSize, maxLen)},
+       |vocabp AS (
+       |  SELECT piece, ln(freq * 1.0 / (SELECT sum(freq) FROM vocab)) AS logp
+       |  FROM vocab),
+       |wl AS (SELECT word, cnt FROM words WHERE len(word) <= $maxWordLen),
+       |${viterbiDpChain("a", "vocabp", maxLen, maxWordLen)},
+       |adpAll AS MATERIALIZED (
+       |  $dpAllArms),
+       |bw(word, pos, piece) AS (
+       |  SELECT word, len(word), CAST(NULL AS VARCHAR) FROM wl
+       |  UNION ALL
+       |  SELECT b.word, b.pos - $pick,
+       |         b.word[b.pos - $pick + 1 : b.pos]
+       |  FROM bw b
+       |  JOIN adpAll cur ON cur.word = b.word AND cur.i = b.pos
+       |  $probes
+       |  WHERE b.pos > 0),
+       |cnt2 AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: chain B references the model in
+       |  -- every join arm, and an inlined CTE would re-run the recursive
+       |  -- backwalk once per arm
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM bw JOIN wl USING (word)
+       |  WHERE piece IS NOT NULL GROUP BY 1),
+       |tot2 AS MATERIALIZED (SELECT sum(freq) AS total FROM cnt2),
+       |vocabp2 AS MATERIALIZED (SELECT piece, ln(freq * 1.0 / total) AS logp
+       |                         FROM cnt2, tot2),
+       |${viterbiDpChain("b", "vocabp2", maxLen, maxWordLen)}
+       |${summary(0, "afin")}
+       |UNION ALL
+       |${summary(1, "bfin")}""".stripMargin
   }
 
   /** Daily-ingest admission capstone

@@ -57,6 +57,36 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("viterbi backwalk reconstructs segmentations consistent with the DP") {
+    import graft.operators.Bpe
+    val logp = UnigramLm.pieceLogProbs(sampleDocs, vocabSize = 50)
+      .as[(String, Double)].collect().toMap
+    val words = Bpe.wordTable(sampleDocs)
+    val lp = UnigramLm.pieceLogProbs(sampleDocs, vocabSize = 50)
+    val pieces = UnigramLm.viterbiPieces(words, lp, Wordpiece.MaxPieceLen)
+      .select("word", "piece").as[(String, String)].collect()
+      .groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2).toSeq }.toMap
+    val solved = UnigramLm.viterbiWords(sampleDocs, vocabSize = 50)
+      .select("word", "n_pieces", "score").as[(String, Long, Double)].collect()
+    assert(solved.nonEmpty)
+    solved.foreach { case (w, n, s) =>
+      val ps = pieces(w)
+      assert(ps.mkString == w, s"'$w': pieces $ps do not concatenate back")
+      assert(ps.length == n)
+      assert(math.abs(ps.map(logp).sum - s) < 1e-9)
+    }
+  }
+
+  test("EM step: likelihood is non-decreasing and totals stay consistent") {
+    val out = UnigramLm.emStep(sampleDocs, vocabSize = 50)
+      .select("iteration", "n_words", "n_subwords", "fertility", "total_loglik")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0L, 1L))
+    assert(out(0)._2 == out(1)._2) // same word occurrences both passes
+    assert(out(1)._5 >= out(0)._5 - 1e-6,
+      s"EM decreased likelihood: ${out(0)._5} -> ${out(1)._5}")
+  }
+
   test("tokenizer report: one row per tokenizer over the same word stream") {
     val rows = UnigramLm.tokenizerReport(sampleDocs)
       .select("tokenizer", "n_words", "n_subwords", "fertility")
