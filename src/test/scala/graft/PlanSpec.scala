@@ -303,7 +303,9 @@ class PlanSpec extends SparkSpec {
                              // the histogram rows
       "x74_unigram_viterbi", // 1-row piece-frequency total onto the vocab
                              // frame (the x25 scalar-broadcast pattern)
-      "x75_tokenizer_report" // embeds x74's 1-row piece-frequency total
+      "x75_tokenizer_report", // embeds x74's 1-row piece-frequency total
+      "x79_worst_spans",     // x43's 1-row vocabulary-size aggregate
+      "x80_unigram_em"       // x74's 1-row piece-frequency totals (both models)
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
