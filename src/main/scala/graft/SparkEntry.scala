@@ -60,6 +60,7 @@ object SparkEntry {
     "e9_props_stats"         -> (EventOps.propsStats _),
     "e10_retention"          -> (EventOps.retentionCohorts _),
     "e11_funnel"             -> (EventOps.funnel _),
+    "e12_power_users"        -> (EventOps.powerUserPareto _),
     // document / search operators
     "d1_word_frequency"   -> ((s: SparkSession, d: String) => DocOps.wordFrequency(s, d)),
     "d2_keyword_search"   -> ((s: SparkSession, d: String) => DocOps.keywordSearch(s, d)),
@@ -982,6 +983,7 @@ object SparkEntry {
     "e9_props_stats"   -> graft.oracles.TrainSql.propsStatsSql,
     "e10_retention"    -> graft.oracles.TrainSql.retentionSql,
     "e11_funnel"       -> graft.oracles.TrainSql.funnelSql,
+    "e12_power_users"  -> graft.oracles.TrainSql.powerUserParetoSql,
     "w2_sessions" ->
       s"""WITH o AS (
          |  SELECT user_id, event_id, ts, value,

@@ -320,4 +320,33 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), count("k").as("n_with_k"),
         round(avg("k"), 6).as("avg_k"),
         min("k").as("min_k"), max("k").as("max_k"))
+
+  /** e12: the power-user Pareto report — per activity decile (users
+    * ranked by event count, ntile over the per-user aggregate), user and
+    * event counts, exact-decimal value totals, event share, and the
+    * cumulative share that answers "how much of the load do the top 10%
+    * generate". The per-user frame is the only corpus-sized stage; the
+    * decile windows run over users (already one row each), the report
+    * over 10 rows.
+    */
+  def powerUserPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value"))
+    val byActivity = Window.orderBy(desc("n_events"), asc("user_id"))
+    val all = Window.partitionBy()
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perUser.withColumn("decile", ntile(10).over(byActivity))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"),
+        round(sum("value"), 2).cast("double").as("total_value"))
+      .withColumn("event_share",
+        round(col("n_events").cast("double") / sum("n_events").over(all), 6))
+      .withColumn("cum_event_share",
+        round(sum(col("n_events")).over(cum).cast("double") /
+          sum("n_events").over(all), 6))
+  }
 }

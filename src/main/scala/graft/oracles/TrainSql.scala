@@ -1331,6 +1331,29 @@ object TrainSql {
       |                        (acc, x) -> 0.5 * x + 0.5 * acc)))) AS u(r)""".stripMargin
 
   /** Conversion funnel ([[graft.operators.EventOps.funnel]]). */
+  /** Power-user Pareto report
+    * ([[graft.operators.EventOps.powerUserPareto]], e12): per activity
+    * decile, exact-decimal value totals and event shares.
+    */
+  val powerUserParetoSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS value
+      |  FROM events GROUP BY 1),
+      |dec AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(n_events) AS BIGINT) AS n_events,
+      |         CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+      |  FROM (SELECT *, ntile(10) OVER (ORDER BY n_events DESC, user_id)
+      |          AS decile FROM pu)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n_events) AS te FROM dec)
+      |SELECT decile, n_users, n_events, total_value,
+      |       round(n_events * 1.0 / te, 6) AS event_share,
+      |       round(CAST(sum(n_events) OVER (ORDER BY decile) AS DOUBLE) / te, 6)
+      |         AS cum_event_share
+      |FROM dec, tot""".stripMargin
+
   val funnelSql: String =
     """WITH v AS (
       |  SELECT user_id, min(ts) AS t_view FROM events

@@ -113,4 +113,22 @@ class EventOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("power-user pareto: deciles partition users, shares sum to 1, " +
+       "activity and cumulative share are monotone") {
+    import spark.implicits._
+    val out = graft.operators.EventOps.powerUserPareto(spark, sf0001)
+      .select("decile", "n_users", "n_events", "event_share", "cum_event_share")
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == (1 to 10))
+    val ev = Tables.events(spark, sf0001)
+    assert(out.map(_._2).sum == ev.select("user_id").distinct().count())
+    assert(out.map(_._3).sum == ev.count())
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    // decile 1 = the most active users; per-user activity is non-increasing
+    val perUserAvg = out.map(d => d._3.toDouble / d._2)
+    assert(perUserAvg.zip(perUserAvg.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(out.map(_._5).zip(out.tail.map(_._5)).forall { case (a, b) => b >= a })
+    assert(math.abs(out.last._5 - 1.0) < 1e-6)
+  }
 }
