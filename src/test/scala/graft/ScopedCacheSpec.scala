@@ -56,7 +56,10 @@ class ScopedCacheSpec extends SparkSpec {
       while (!target(persisted) && System.nanoTime() < deadline) Thread.sleep(50)
       target(persisted)
     }
-    awaitSettled(_ => true)
+    // wait for the previous test's drain: a still-registered identical
+    // cache entry would be REUSED (no new RDD ids) and break the
+    // inside-scope liveness check below
+    awaitSettled(_.isEmpty)
     val baseline = persisted
     val inner = Caches.withScope {
       val n = Duplicates.pairSimilarities(docs6).count()
