@@ -34,7 +34,8 @@ object Bench {
         "x25_unigram_lm", "x27_ngram_rep", "x29_line_dedup",
         "x31_ccnet_buckets", "x39_quality_distill", "x40_normalize",
         "x43_bigram_lm", "x56_kmv_distinct", "x58_source_overlap",
-        "x59_interp_bigram", "x69_source_drift", "x79_worst_spans"),
+        "x59_interp_bigram", "x69_source_drift", "x79_worst_spans",
+        "x81_term_zipf"),
       "x-prep" -> Seq("x19_decontaminate", "x20_split", "x21_packing",
         "x24_mix_sources", "x28_crossdoc_dup", "x32_token_budget",
         "x34_decontaminate_bloom", "x35_mix_temperature", "x42_weighted_sample",

@@ -178,6 +178,7 @@ object SparkEntry {
     "x58_source_overlap" -> (Sketches.qSourceOverlap _),
     "x67_novelty_curve" -> (Sketches.qNoveltyCurve _),
     "x69_source_drift" -> (Sketches.qSourceDrift _),
+    "x81_term_zipf"    -> (Sketches.qTermZipf _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
@@ -849,6 +850,7 @@ object SparkEntry {
     "x58_source_overlap" -> graft.oracles.TrainSql.sourceOverlapSql,
     "x67_novelty_curve" -> graft.oracles.TrainSql.noveltyCurveSql(),
     "x69_source_drift" -> graft.oracles.TrainSql.sourceDriftSql,
+    "x81_term_zipf"    -> graft.oracles.TrainSql.termZipfSql,
     // x60: x1 + x45 keep flags joined to token counts, one aggregate per
     // method (the minhash side embeds the full x45 closure oracle)
     "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),

@@ -176,6 +176,32 @@ object Sketches {
         col("kl_vs_corpus"))
   }
 
+  /** Per-source term-frequency Zipf fit (x81) — the vocabulary statistic
+    * beside [[sourceDrift]]'s KL and x71's family-size fit: for each
+    * source, type/token counts, the Clauset–Shalizi–Newman power-law
+    * exponent over its term-frequency distribution (α̂ = 1 + n/Σln(cᵢ/½)),
+    * and the head share (top term's fraction of tokens). Natural text
+    * sits near α ≈ 2; a flat α or a bloated head flags templated or
+    * machine-generated domains before any model ever reads them.
+    */
+  def termZipf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Relevance.termCounts(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "token").agg(sum("cnt").as("c"))
+    val top = Window.partitionBy("source").orderBy(desc("c"), asc("token"))
+    st.withColumn("rk", row_number().over(top))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+        round(lit(1.0) + count(lit(1)).cast("double") /
+          sum(log(col("c").cast("double") / lit(0.5))), 6).as("alpha_mle"),
+        round(max(when(col("rk") === 1, col("c"))).cast("double") /
+          sum("c"), 6).as("top_share"))
+  }
+
+  def qTermZipf(spark: SparkSession, sfDir: String): DataFrame =
+    termZipf(Tables.documents(spark, sfDir))
+
   // --- query entries ---
 
   def qKmvShingleDistinct(spark: SparkSession, sfDir: String): DataFrame =

@@ -2439,6 +2439,30 @@ object TrainSql {
        |FROM st s JOIN corp c USING (word) JOIN stot t USING (source), ctot
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Per-source term-frequency Zipf fit
+    * ([[graft.operators.Sketches.termZipf]], x81): the x69 source/token
+    * counts, CSN α̂ over type counts, head share.
+    */
+  val termZipfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                w -> w NOT IN ($stop))) AS word
+       |  FROM documents),
+       |dtc AS (SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |st AS (SELECT d.source, t.word, sum(cnt) AS c
+       |       FROM dtc t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |rk AS (SELECT source, c,
+       |              row_number() OVER (PARTITION BY source
+       |                                 ORDER BY c DESC, word) AS rk
+       |       FROM st)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |       CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       round(1.0 + count(*) / sum(ln(c / 0.5)), 6) AS alpha_mle,
+       |       round(max(CASE WHEN rk = 1 THEN c END) * 1.0 / sum(c), 6)
+       |         AS top_share
+       |FROM rk GROUP BY source""".stripMargin
+
   /** Corpus novelty curve ([[graft.operators.Sketches.noveltyCurve]],
     * x67): per id-order shard, distinct shingles, novel shingles
     * (first-seen = min shard), novelty rate, cumulative distinct.

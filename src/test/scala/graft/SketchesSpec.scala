@@ -162,6 +162,27 @@ class SketchesSpec extends SparkSpec {
     assert(agg.finish(folded).n_kept == 4)
   }
 
+  test("term zipf: uniform frequencies give the closed-form alpha, " +
+       "a heavy head inflates top_share") {
+    // source U: 4 distinct words once each (uniform); source H: one word
+    // 9 times plus 3 singletons (heavy head)
+    val docs = Seq(
+      (0L, "granite basalt quartz feldspar", "U"),
+      (1L, ("boiler " * 9) + "valve piston gasket", "H"))
+      .toDF("doc_id", "text", "source")
+    val out = Sketches.termZipf(docs)
+      .select("source", "n_types", "n_tokens", "alpha_mle", "top_share")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val u = out("U")
+    assert(u._2 == 4 && u._3 == 4)
+    val alphaUniform = 1.0 + 4.0 / (4 * math.log(1 / 0.5))
+    assert(math.abs(u._4 - alphaUniform) < 1e-6 && u._5 == 0.25)
+    val h = out("H")
+    assert(h._2 == 4 && h._3 == 12 && h._5 == 0.75)
+    assert(h._4 < u._4) // the heavy head flattens (lowers) alpha
+  }
+
   test("source drift: a source matching the corpus mixture scores near 0, " +
        "a divergent source scores higher; KL is non-negative") {
     // two big prose-alike sources + one tiny divergent jargon source
