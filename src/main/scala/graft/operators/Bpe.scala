@@ -115,7 +115,7 @@ object Bpe {
     val hit = if (key.nonEmpty) mergeMemo.get(key) else null
     if (hit != null)
       return hit.toDF("rank", "merge_left", "merge_right", "pair_count")
-    var state = initState(wordTable(docs)).localCheckpoint()
+    var state = Caches.checkpointed(initState(wordTable(docs)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (k <- 1 to numMerges if !exhausted) {
@@ -129,12 +129,15 @@ object Bpe {
         // the merge pair rides in a broadcast 1-row frame, not literals, so
         // every iteration optimizes to the same plan shape (codegen once)
         val pair = broadcast(Seq((a, b)).toDF("ma", "mb"))
-        state = state.crossJoin(pair)
+        val next = Caches.checkpointed(state.crossJoin(pair)
           .select(col("word"), col("cnt"),
-            mergePass(col("sym"), col("ma"), col("mb")).as("sym"))
-          .localCheckpoint()
+            mergePass(col("sym"), col("ma"), col("mb")).as("sym")))
+        Caches.releaseCheckpoint(state) // superseded iterate
+        state = next
       }
     }
+    // the merge list is collected — the final symbol state can go too
+    Caches.releaseCheckpoint(state)
     if (key.nonEmpty) {
       if (mergeMemo.size >= 8) mergeMemo.clear()
       mergeMemo.put(key, merges.toSeq)

@@ -24,10 +24,15 @@ import org.apache.spark.sql.DataFrame
 object Caches {
 
   private val scopes =
-    new ThreadLocal[java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+    new ThreadLocal[java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[() => Unit]]] {
       override def initialValue() =
-        new java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[DataFrame]]()
+        new java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[() => Unit]]()
     }
+
+  private def register(release: () => Unit): Unit = {
+    val stack = scopes.get()
+    if (!stack.isEmpty) stack.peek() += release
+  }
 
   /** Cache `df`; when a [[withScope]] is active on this thread, register
     * it for release at scope exit. Nested scopes release at the innermost
@@ -35,26 +40,54 @@ object Caches {
     */
   def shared(df: DataFrame): DataFrame = {
     df.cache()
-    val stack = scopes.get()
-    if (!stack.isEmpty) stack.peek() += df
+    register(() => try df.unpersist(blocking = false) catch { case _: Throwable => () })
     df
   }
 
+  /** `df.localCheckpoint()` that a scope can release. A checkpointed RDD
+    * is registered with the ContextCleaner, not the SQL CacheManager, so
+    * neither `unpersist` on the frame nor `clearCache()` frees it — without
+    * explicit release it parks executor memory until its Dataset is GC'd.
+    * Inside a [[withScope]], the underlying RDD is blocking-unpersisted at
+    * scope exit (the body must have evaluated anything derived from it, the
+    * same contract [[shared]] carries). Outside a scope it behaves exactly
+    * like `localCheckpoint()`. Call sites that stop needing the checkpoint
+    * mid-flight (a collected edge list, a superseded loop iterate) should
+    * additionally release eagerly via [[releaseCheckpoint]] — release is
+    * idempotent.
+    */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    register(() => releaseCheckpoint(ck))
+    ck
+  }
+
+  /** Blocking-unpersist the checkpoint RDD(s) backing a frame returned by
+    * [[checkpointed]] (or `localCheckpoint()` directly). Synchronous: the
+    * RDD leaves `sc.getPersistentRDDs` before this returns. Idempotent.
+    */
+  def releaseCheckpoint(ck: DataFrame): Unit =
+    ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { rdd =>
+      try rdd.unpersist(blocking = true)
+      catch { case _: Throwable => () }
+    }
+
   /** Run `body` (which must EVALUATE what it builds — write, collect,
-    * count), then unpersist every [[shared]] frame registered inside.
-    * Unpersist is idempotent and non-blocking; CacheManager drops the
-    * entries immediately, block cleanup proceeds async.
+    * count), then release every [[shared]] / [[checkpointed]] frame
+    * registered inside. Cache unpersist is idempotent and non-blocking
+    * (CacheManager drops entries immediately, block cleanup async);
+    * checkpoint release is blocking (the RDD leaves the persistent map
+    * synchronously — a long-lived service stays flat on both).
     */
   def withScope[T](body: => T): T = {
-    val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val buf = scala.collection.mutable.ArrayBuffer[() => Unit]()
     scopes.get().push(buf)
     try body
     finally {
       scopes.get().pop()
-      buf.foreach { df =>
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
-      }
+      buf.foreach(release => try release() catch { case _: Throwable => () })
     }
   }
 

@@ -166,7 +166,7 @@ object Classifier {
     // partitions, letting the cache entry be dropped eagerly.
     try {
       val w = train(docs, labels, lr, iters)
-      classify(docs, labels.localCheckpoint(), w)
+      classify(docs, Caches.checkpointed(labels), w)
     } finally labels.unpersist()
   }
 

@@ -238,21 +238,25 @@ object Duplicates {
       lastComponentsPath = "collect"
       return unionFindLabels(docs, hit)
     }
-    val pairs = pairSimilarities(docs, threshold)
-      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
-      .localCheckpoint()
-    if (pairs.count() <= maxCollectEdges) {
-      lastComponentsPath = "collect"
-      val edges = pairs.as[(Long, Long)].collect()
-      if (key.nonEmpty) {
-        if (edgeMemo.size >= 8) edgeMemo.clear()
-        edgeMemo.put(key, edges)
+    val pairs = Caches.checkpointed(pairSimilarities(docs, threshold)
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
+    val result =
+      if (pairs.count() <= maxCollectEdges) {
+        lastComponentsPath = "collect"
+        val edges = pairs.as[(Long, Long)].collect()
+        if (key.nonEmpty) {
+          if (edgeMemo.size >= 8) edgeMemo.clear()
+          edgeMemo.put(key, edges)
+        }
+        unionFindLabels(docs, edges)
+      } else {
+        lastComponentsPath = "iterative"
+        propagateMinLabels(docs, pairs)
       }
-      unionFindLabels(docs, edges)
-    } else {
-      lastComponentsPath = "iterative"
-      propagateMinLabels(docs, pairs)
-    }
+    // both arms are concrete past this point (collected edge list /
+    // checkpointed label frame) — the pair checkpoint can go now
+    Caches.releaseCheckpoint(pairs)
+    result
   }
 
   /** Single-linkage components over an arbitrary undirected pair frame
@@ -266,16 +270,18 @@ object Duplicates {
                                          maxCollectEdges: Long = 5000000L): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val p = pairs
-      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2"))
-      .localCheckpoint()
-    if (p.count() <= maxCollectEdges) {
-      lastComponentsPath = "collect"
-      unionFindLabels(ids, p.as[(Long, Long)].collect())
-    } else {
-      lastComponentsPath = "iterative"
-      propagateMinLabels(ids, p)
-    }
+    val p = Caches.checkpointed(pairs
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
+    val result =
+      if (p.count() <= maxCollectEdges) {
+        lastComponentsPath = "collect"
+        unionFindLabels(ids, p.as[(Long, Long)].collect())
+      } else {
+        lastComponentsPath = "iterative"
+        propagateMinLabels(ids, p)
+      }
+    Caches.releaseCheckpoint(p)
+    result
   }
 
   /** Driver union-find over a collected edge list + broadcast label join. */
@@ -308,16 +314,18 @@ object Duplicates {
     */
   def componentsIterative(docs: DataFrame, threshold: Double = 0.8,
                           maxIter: Int = 20): DataFrame = {
-    val pairs = pairSimilarities(docs, threshold).select("id1", "id2").localCheckpoint()
-    propagateMinLabels(docs, pairs, maxIter)
+    val pairs = Caches.checkpointed(pairSimilarities(docs, threshold).select("id1", "id2"))
+    val result = propagateMinLabels(docs, pairs, maxIter)
+    Caches.releaseCheckpoint(pairs) // result is a checkpoint — pairs done
+    result
   }
 
   private def propagateMinLabels(docs: DataFrame, pairs: DataFrame,
                                  maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+    val edges = Caches.checkpointed(pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    var labels =
+      Caches.checkpointed(docs.select(col("doc_id"), col("doc_id").as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -325,16 +333,17 @@ object Duplicates {
         .join(labels.withColumnRenamed("doc_id", "id2"), "id2")
         .groupBy(col("id1").as("doc_id"))
         .agg(min("component").as("nbr_component"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+      val next = Caches.checkpointed(labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+            .as("component")))
       changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .where(col("component") =!= col("old")).count()
+      Caches.releaseCheckpoint(labels) // superseded iterate — free it now
       labels = next
       iter += 1
     }
+    Caches.releaseCheckpoint(edges) // final labels are concrete past here
     labels
   }
 

@@ -694,14 +694,13 @@ object VectorSearch {
     // localCheckpoint: residual-codebook training makes m·iters passes
     // over this frame — materialize the (narrow) residuals once instead
     // of re-deriving assignment + subtraction per pass (the x46 lesson)
-    val withRes = embeddings
+    val withRes = Caches.checkpointed(embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(centroidsFrame(spark, cents)))
       .withColumn("cell", cellOf(col("v"), col("__cents")))
       .select(col("vec_id"), col("label"), col("cell"),
         zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
-          (x, y) => x - y).as("embedding"))
-      .localCheckpoint()
+          (x, y) => x - y).as("embedding")))
     val (_, books) = pqTrain(withRes, m, k, iters)
     val coded = pqEncoded(withRes, subDim, books, carry = Seq("cell"))
     // query-side model math, all driver-scale: probe cells by exact

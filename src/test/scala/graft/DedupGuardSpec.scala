@@ -73,6 +73,44 @@ class DedupGuardSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), T] = rows.map { case (a, b, v) => (a, b) -> v }.toMap
   }
 
+  test("digest-first capped mode equals the member-level plan, families expanded") {
+    // three regimes in one corpus: a small byte-identical family whose keys
+    // are NOT hot (within-family pairs must be emitted at J = 1.0, and the
+    // family's near-dup neighbor must pair with EVERY member via rep
+    // expansion), the hot-boilerplate docs, and the planted rare-shingle pair
+    val family = "identicalzz familyzz contentzz sequencezz alphazz betazz gammazz deltazz"
+    val extra = Seq(
+      (100L, family), (101L, family), (102L, family),
+      (103L, s"$family onemorewordzz")) // near-dup of the family, own digest
+    val docs = hotShingleDocs.union(extra.toDF("doc_id", "text"))
+    val fromDigest = Dedup.jaccardPairsDigestFirst(docs, 0.5, maxShingleDf = 10)
+      .as[(Long, Long, Double)].collect().toMap2
+    val fromMembers = Dedup.jaccardPairsMembers(docs, 0.5, maxShingleDf = 10)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(fromDigest == fromMembers,
+      s"digest-first != member-level:\n only digest: ${fromDigest.toSet -- fromMembers.toSet}" +
+      s"\n only members: ${fromMembers.toSet -- fromDigest.toSet}")
+    // the regimes actually occurred: within-family pairs at exactly 1.0 …
+    assert(fromDigest.get((100L, 101L)).contains(1.0))
+    assert(fromDigest.get((101L, 102L)).contains(1.0))
+    // … and the neighbor expanded against every member with one score
+    val nbr = Seq((100L, 103L), (101L, 103L), (102L, 103L)).flatMap(fromDigest.get)
+    assert(nbr.size == 3 && nbr.distinct.size == 1, s"expansion incomplete: $nbr")
+  }
+
+  test("digest-first capped mode on the planted fixture equals member-level " +
+       "(the x2b contract: hot family contributes nothing)") {
+    val planted = Dedup.plantedHotCorpus(Tables.documents(spark, sf0001))
+    val fromDigest = Dedup.jaccardPairsDigestFirst(planted, 0.5, maxShingleDf = 100)
+      .as[(Long, Long, Double)].collect().toMap2
+    val fromMembers = Dedup.jaccardPairsMembers(planted, 0.5, maxShingleDf = 100)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(fromDigest == fromMembers)
+    assert(!fromDigest.keys.exists { case (a, b) =>
+      a == 0L || b == 0L || a >= 100000L || b >= 100000L },
+      "planted-family pairs must stay excluded in capped mode")
+  }
+
   test("registered capped variants (x2b/x3b/x36b): the guard binds on the " +
        "planted family and bounds candidate rows") {
     val docs = Tables.documents(spark, sf0001)

@@ -22,14 +22,25 @@ class ScopedCacheSpec extends SparkSpec {
     (5L, "neural networks learn representations from large datasets during training epochs"))
     .toDF("doc_id", "text")
 
-  test("processAndWrite leaves the SQL cache empty (scope releases shared frames)") {
+  /** Establish a clean persistent-RDD baseline: the session is shared
+    * across suites, so earlier suites' scope-LESS operator calls (the
+    * documented cache-and-leave default) may have left entries behind.
+    * Explicit blocking unpersist is synchronous and deterministic — this is
+    * baseline setup, not a GC wait.
+    */
+  private def resetPersisted(): Unit = {
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("processAndWrite leaves the SQL cache empty (scope releases shared frames)") {
+    resetPersisted()
     val out = java.nio.file.Files.createTempDirectory("scoped-pipe").toString + "/results"
     Pipeline.processAndWrite(docs6, out)
-    // non-blocking unpersist drains async; spin briefly before asserting
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-           System.nanoTime() < deadline) Thread.sleep(50)
+    // no GC spin: scope exit releases caches synchronously (CacheManager
+    // removal) and checkpoint RDDs with blocking unpersist — the map must
+    // already be empty here
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"cached RDDs leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
     // the write itself happened and carried real rows
@@ -47,27 +58,16 @@ class ScopedCacheSpec extends SparkSpec {
   }
 
   test("nested scopes release at the registering scope; results unaffected") {
-    spark.catalog.clearCache()
-    // another suite's async (non-blocking) unpersist may still be draining;
-    // assert against a settled BASELINE instead of expecting global empty
+    resetPersisted()
     def persisted: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    def awaitSettled(target: Set[Int] => Boolean): Boolean = {
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (!target(persisted) && System.nanoTime() < deadline) Thread.sleep(50)
-      target(persisted)
-    }
-    // wait for the previous test's drain: a still-registered identical
-    // cache entry would be REUSED (no new RDD ids) and break the
-    // inside-scope liveness check below
-    awaitSettled(_.isEmpty)
-    val baseline = persisted
     val inner = Caches.withScope {
       val n = Duplicates.pairSimilarities(docs6).count()
-      assert((persisted -- baseline).nonEmpty, "frames live inside the scope")
+      assert(persisted.nonEmpty, "frames live inside the scope")
       n
     }
-    assert(awaitSettled(p => (p -- baseline).isEmpty),
-      s"scope-registered frames survived exit: ${persisted -- baseline}")
+    // cache removal is synchronous on unpersist (blocking only affects
+    // executor block cleanup) — no drain wait needed
+    assert(persisted.isEmpty, s"scope-registered frames survived exit: $persisted")
     // identical result when recomputed cold
     assert(Duplicates.pairSimilarities(docs6).count() == inner)
     spark.catalog.clearCache()
