@@ -171,6 +171,7 @@ object SparkEntry {
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
     "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
+    "x83_ivfpq_persisted" -> (VectorSearch.qIvfPqTopKPersisted _),
     "x53_dsir_weights" -> (Dsir.qDsirWeights _),
     "x54_dsir_sample"  -> (Dsir.qDsirSample _),
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "x63_quality_keep" -> (Dedup.qQualityKeepDedup _),
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
+    "x82_ivf_persisted" -> (VectorSearch.qIvfKnnJoinPersisted _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
     "x57_hard_negatives" -> (VectorSearch.qHardNegatives _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
@@ -836,6 +838,10 @@ object SparkEntry {
     // x52: coarse chain + residual PQ chains + per-cell LUTs, scan
     // restricted to probed cells
     "x52_ivfpq_topk"   -> graft.oracles.TrainSql.ivfPqSql(),
+    // x83 runs x52's computation through a persisted parquet index
+    // (centroids + codebooks + cell-partitioned codes), so it shares
+    // x52's oracle verbatim — the hash match proves lossless persistence
+    "x83_ivfpq_persisted" -> graft.oracles.TrainSql.ivfPqSql(),
     // x53/x54: hashed unigram+bigram bucket distributions (target vs raw),
     // add-1-smoothed log-likelihood-ratio scoring, Gumbel-top-k resample
     "x53_dsir_weights" -> graft.oracles.TrainSql.dsirWeightsSql(),
@@ -866,6 +872,9 @@ object SparkEntry {
     // x37/x38: the x14 Lloyd chain + final assignment, then the ANN join
     // re-expressed as a cell equi-join (queries exploded into nprobe cells)
     "x37_ivf_knn_join" -> graft.oracles.TrainSql.ivfKnnJoinSql(),
+    // x82 is x37 through a persisted index (quantizer + cell-partitioned
+    // corpus on parquet, probe-from-disk) — shares x37's oracle verbatim
+    "x82_ivf_persisted" -> graft.oracles.TrainSql.ivfKnnJoinSql(),
     "x38_ann_recall"   -> graft.oracles.TrainSql.ivfRecallSql(),
     // x57: the x37 chain truncated to the top-poolK pool, label
     // anti-filter vs the query's label, re-rank

@@ -118,15 +118,23 @@ object Pipeline {
     val exact = delta
       .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
     val keepers = exact.groupBy("digest").agg(min("doc_id").as("exact_keep_id"))
+    // LEFT joins from the delta doc_id spine (probeIndex's contract): an
+    // upstream operator that ever stops emitting exactly one row per delta
+    // doc must surface that doc as `missing_signal`, never silently drop
+    // it from the admission report — the report's row count IS the delta
+    // count, by construction (spec-asserted).
     val verdict =
-      when(col("quality") < qualityThreshold, "low_quality")
+      when(col("quality").isNull || col("n_index_matches").isNull ||
+             col("exact_keep_id").isNull, "missing_signal")
+        .when(col("quality") < qualityThreshold, "low_quality")
         .when(col("n_index_matches") > 0, "index_duplicate")
         .when(col("doc_id") =!= col("exact_keep_id"), "delta_exact_duplicate")
         .otherwise("admitted")
     delta.select("doc_id")
-      .join(quality, "doc_id")
-      .join(inc, "doc_id")
-      .join(exact.join(keepers, "digest").select("doc_id", "exact_keep_id"), "doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .join(inc, Seq("doc_id"), "left")
+      .join(exact.join(keepers, "digest").select("doc_id", "exact_keep_id"),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("quality"), col("n_index_matches"),
         col("exact_keep_id"), verdict.as("verdict"),
         (verdict === "admitted").as("admitted"))

@@ -228,8 +228,14 @@ object VectorSearch {
     * centroid matrix ever reaches the driver. Empty cells keep their old
     * centroid.
     */
+  /** How many Lloyd trainings have run in this JVM — observability hook for
+    * the persisted-index specs ("probe-from-disk must not retrain").
+    */
+  @volatile private[graft] var lloydRuns: Long = 0L
+
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
                       iters: Int = 5): Array[Array[Double]] = {
+    lloydRuns += 1
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -736,6 +742,139 @@ object VectorSearch {
       .limit(kTop)
   }
 
+  // --- persisted index artifacts: train once, serve many (the x70 story
+  // for the ANN ladder; reference analog: the train-once/serve-many .npz
+  // embedding cache, sql_search.py:1229-1246) ---
+
+  /** Persist an IVF index: the trained centroid table (model-sized) plus
+    * the corpus cell-partitioned — each vector lands in parquet partition
+    * `cell=<id>`, so probes prune at the FILE LISTING
+    * ([[writeCellPartitioned]]'s layout, made a durable artifact with its
+    * quantizer attached). `trainSet` defaults to the corpus; pass the full
+    * table when queries are held out so both sides share one geometry.
+    */
+  def writeIvfIndex(embeddings: DataFrame, dir: String, nCells: Int = 16,
+                    iters: Int = 5, trainSet: DataFrame = null): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(Option(trainSet).getOrElse(embeddings), nCells, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    assignCells(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/vectors")
+  }
+
+  /** The persisted quantizer, read back — one model-sized parquet read, no
+    * Lloyd retrain (spec-asserted via [[lloydRuns]]).
+    */
+  private def readCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(dir + "/centroids").orderBy("cell")
+      .select("centroid").as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  /** Batched kNN probe against a persisted [[writeIvfIndex]] artifact —
+    * bit-identical to [[ivfKnnJoin]] over the same corpus/queries
+    * (doubles round-trip parquet exactly), with the quantizer READ, not
+    * retrained. The probe side's cell equi-join reaches the
+    * cell-partitioned scan as a partition filter (dynamic partition
+    * pruning — the broadcast probe frame decides which cell directories
+    * are listed at all).
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    val withCell = spark.read.parquet(dir + "/vectors")
+      .select("vec_id", "label", "v", "cell")
+    ivfKnnJoinAssigned(withCell, queries, cents, k, nprobe)
+  }
+
+  /** Persist an IVF-PQ index ([[ivfPqTopK]]'s layout as a durable
+    * artifact): coarse centroids, the m residual codebooks, and the
+    * corpus as cell-partitioned CODE rows — the serving scan reads m
+    * small ints per vector from only the probed cells' files.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, dir: String, nCells: Int = 16,
+                      cIters: Int = 5, m: Int = 4, k: Int = 16,
+                      iters: Int = 3): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nCells, cIters)
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val withRes = Caches.checkpointed(embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroidsFrame(spark, cents)))
+      .withColumn("cell", cellOf(col("v"), col("__cents")))
+      .select(col("vec_id"), col("label"), col("cell"),
+        zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
+          (x, y) => x - y).as("embedding")))
+    val (_, books) = pqTrain(withRes, m, k, iters)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
+    books.zipWithIndex
+      .flatMap { case (book, s) => book.zipWithIndex.map { case (c, j) => (s, j, c) } }
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/books")
+    pqEncoded(withRes, subDim, books, carry = Seq("cell"))
+      .select(col("vec_id") +: col("label") +: col("cell") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+  }
+
+  /** ADC probe against a persisted [[writeIvfPqIndex]] artifact —
+    * bit-identical to [[ivfPqTopK]] with the same parameters (codes and
+    * model doubles round-trip parquet exactly), with every model artifact
+    * READ back (no Lloyd retrain) and the probed cells a STATIC
+    * `cell IN (…)` predicate: the driver knows the probe set from the
+    * model alone, so the scan plans literal PartitionFilters and lists
+    * only nprobe cell directories (spec-asserted).
+    */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                      queryVecId: Long, kTop: Int = 10,
+                      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = readCentroids(spark, dir)
+    val bookRows = spark.read.parquet(dir + "/books")
+      .select("subspace", "code", "centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    val m = bookRows.map(_._1).max + 1
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      bookRows.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq
+    }
+    val subDim = books.head.head.length
+    val q: Array[Double] = queries.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+    def sq(a: Array[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, cell) => (sq(q, c.toSeq), cell) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    val luts: Seq[Seq[Seq[Double]]] = cents.indices.map { cell =>
+      val rq = q.indices.map(i => q(i) - cents(cell)(i)).toArray
+      (0 until m).map { s =>
+        books(s).map(c => sq(rq.slice(s * subDim, (s + 1) * subDim), c))
+      }
+    }
+    val lutFrame = broadcast(Seq(Tuple1(luts)).toDF("__luts"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(element_at(col("__luts"), col("cell") + 1), s + 1),
+        col(s"code$s") + 1)).reduce(_ + _)
+    spark.read.parquet(dir + "/codes")
+      .where(col("cell").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(lutFrame)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(adc, 6).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(kTop)
+  }
+
   /** Per-label centroid vectors (the aggregation side of IVF: coarse
     * clusters for probe-restricted search). `array<double>` average via
     * posexplode + groupBy on (label, dim).
@@ -825,6 +964,30 @@ object VectorSearch {
 
   def qIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  /** x82: x37's batched IVF kNN join through a REAL persisted index — the
+    * quantizer and the cell-partitioned corpus go to parquet, are read
+    * back, and the query batch probes the files. Shares x37's oracle: a
+    * hash match proves the artifact is lossless and serving never retrains.
+    */
+  def qIvfKnnJoinPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = Artifacts.sessionScopedDir(spark, "ivf_index", sfDir)
+    writeIvfIndex(e.where(col("vec_id") % 50 =!= 0), dir, trainSet = e)
+    probeIvfIndex(spark, dir, e.where(col("vec_id") % 50 === 0))
+  }
+
+  /** x83: x52's IVF-PQ ADC search through a persisted index — centroids,
+    * residual codebooks, and cell-partitioned code rows written to parquet
+    * and probed from disk with a static cell partition filter. Shares
+    * x52's oracle (lossless persistence).
+    */
+  def qIvfPqTopKPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = Artifacts.sessionScopedDir(spark, "ivfpq_index", sfDir)
+    writeIvfPqIndex(e, dir)
+    probeIvfPqIndex(spark, dir, e, queryVecId = 0L)
+  }
 
   def qLabelCentroidNorms(spark: SparkSession, sfDir: String): DataFrame =
     labelCentroids(Tables.embeddings(spark, sfDir))

@@ -111,11 +111,27 @@ object DocStream {
     * pair join, and appends the admitted docs' bands/signatures. The only
     * driver-side step is the greedy scan over the batch's own verdicts —
     * bounded by micro-batch size, never by corpus size.
+    *
+    * Failure contract — the standard `foreachBatch` idempotence pattern:
+    * every write (band rows, signatures, verdicts) lands in a per-batch
+    * `batch_id=<id>` partition directory in OVERWRITE mode, and a commit
+    * marker is created only after all three succeed. A micro-batch retry
+    * (Spark redelivers the same batchId after a crash) therefore either
+    * (a) sees the marker and returns the persisted verdicts without
+    * recomputing or re-appending, or (b) wholesale-replaces its own
+    * half-written partition before committing. The state read is pinned
+    * to `batch_id < batchId` — committed predecessors only (micro-batches
+    * commit in order), never this batch's own partial leftovers.
     */
   private[graft] def admitBatch(batch: DataFrame, stateDir: String,
-                                minEstJaccard: Double): DataFrame =
+                                minEstJaccard: Double, batchId: Long): DataFrame = {
+    val sparkPre = batch.sparkSession
+    val commitMarker = new java.io.File(s"$stateDir/commits/$batchId")
+    val verdictsPath = s"$stateDir/verdicts/batch_id=$batchId"
+    if (commitMarker.exists())
+      return sparkPre.read.parquet(verdictsPath)
     graft.operators.Caches.withScope {
-      val spark = batch.sparkSession
+      val spark = sparkPre
       import spark.implicits._
       import graft.operators.Dedup
       val docs = batch.select("doc_id", "text")
@@ -126,8 +142,10 @@ object DocStream {
       val haveState = new java.io.File(bandsPath).exists()
       val extColl: Set[Long] = if (!haveState) Set.empty else {
         val stBands = spark.read.parquet(bandsPath)
+          .where(col("batch_id") < batchId)
           .withColumnRenamed("doc_id", "old_id")
         val stSigs = spark.read.parquet(sigsPath)
+          .where(col("batch_id") < batchId)
           .select(col("doc_id").as("old_id"), col("signature").as("old_sig"))
         bands.join(stBands, Seq("band_idx", "band_key"))
           .select("doc_id", "old_id").distinct()
@@ -152,31 +170,38 @@ object DocStream {
         (d, admit)
       }
       val keptDf = verdicts.filter(_._2).map(_._1).toSeq.toDF("doc_id")
-      bands.join(keptDf, "doc_id").write.mode("append").parquet(bandsPath)
-      sigs.join(keptDf, "doc_id").write.mode("append").parquet(sigsPath)
-      verdicts.toSeq.toDF("doc_id", "kept")
+      bands.join(keptDf, "doc_id").write.mode("overwrite")
+        .parquet(s"$bandsPath/batch_id=$batchId")
+      sigs.join(keptDf, "doc_id").write.mode("overwrite")
+        .parquet(s"$sigsPath/batch_id=$batchId")
+      val verdictsDf = verdicts.toSeq.toDF("doc_id", "kept")
+      verdictsDf.write.mode("overwrite").parquet(verdictsPath)
+      commitMarker.getParentFile.mkdirs()
+      commitMarker.createNewFile()
+      verdictsDf
     }
+  }
 
   /** Replay the admission stream over a static directory to completion;
     * returns the full (doc_id, kept) verdict table. Fresh state per call —
-    * the replay is idempotent.
+    * the replay is idempotent, and within a run each micro-batch commits
+    * its verdicts inside [[admitBatch]]'s batchId-guarded transaction (no
+    * separate sink append that a retry could double-write).
     */
   def replayNearDupAdmission(spark: SparkSession, dir: String,
                              minEstJaccard: Double = 0.5): DataFrame = {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_w12_state").toString
-    val resultDir = java.nio.file.Files.createTempDirectory("graft_w12_res").toString + "/verdicts"
     val q: StreamingQuery = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(batch, stateDir, minEstJaccard)
-          .write.mode("append").parquet(resultDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, stateDir, minEstJaccard, batchId): Unit
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(resultDir)
+    spark.read.parquet(s"$stateDir/verdicts").select("doc_id", "kept")
   }
 
   def qNearDupAdmission(spark: SparkSession, sfDir: String): DataFrame =
@@ -292,8 +317,12 @@ object DocStream {
   /** w15: incremental MinHash admission against a FIXED persisted index —
     * x66/x70 as a stream, completing the admission set: w12 dedups the
     * stream against ITSELF (stateful band buckets), this admits arrivals
-    * against yesterday's CORPUS (stateless — the index frames are static
-    * broadcast state, exactly x70's parquet artifact).
+    * against yesterday's CORPUS (stateless on the streaming side — the
+    * index frames are static state, exactly x70's parquet artifact). The
+    * stream-static join strategy is the PLANNER's choice: a small index
+    * auto-broadcasts; a corpus-scale one (past broadcast limits) takes
+    * the partitioned equi-join on the band key, where x70's
+    * band_idx-partitioned layout keeps the static side's scan pruned.
     *
     * The MinHash signature is computed PER ROW (array algebra over the
     * document's own shingle set — no explode/groupBy, so the streaming
@@ -335,12 +364,15 @@ object DocStream {
     // a pair colliding in several bands emits several identical rows here
     // (an in-stream dropDuplicates would be STATEFUL); the replay dedups
     // them batch-side at the sink, keeping the stream state-free
+    // no broadcast hints: a forced broadcast would cap the admissible
+    // index size at the driver's broadcast limit — let the planner pick
+    // (it broadcasts the fixture-sized index on its own)
     deltaBands
-      .join(broadcast(indexBands.select(col("doc_id").as("index_id"),
-        col("band_idx"), col("band_key"))), Seq("band_idx", "band_key"))
+      .join(indexBands.select(col("doc_id").as("index_id"),
+        col("band_idx"), col("band_key")), Seq("band_idx", "band_key"))
       .select("delta_id", "index_id", "signature")
-      .join(broadcast(indexSigs.select(col("doc_id").as("index_id"),
-        col("signature").as("sig2"))), "index_id")
+      .join(indexSigs.select(col("doc_id").as("index_id"),
+        col("signature").as("sig2")), "index_id")
       .select(col("delta_id"), col("index_id"),
         (size(filter(zip_with(col("signature"), col("sig2"), (x, y) => x === y),
           b => b)).cast("double") / Dedup.NumHashes).as("est_jaccard"))

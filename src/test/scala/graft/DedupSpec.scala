@@ -639,6 +639,12 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._2) == Seq("admitted", "index_duplicate",
       "index_duplicate", "low_quality", "delta_exact_duplicate"))
     assert(out.map(_._3) == Seq(true, false, false, false, false))
+    // the accounting contract: one report row per delta doc, always —
+    // the gate frames join LEFT from the delta spine, so a misbehaving
+    // upstream surfaces as `missing_signal` instead of dropping rows
+    val deltaCount = docs.where(pmod(col("doc_id"), lit(5L)) === 4L).count()
+    assert(out.size.toLong == deltaCount,
+      s"report must cover every delta doc: ${out.size} vs $deltaCount")
   }
 
   test("family-size stats: planted families land in the right histogram " +

@@ -78,4 +78,42 @@ class NearDupStreamSpec extends SparkSpec {
     assert(x45(0L) && (100000L to 100019L).forall(id => !x45(id)),
       "x45 agrees on the clique family")
   }
+
+  test("admitBatch is idempotent under micro-batch retry: a redelivered " +
+       "batchId changes neither verdicts nor state") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val b1 = docs.where(col("doc_id") < 20)
+    val b2 = docs.where(col("doc_id") >= 20 && col("doc_id") < 40)
+      .unionByName(b1.where(col("doc_id") === 0L)
+        .select(lit(900000L).as("doc_id"), col("text"))) // cross-batch dup
+    val stateDir = java.nio.file.Files.createTempDirectory("w12-idem").toString
+    def snapshot(): (Set[String], Set[String], Set[String]) = (
+      spark.read.parquet(s"$stateDir/bands").collect().map(_.toString).toSet,
+      spark.read.parquet(s"$stateDir/sigs").collect().map(_.toString).toSet,
+      spark.read.parquet(s"$stateDir/verdicts").collect().map(_.toString).toSet)
+
+    val v1 = DocStream.admitBatch(b1, stateDir, 0.5, batchId = 0L)
+      .as[(Long, Boolean)].collect().toMap
+    val v2 = DocStream.admitBatch(b2, stateDir, 0.5, batchId = 1L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(v1.nonEmpty && v2.nonEmpty)
+    assert(!v2(900000L), "cross-batch duplicate rejected through the state")
+    val before = snapshot()
+
+    // redeliver batch 1 (the crash-retry Spark performs after a failure
+    // downstream of the commit): marker short-circuits — same verdicts,
+    // byte-identical state, no double-append
+    val retried = DocStream.admitBatch(b2, stateDir, 0.5, batchId = 1L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(retried == v2, "retry must return the committed verdicts")
+    assert(snapshot() == before, "retry must not mutate state")
+
+    // the next batch still sees exactly one copy of the state: a doc
+    // colliding with batch-0 content is rejected once, deterministically
+    val b3 = b1.where(col("doc_id") === 1L)
+      .select(lit(900001L).as("doc_id"), col("text"))
+    val v3 = DocStream.admitBatch(b3, stateDir, 0.5, batchId = 2L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(!v3(900001L), "post-retry batches admit against committed state")
+  }
 }

@@ -248,6 +248,56 @@ class PlanSpec extends SparkSpec {
     assert(probe.count() == full)
   }
 
+  test("persisted IVF-PQ index: probe plans static cell PartitionFilters, " +
+       "lists only nprobe partitions, and never retrains") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    VectorSearch.writeIvfPqIndex(emb, dir, nCells = 8, cIters = 2, iters = 2)
+    val lloydBefore = VectorSearch.lloydRuns
+    val probe = VectorSearch.probeIvfPqIndex(spark, dir, emb, queryVecId = 0L,
+      kTop = 10, nprobe = 3)
+    val rows = probe.collect()
+    assert(rows.nonEmpty)
+    // serving reads the model — Lloyd must not have run again
+    assert(VectorSearch.lloydRuns == lloydBefore,
+      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns}")
+    // the probed cells are a STATIC partition filter on the codes scan:
+    // only those cell directories are listed (inspect the pre-AQE physical
+    // plan — the adaptive wrapper hides scan nodes from collectFirst)
+    val scan = probe.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+    }.getOrElse(fail("no codes FileSourceScanExec in probe plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"cell predicate must be a partition filter, got: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount <= 3,
+      s"probe listed ${scan.selectedPartitions.partitionCount} partitions, expected <= nprobe=3")
+    // lossless persistence: identical to the inline computation
+    val inline = VectorSearch.ivfPqTopK(emb, queryVecId = 0L, kTop = 10,
+      nCells = 8, cIters = 2, iters = 2, nprobe = 3).collect()
+    assert(rows.toSeq == inline.toSeq)
+  }
+
+  test("persisted IVF index: batched probe matches the inline join without retraining") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val corpus = emb.where(col("vec_id") % 50 =!= 0)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    VectorSearch.writeIvfIndex(corpus, dir, nCells = 8, iters = 2, trainSet = emb)
+    val lloydBefore = VectorSearch.lloydRuns
+    val persisted = VectorSearch.probeIvfIndex(spark, dir, queries, k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(persisted.nonEmpty)
+    assert(VectorSearch.lloydRuns == lloydBefore,
+      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns}")
+    val inline = VectorSearch.ivfKnnJoin(corpus, queries, k = 5, nCells = 8,
+      nprobe = 3, iters = 2, trainSet = emb)
+      .orderBy("query_id", "rank").collect()
+    assert(persisted.toSeq == inline.toSeq)
+  }
+
   test("no registered query plans a cartesian product or an unjustified nested-loop join") {
     // A BroadcastNestedLoopJoin is scale-safe only when its build side is a
     // deliberately broadcast handful of rows (a 1-row query vector, a ≤k-row
@@ -295,6 +345,10 @@ class PlanSpec extends SparkSpec {
                              // joins themselves are token-keyed equi joins
       "x51_pq_adc_topk",     // codebooks frame + the 1-row ADC lookup table
       "x52_ivfpq_topk",      // centroid frame + codebooks + per-cell LUT stack
+      "x82_ivf_persisted",   // x37's broadcast centroid frame, read from the
+                             // persisted index instead of trained inline
+      "x83_ivfpq_persisted", // x52's 1-row LUT-stack broadcast over the
+                             // partition-pruned codes scan
       "x68_ivf_cell_stats",  // the IVF family's broadcast centroid frame; the
                              // per-cell aggregate is a plain hash aggregate
       "x69_source_drift",    // 1-row corpus-token-total aggregate onto the
