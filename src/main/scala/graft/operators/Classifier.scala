@@ -101,7 +101,12 @@ object Classifier {
 
   def train(docs: DataFrame, labels: DataFrame, lr: Double = DefaultLr,
             iters: Int = DefaultIters): Array[Double] = {
-    val feats = hashedFeatures(docs).cache()
+    // checkpoint, not cache: the loop runs 2 actions per iteration, and
+    // with a cached frame Catalyst re-analyzes the FULL tokenize+union
+    // lineage each time (the cache substitutes at execution, not
+    // planning) — a checkpoint makes every iteration's plan a 3-node
+    // join over concrete partitions (measured ~1.3 s off x39 at sf0.1)
+    val feats = Caches.checkpointed(hashedFeatures(docs))
     val n = docs.count().toDouble
     var w = Array.fill(NumBuckets + 1)(0.0d)
     for (_ <- 0 until iters) {
@@ -115,7 +120,7 @@ object Classifier {
           .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
-    feats.unpersist()
+    Caches.releaseCheckpoint(feats) // w is collected — nothing lazy remains
     w
   }
 
@@ -157,17 +162,14 @@ object Classifier {
     */
   def qualityDistill(docs: DataFrame, lr: Double = DefaultLr,
                      iters: Int = DefaultIters): DataFrame = {
-    val labels = lmLabels(docs).cache()
-    // materialize the returned frame's rows are NOT computed here, so the
-    // labels cache must outlive this call for the classify arm — but the
-    // training loop (the only multi-pass consumer) completes inside
-    // train(); afterwards the cached plan would leak for the session.
-    // localCheckpoint pins the classify arm's input as concrete
-    // partitions, letting the cache entry be dropped eagerly.
-    try {
-      val w = train(docs, labels, lr, iters)
-      classify(docs, Caches.checkpointed(labels), w)
-    } finally labels.unpersist()
+    // checkpoint the labels once up front: the training loop joins them
+    // every iteration (checkpointed = trivially re-plannable concrete
+    // partitions, the same reasoning as the feature frame in [[train]]),
+    // and the classify arm reads them lazily after — released at scope
+    // exit when the caller runs inside Caches.withScope
+    val labels = Caches.checkpointed(lmLabels(docs))
+    val w = train(docs, labels, lr, iters)
+    classify(docs, labels, w)
   }
 
   def qQualityDistill(spark: SparkSession, sfDir: String): DataFrame =

@@ -225,22 +225,51 @@ object Duplicates {
     */
   @volatile private[graft] var lastComponentsPath: String = ""
 
+  /** N20/N21: single-linkage duplicate clusters, digest-first. A
+    * duplicate-heavy corpus is what this operator exists for, and there
+    * the member-level TF-cosine graph self-destructs: a byte-identical
+    * family of f documents contributes f identical TF vectors, so the
+    * inverted-index join fans out O(f²) per family and the edge list
+    * inflates past any collect cap with edges that carry no information
+    * (100× smoke: 500k docs with 99 twins each ⇒ a ~25M-edge graph whose
+    * edges are 99.99% within-family). Byte-identical grouping is one
+    * LINEAR digest shuffle, so — the same move as the capped-Jaccard
+    * digest-first path in [[Dedup]] — the similarity graph is built over
+    * one representative per family and labels propagate through the
+    * family map.
+    *
+    * Output is IDENTICAL to the member-level graph (spec-checked):
+    * members have exactly their representative's TF vector, so (a) every
+    * cross-family member edge exists iff the rep edge exists with the
+    * same 6-dp-rounded similarity, (b) members of a family with ≥1 term
+    * are pairwise connected at sim 1.0 and therefore share their rep's
+    * component, and (c) a family with ZERO terms has no TF vector and no
+    * edges — its members stay singletons, which is why the family link
+    * rides the rep's termCounts presence, not the digest alone. Component
+    * labels agree because every family's minimum id IS its
+    * representative, so min-over-members ≡ min-over-reps.
+    */
   def components(docs: DataFrame, threshold: Double = 0.8,
                  maxCollectEdges: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val key0 = planMemoKey(docs)
-    val key = if (key0.nonEmpty) s"$key0|t=$threshold" else ""
+    // v2: the memo holds REP-level edges (digest-first), not member edges
+    val key = if (key0.nonEmpty) s"$key0|t=$threshold|v2" else ""
+    val digests = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val fams = Caches.shared(digests.groupBy("digest").agg(min("doc_id").as("rep_id")))
+    val members = Caches.shared(digests.join(fams, "digest").select("doc_id", "rep_id"))
+    val repDocs = docs.join(fams.select(col("rep_id").as("doc_id")), "doc_id")
     val hit = if (key.nonEmpty) edgeMemo.get(key) else null
     // honor the caller's cap even on a memo hit: an explicit small cap is
     // a request to avoid the driver path, not just a cost heuristic
     if (hit != null && hit.length <= maxCollectEdges) {
       lastComponentsPath = "collect"
-      return unionFindLabels(docs, hit)
+      return expandRepLabels(docs, members, repDocs, unionFindLabels(repDocs, hit))
     }
-    val pairs = Caches.checkpointed(pairSimilarities(docs, threshold)
+    val pairs = Caches.checkpointed(pairSimilarities(repDocs, threshold)
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
-    val result =
+    val repLabels =
       if (pairs.count() <= maxCollectEdges) {
         lastComponentsPath = "collect"
         val edges = pairs.as[(Long, Long)].collect()
@@ -248,13 +277,47 @@ object Duplicates {
           if (edgeMemo.size >= 8) edgeMemo.clear()
           edgeMemo.put(key, edges)
         }
-        unionFindLabels(docs, edges)
+        unionFindLabels(repDocs, edges)
       } else {
         lastComponentsPath = "iterative"
-        propagateMinLabels(docs, pairs)
+        propagateMinLabels(repDocs, pairs)
       }
+    val result = expandRepLabels(docs, members, repDocs, repLabels)
     // both arms are concrete past this point (collected edge list /
     // checkpointed label frame) — the pair checkpoint can go now
+    Caches.releaseCheckpoint(pairs)
+    result
+  }
+
+  /** Propagate representative component labels to every family member.
+    * Only families whose rep has ≥1 term row link (zero-term documents
+    * have no TF vector, hence no edges, in the member-level graph);
+    * everything else labels itself.
+    */
+  private def expandRepLabels(docs: DataFrame, members: DataFrame,
+                              repDocs: DataFrame, repLabels: DataFrame): DataFrame = {
+    val termedReps = Relevance.termCounts(repDocs)
+      .select(col("doc_id").as("rep_id")).distinct()
+    val linked = members.join(termedReps, "rep_id")
+      .join(repLabels.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("component"))
+    docs.select("doc_id")
+      .join(linked, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** The member-level (no digest collapse) plan — the equality reference
+    * [[components]] is spec-checked against. No memo: spec-only.
+    */
+  private[graft] def componentsMembers(docs: DataFrame, threshold: Double = 0.8,
+                                       maxCollectEdges: Long = 5000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = Caches.checkpointed(pairSimilarities(docs, threshold)
+      .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
+    val result =
+      if (pairs.count() <= maxCollectEdges) unionFindLabels(docs, pairs.as[(Long, Long)].collect())
+      else propagateMinLabels(docs, pairs)
     Caches.releaseCheckpoint(pairs)
     result
   }

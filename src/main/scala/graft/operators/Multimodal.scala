@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * pack): image/audio/video assets as opaque `binary` columns with typed
   * metadata, batch-decoded per partition.
   *
-  * The real decode step (libjpeg/ffmpeg et al.) is STUBBED — this container
-  * has no media libraries — behind [[FakeDecoder]], a deterministic
+  * Decode dispatch: BMP payloads decode FOR REAL via the pure-JVM
+  * `javax.imageio` codec ([[ImageIoDecoder]] — true raster dimensions,
+  * pixel-content checksum, genuine nearest-neighbor resampling); every
+  * other format (libjpeg/ffmpeg territory — this container has no media
+  * libraries) is STUBBED behind [[FakeDecoder]], a deterministic
   * byte-inspection fake with the same signature a real decoder would have.
-  * Everything Spark-side is real and tested: the asset schema, the
-  * `Dataset[Asset].mapPartitions` batch shape (decoder initialized once per
-  * partition, exactly how a heavyweight codec handle should be scoped on an
-  * executor), partition sizing by byte budget, and frame-sampling fan-out.
+  * Everything Spark-side is real and tested either way: the asset schema,
+  * the `Dataset[Asset].mapPartitions` batch shape (decoder initialized once
+  * per partition, exactly how a heavyweight codec handle should be scoped
+  * on an executor), partition sizing by byte budget, and frame-sampling
+  * fan-out.
   */
 object Multimodal {
 
@@ -23,9 +27,66 @@ object Multimodal {
                        width: Int, height: Int, checksum: Long)
   case class Frame(asset_id: Long, frame_idx: Int, offset: Long, frame_bytes: Array[Byte])
 
+  /** REAL decoder for the one image family the bare JVM ships a codec for:
+    * BMP via `javax.imageio` (no native libs required). Payloads whose
+    * magic matches and parse cleanly decode for real — true raster
+    * dimensions, a checksum over the decoded PIXELS (content identity of
+    * the image, not its container bytes), and genuine nearest-neighbor
+    * resampling of the decoded raster. Everything else falls through to
+    * [[FakeDecoder]], so the corpus-wide plumbing keeps one signature
+    * while at least one format exercises a real decode path end-to-end.
+    */
+  object ImageIoDecoder {
+    def isBmp(payload: Array[Byte]): Boolean =
+      payload.length > 2 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
+
+    def tryDecode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isBmp(payload)) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Throwable => None }
+
+    /** (width, height, checksum-over-pixels): two BMPs with different
+      * container bytes but equal rasters are the SAME content — the
+      * property a content-addressed asset store dedups on.
+      */
+    def meta(img: java.awt.image.BufferedImage): (Int, Int, Long) = {
+      var ck = 1125899906842597L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          ck = ck * 31 + (img.getRGB(x, y) & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, ck)
+    }
+
+    /** Nearest-neighbor luminance resample of the decoded raster to a
+      * w×h byte grid (ITU-R 601 integer weights — deterministic).
+      */
+    def grayResize(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) {
+        val sx = ((i % w).toLong * img.getWidth / w).toInt
+        val sy = ((i / w).toLong * img.getHeight / h).toInt
+        val rgb = img.getRGB(sx, sy)
+        val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        out(i) = lum.toByte
+        i += 1
+      }
+      out
+    }
+  }
+
   /** STUB decoder — deterministic byte inspection standing in for a codec.
     * A real deployment replaces `decodeMeta`/`sampleFrames` bodies with
     * libjpeg/ffmpeg calls; the call sites, batching and schemas stay as-is.
+    * [[ImageIoDecoder]] front-runs it for BMP payloads.
     */
   object FakeDecoder {
     def decodeMeta(payload: Array[Byte]): (Int, Int, Long) = {
@@ -64,7 +125,9 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real impl: val codec = Codec.open() — once per partition
       it.map { a =>
-        val (w, h, ck) = FakeDecoder.decodeMeta(a.payload)
+        val (w, h, ck) = ImageIoDecoder.tryDecode(a.payload)
+          .map(ImageIoDecoder.meta)
+          .getOrElse(FakeDecoder.decodeMeta(a.payload))
         AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, w, h, ck)
       }
     }
@@ -92,12 +155,17 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").mapPartitions { it =>
       it.map { a =>
-        val out = new Array[Byte](w * h)
-        val n = a.payload.length
-        var i = 0
-        while (i < out.length) {
-          out(i) = if (n == 0) 0 else a.payload((i.toLong * n / out.length).toInt)
-          i += 1
+        val out = ImageIoDecoder.tryDecode(a.payload) match {
+          case Some(img) => ImageIoDecoder.grayResize(img, w, h) // real resample
+          case None =>
+            val stub = new Array[Byte](w * h)
+            val n = a.payload.length
+            var i = 0
+            while (i < stub.length) {
+              stub(i) = if (n == 0) 0 else a.payload((i.toLong * n / stub.length).toInt)
+              i += 1
+            }
+            stub
         }
         ResizedAsset(a.asset_id, a.kind, w, h, out)
       }
@@ -113,13 +181,18 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real impl: model session initialized once per partition
       it.map { a =>
+        // decodable images featurize over the DECODED luminance raster;
+        // everything else histograms the raw bytes (the stub path)
+        val bytes = ImageIoDecoder.tryDecode(a.payload)
+          .map(img => ImageIoDecoder.grayResize(img, img.getWidth, img.getHeight))
+          .getOrElse(a.payload)
         val f = new Array[Float](dim)
         var i = 0
-        while (i < a.payload.length) {
-          f(((a.payload(i) & 0xFF) * dim / 256) % dim) += 1.0f
+        while (i < bytes.length) {
+          f(((bytes(i) & 0xFF) * dim / 256) % dim) += 1.0f
           i += 1
         }
-        val n = math.max(a.payload.length, 1).toFloat
+        val n = math.max(bytes.length, 1).toFloat
         var j = 0
         while (j < dim) { f(j) /= n; j += 1 }
         AssetFeatures(a.asset_id, a.kind, f)

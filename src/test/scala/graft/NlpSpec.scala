@@ -82,11 +82,13 @@ class NlpSpec extends SparkSpec {
   test("components auto-dispatch: an over-cap edge list routes to the " +
        "distributed path, never the driver collect") {
     // distinct plan (distinct doc set) so the edge memo from earlier tests
-    // cannot short-circuit the dispatch decision
+    // cannot short-circuit the dispatch decision. NEAR-duplicates with
+    // distinct digests: byte-identical rows would collapse into one rep
+    // (zero rep edges) and the cap could never bind.
     val docs = Seq(
-      (100L, "zebra quokka wombat"), (101L, "zebra quokka wombat"),
-      (102L, "zebra quokka wombat"), (103L, "falcon osprey heron"),
-      (104L, "falcon osprey heron"), (105L, "lonely unmatched tokens")
+      (100L, "zebra quokka wombat"), (101L, "zebra quokka wombat alpha"),
+      (102L, "zebra quokka wombat bravo"), (103L, "falcon osprey heron"),
+      (104L, "falcon osprey heron delta"), (105L, "lonely unmatched tokens")
     ).toDF("doc_id", "text")
     // cap 0 = every edge is over-cap: must dispatch iterative
     val big = Duplicates.components(docs, maxCollectEdges = 0L)
@@ -97,6 +99,32 @@ class NlpSpec extends SparkSpec {
     assert(Duplicates.lastComponentsPath == "collect")
     assert(big == small)
     assert(big(101L) == 100L && big(104L) == 103L && big(105L) == 105L)
+  }
+
+  test("digest-first components equal the member-level graph — families " +
+       "expand, zero-term families stay singletons") {
+    // every regime at once: a 3-copy byte-identical family (100–102) with a
+    // near-dup neighbor (103) in a separate digest family; a byte-identical
+    // pair with ZERO tokens after filtering (200, 201 — '!!! ??' yields no
+    // 3+-char word tokens, so the member-level graph has no edge between
+    // them); the fixture corpus with its planted exact duplicate
+    val extra = Seq(
+      (100L, "glacier moraine cirque arete tarn"),
+      (101L, "glacier moraine cirque arete tarn"),
+      (102L, "glacier moraine cirque arete tarn"),
+      (103L, "glacier moraine cirque arete tarn ridge"),
+      (200L, "!!! ??"), (201L, "!!! ??")).toDF("doc_id", "text")
+    val docs = sampleDocs.unionByName(extra)
+    val digestFirst = Duplicates.components(docs).as[(Long, Long)].collect().toMap
+    val memberLevel = Duplicates.componentsMembers(docs).as[(Long, Long)].collect().toMap
+    assert(digestFirst == memberLevel,
+      s"digest-first != member-level: ${digestFirst.toSet -- memberLevel.toSet} / ${memberLevel.toSet -- digestFirst.toSet}")
+    // the family + neighbor collapse into one component rooted at the rep
+    assert(Seq(100L, 101L, 102L, 103L).forall(digestFirst(_) == 100L))
+    // byte-identical but token-free: NOT linked (no TF vector, no edge)
+    assert(digestFirst(200L) == 200L && digestFirst(201L) == 201L)
+    // the fixture's planted duplicate still clusters
+    assert(digestFirst(5L) == 0L)
   }
 
   // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---

@@ -262,4 +262,65 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(2) == ((2L, 1L, 2L, false)))
     assert(out(3) == ((3L, 3L, 0L, true)))
   }
+
+  /** Encode a w×h raster as a real BMP via the pure-JVM codec. */
+  private def bmpBytes(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JVM must ship a BMP writer")
+    bos.toByteArray
+  }
+
+  test("multimodal: BMP assets decode FOR REAL — true raster dimensions, " +
+       "pixel-content checksum, genuine luminance resample, decoded features") {
+    // 6×4 gradient, a byte-identical twin, a different image, and a payload
+    // with a BMP magic that does NOT parse (must fall back to the stub)
+    def grad(x: Int, y: Int): Int = ((x * 37 + y * 11) % 256) * 0x010101
+    val a = bmpBytes(6, 4)(grad)
+    val b = bmpBytes(6, 4)((x, y) => grad(x, y) ^ 0x0000FF)
+    val white = bmpBytes(4, 4)((_, _) => 0xFFFFFF)
+    val junk = "BM but not actually a bitmap payload".getBytes("UTF-8")
+    val assets = Seq(
+      Multimodal.Asset(0L, "image", a),
+      Multimodal.Asset(1L, "image", a.clone()),
+      Multimodal.Asset(2L, "image", b),
+      Multimodal.Asset(3L, "image", white),
+      Multimodal.Asset(4L, "image", junk)).toDS()
+
+    // m2 path: REAL dimensions (the stub would derive ≤64 fake dims from
+    // the first two bytes — 'B','M' would give 3×14 for every BMP)
+    val metas = Multimodal.extractMeta(assets).collect().sortBy(_.asset_id)
+    assert(metas(0).width == 6 && metas(0).height == 4)
+    assert(metas(3).width == 4 && metas(3).height == 4)
+    // checksum is over decoded PIXELS: byte-identical twins agree, a
+    // one-channel flip changes it
+    assert(metas(0).checksum == metas(1).checksum)
+    assert(metas(0).checksum != metas(2).checksum)
+    // unparseable magic falls back to the stub, no crash
+    assert(metas(4).width == ('B' & 0x3F) + 1 && metas(4).height == ('M' & 0x3F) + 1)
+
+    // m4 path: resample reads the decoded raster — an all-white image
+    // resizes to all-255 luminance bytes, which no container-byte sampling
+    // could produce (BMP headers contain zeros)
+    val resized = Multimodal.resize(assets, 2, 2).collect()
+      .map(r => r.asset_id -> r.payload).toMap
+    assert(resized(3L).forall(b => (b & 0xFF) == 255))
+    // nearest-neighbor on the gradient: pixel (0,0) lum = grad(0,0) = 0
+    assert((resized(0L)(0) & 0xFF) == 0)
+
+    // m5 path: features histogram the decoded luminance — all-white lands
+    // its whole mass in the top bucket
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f.features).toMap
+    assert(feats(3L)(15) == 1.0f && feats(3L).slice(0, 15).forall(_ == 0.0f))
+
+    // m6 path: content families group on decoded pixel identity
+    val dups = Multimodal.exactAssetDups(assets)
+      .select("asset_id", "family_size", "keep_id", "is_duplicate")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(dups(0) == ((0L, 2L, 0L, false)) && dups(1) == ((1L, 2L, 0L, true)))
+    assert(dups(2)._2 == 1L && dups(3)._2 == 1L && dups(4)._2 == 1L)
+  }
 }
