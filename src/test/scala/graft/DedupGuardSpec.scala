@@ -98,6 +98,35 @@ class DedupGuardSpec extends SparkSpec {
     assert(nbr.size == 3 && nbr.distinct.size == 1, s"expansion incomplete: $nbr")
   }
 
+  test("digest-first capped containment equals the member-level plan, " +
+       "orientation-aware expansion included") {
+    // family (100–102) + a SUBSUMING neighbor 103 (family text + extra
+    // words: C(member→103) = 1), plus the boilerplate corpus; also an id
+    // ABOVE the neighbor (104 identical to 100) so expansion must swap
+    // the s/c columns when member order flips relative to rep order
+    val family = "identicalzz familyzz contentzz sequencezz alphazz betazz gammazz deltazz"
+    val extra = Seq(
+      (100L, family), (101L, family), (102L, family),
+      (103L, s"$family morezz wordszz taggedzz onzz thezz endzz herezz"),
+      (104L, family)).toDF("doc_id", "text")
+    val docs = hotShingleDocs.union(extra.toDF("doc_id", "text"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2", "s1", "s2", "c1", "c2", "containment")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSet
+    val fromDigest = canon(Dedup.containmentPairsDigestFirst(docs, 0.6, maxShingleDf = 10))
+    val fromMembers = canon(Dedup.containmentPairsMembers(docs, 0.6, maxShingleDf = 10))
+    assert(fromDigest == fromMembers,
+      s"only digest: ${fromDigest -- fromMembers}\n only members: ${fromMembers -- fromDigest}")
+    // within-family pairs at containment 1.0 both directions
+    assert(fromDigest.exists(r => r._1 == 100L && r._2 == 101L && r._7 == 1.0))
+    // the subsumed orientation: (101,103) has c1 = 1 (101 inside 103) and
+    // the flipped member order (103,104) carries the SWAPPED columns
+    val a = fromDigest.find(r => r._1 == 101L && r._2 == 103L).get
+    assert(a._5 == 1.0 && a._3 < a._4, s"subsumption orientation wrong: $a")
+    val b = fromDigest.find(r => r._1 == 103L && r._2 == 104L).get
+    assert(b._6 == 1.0 && b._3 > b._4, s"flipped orientation wrong: $b")
+  }
+
   test("digest-first capped mode on the planted fixture equals member-level " +
        "(the x2b contract: hot family contributes nothing)") {
     val planted = Dedup.plantedHotCorpus(Tables.documents(spark, sf0001))
