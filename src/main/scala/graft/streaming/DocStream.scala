@@ -122,6 +122,9 @@ object DocStream {
     * half-written partition before committing. The state read is pinned
     * to `batch_id < batchId` — committed predecessors only (micro-batches
     * commit in order), never this batch's own partial leftovers.
+    * (The marker check/create uses `java.io.File` — a cluster deployment
+    * with remote state storage swaps those two lines for the Hadoop
+    * FileSystem API; the commit protocol itself is storage-agnostic.)
     */
   private[graft] def admitBatch(batch: DataFrame, stateDir: String,
                                 minEstJaccard: Double, batchId: Long): DataFrame = {
