@@ -256,10 +256,7 @@ object Duplicates {
     val key0 = planMemoKey(docs)
     // v2: the memo holds REP-level edges (digest-first), not member edges
     val key = if (key0.nonEmpty) s"$key0|t=$threshold|v2" else ""
-    val digests = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-    val fams = Caches.shared(digests.groupBy("digest").agg(min("doc_id").as("rep_id")))
-    val members = Caches.shared(digests.join(fams, "digest").select("doc_id", "rep_id"))
-    val repDocs = docs.join(fams.select(col("rep_id").as("doc_id")), "doc_id")
+    val (_, members, repDocs) = Dedup.digestFamilies(docs)
     val hit = if (key.nonEmpty) edgeMemo.get(key) else null
     // honor the caller's cap even on a memo hit: an explicit small cap is
     // a request to avoid the driver path, not just a cost heuristic

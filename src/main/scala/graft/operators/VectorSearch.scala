@@ -687,34 +687,34 @@ object VectorSearch {
     * is model-sized driver traffic riding broadcast 1-row frames with a
     * data-invariant plan shape.
     */
-  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, kTop: Int = 10,
-                nCells: Int = 16, cIters: Int = 5, m: Int = 4, k: Int = 16,
-                iters: Int = 3, nprobe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = kmeansCentroids(embeddings, nCells, cIters)
-    val dim = cents.head.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
-    // residual frame: cell assignment + (v − centroid[cell]) in one scan
-    // localCheckpoint: residual-codebook training makes m·iters passes
-    // over this frame — materialize the (narrow) residuals once instead
-    // of re-deriving assignment + subtraction per pass (the x46 lesson)
-    val withRes = Caches.checkpointed(embeddings
+  /** Residual frame (cell assignment + v − centroid[cell] in one scan),
+    * scope-released checkpoint: residual-codebook training makes m·iters
+    * passes over it — materialize the (narrow) residuals once instead of
+    * re-deriving assignment + subtraction per pass (the x46 lesson).
+    * Shared by the inline [[ivfPqTopK]] and the persisted
+    * [[writeIvfPqIndex]] so the two stay bit-identical (they share one
+    * oracle).
+    */
+  private def residualFrame(embeddings: DataFrame,
+                            cents: Array[Array[Double]]): DataFrame =
+    Caches.checkpointed(embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(centroidsFrame(spark, cents)))
+      .crossJoin(broadcast(centroidsFrame(embeddings.sparkSession, cents)))
       .withColumn("cell", cellOf(col("v"), col("__cents")))
       .select(col("vec_id"), col("label"), col("cell"),
         zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
           (x, y) => x - y).as("embedding")))
-    val (_, books) = pqTrain(withRes, m, k, iters)
-    val coded = pqEncoded(withRes, subDim, books, carry = Seq("cell"))
-    // query-side model math, all driver-scale: probe cells by exact
-    // centroid distance, then one ADC LUT per cell (the query residual is
-    // cell-dependent). The LUT stack is indexed by cell id so the scan
-    // dereferences it with the row's own cell.
-    val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+
+  /** Query-side IVF-PQ model math, all driver-scale: probe cells by exact
+    * centroid distance, then one ADC LUT per cell (the query residual is
+    * cell-dependent). Shared by the inline and persisted probes — a
+    * tie-break or rounding tweak must hit both or their common oracle
+    * catches it.
+    */
+  private def ivfPqQueryModel(cents: Array[Array[Double]],
+                              books: Seq[Seq[Seq[Double]]], subDim: Int,
+                              q: Array[Double], nprobe: Int)
+      : (Seq[Int], Seq[Seq[Seq[Double]]]) = {
     def sq(a: Array[Double], b: Seq[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < b.length) { val t = a(i) - b(i); d += t * t; i += 1 }
@@ -725,19 +725,42 @@ object VectorSearch {
       .sorted.take(nprobe).map(_._2).toSeq
     val luts: Seq[Seq[Seq[Double]]] = cents.indices.map { cell =>
       val rq = q.indices.map(i => q(i) - cents(cell)(i)).toArray
-      (0 until m).map { s =>
+      books.indices.map { s =>
         books(s).map(c => sq(rq.slice(s * subDim, (s + 1) * subDim), c))
       }
     }
-    val lutFrame = broadcast(Seq(Tuple1(luts)).toDF("__luts"))
-    val adc = (0 until m).map(s =>
+    (probes, luts)
+  }
+
+  /** m ADC lookups + adds over a row's codes, against the per-cell LUT
+    * stack on the broadcast `__luts` frame.
+    */
+  private def adcExpr(m: Int): Column =
+    (0 until m).map(s =>
       element_at(element_at(element_at(col("__luts"), col("cell") + 1), s + 1),
         col(s"code$s") + 1)).reduce(_ + _)
+
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, kTop: Int = 10,
+                nCells: Int = 16, cIters: Int = 5, m: Int = 4, k: Int = 16,
+                iters: Int = 3, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nCells, cIters)
+    val dim = cents.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val withRes = residualFrame(embeddings, cents)
+    val (_, books) = pqTrain(withRes, m, k, iters)
+    val coded = pqEncoded(withRes, subDim, books, carry = Seq("cell"))
+    val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+    val (probes, luts) = ivfPqQueryModel(cents, books, subDim, q, nprobe)
+    val lutFrame = broadcast(Seq(Tuple1(luts)).toDF("__luts"))
     coded
       .where(col("cell").isin(probes: _*) && col("vec_id") =!= queryVecId)
       .crossJoin(lutFrame)
       .select(col("vec_id"), col("label"), col("cell"),
-        round(adc, 6).as("adc_dist"))
+        round(adcExpr(m), 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(kTop)
   }
@@ -804,13 +827,7 @@ object VectorSearch {
     val dim = cents.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val withRes = Caches.checkpointed(embeddings
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(centroidsFrame(spark, cents)))
-      .withColumn("cell", cellOf(col("v"), col("__cents")))
-      .select(col("vec_id"), col("label"), col("cell"),
-        zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
-          (x, y) => x - y).as("embedding")))
+    val withRes = residualFrame(embeddings, cents)
     val (_, books) = pqTrain(withRes, m, k, iters)
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -823,6 +840,9 @@ object VectorSearch {
       .select(col("vec_id") +: col("label") +: col("cell") +:
         (0 until m).map(s => col(s"code$s")): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
+    // everything derived from the residuals is now ON DISK — release the
+    // corpus-sized checkpoint instead of parking it for the session
+    Caches.releaseCheckpoint(withRes)
   }
 
   /** ADC probe against a persisted [[writeIvfPqIndex]] artifact —
@@ -848,29 +868,13 @@ object VectorSearch {
     val subDim = books.head.head.length
     val q: Array[Double] = queries.where(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding"))).as[Array[Double]].head()
-    def sq(a: Array[Double], b: Seq[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < b.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
-    val probes = cents.zipWithIndex
-      .map { case (c, cell) => (sq(q, c.toSeq), cell) }
-      .sorted.take(nprobe).map(_._2).toSeq
-    val luts: Seq[Seq[Seq[Double]]] = cents.indices.map { cell =>
-      val rq = q.indices.map(i => q(i) - cents(cell)(i)).toArray
-      (0 until m).map { s =>
-        books(s).map(c => sq(rq.slice(s * subDim, (s + 1) * subDim), c))
-      }
-    }
+    val (probes, luts) = ivfPqQueryModel(cents, books, subDim, q, nprobe)
     val lutFrame = broadcast(Seq(Tuple1(luts)).toDF("__luts"))
-    val adc = (0 until m).map(s =>
-      element_at(element_at(element_at(col("__luts"), col("cell") + 1), s + 1),
-        col(s"code$s") + 1)).reduce(_ + _)
     spark.read.parquet(dir + "/codes")
       .where(col("cell").isin(probes: _*) && col("vec_id") =!= queryVecId)
       .crossJoin(lutFrame)
       .select(col("vec_id"), col("label"), col("cell"),
-        round(adc, 6).as("adc_dist"))
+        round(adcExpr(m), 6).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(kTop)
   }

@@ -142,7 +142,15 @@ object DocStream {
       val bands = Dedup.bandRows(sigs)
       val bandsPath = s"$stateDir/bands"
       val sigsPath = s"$stateDir/sigs"
-      val haveState = new java.io.File(bandsPath).exists()
+      // gate the state read on COMMITTED prior batches, not directory
+      // existence: a batch-0 crash between the bands and sigs writes
+      // leaves bandsPath existing (possibly footerless) with no sigs —
+      // reading it on retry would fail deterministically forever
+      val haveState = {
+        val commits = new java.io.File(s"$stateDir/commits")
+        commits.exists && commits.listFiles().exists(f =>
+          f.getName.toLongOption.exists(_ < batchId))
+      }
       val extColl: Set[Long] = if (!haveState) Set.empty else {
         val stBands = spark.read.parquet(bandsPath)
           .where(col("batch_id") < batchId)

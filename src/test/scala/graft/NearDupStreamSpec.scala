@@ -116,4 +116,25 @@ class NearDupStreamSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(!v3(900001L), "post-retry batches admit against committed state")
   }
+
+  test("admitBatch first-batch retry: a crash between the state writes " +
+       "leaves no marker, and the retry must not trip over partial state") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .where(col("doc_id") < 20)
+    val stateDir = java.nio.file.Files.createTempDirectory("w12-crash").toString
+    // simulate batch 0 dying between the bands write and the sigs write:
+    // bands/batch_id=0 exists (here: footerless — the worst case), sigs
+    // and the commit marker don't
+    assert(new java.io.File(s"$stateDir/bands/batch_id=0").mkdirs())
+    val v = DocStream.admitBatch(docs, stateDir, 0.5, batchId = 0L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(v.size == 20, "retry of the first batch must recompute cleanly")
+    assert(new java.io.File(s"$stateDir/commits/0").exists(), "and commit")
+    // and the stream continues: batch 1 reads exactly the committed state
+    val dup = docs.where(col("doc_id") === 0L)
+      .select(lit(910000L).as("doc_id"), col("text"))
+    val v1 = DocStream.admitBatch(dup, stateDir, 0.5, batchId = 1L)
+      .as[(Long, Boolean)].collect().toMap
+    assert(!v1(910000L), "the duplicate is rejected through the repaired state")
+  }
 }
