@@ -200,6 +200,7 @@ object SparkEntry {
     "m4_resized"       -> (Multimodal.qResized _),
     "m5_features"      -> (Multimodal.qFeatures _),
     "m6_asset_dups"    -> (Multimodal.qExactAssetDups _),
+    "m7_audio_meta"    -> (Multimodal.qAudioMeta _),
     // streaming (batch-equivalent entry; streaming form tested via memory sink)
     "w1_daily_counts"  -> (graft.streaming.EventStream.qDailyCounts _),
     "w2_sessions"      -> (graft.streaming.EventStream.qSessions _),
@@ -910,6 +911,9 @@ object SparkEntry {
     // m2/m3/m4 stub shapes are pure byte arithmetic, so they ARE oracle-checked:
     "m2_decoded_meta"  -> graft.oracles.TrainSql.decodedMetaSql,
     "m6_asset_dups"    -> graft.oracles.TrainSql.exactAssetDupsSql,
+    // m7: fixture has no WAV payloads, so the oracle mirrors the
+    // deterministic fake branch; the REAL WavDecoder arm is spec-driven
+    "m7_audio_meta"    -> graft.oracles.TrainSql.audioMetaSql,
     "m3_frames" ->
       """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS olen
         |           FROM documents WHERE doc_id % 3 = 2),

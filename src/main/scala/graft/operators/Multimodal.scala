@@ -83,6 +83,37 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the one audio family the bare JVM ships a codec
+    * for: RIFF/WAVE PCM via `javax.sound.sampled` — true sample rate,
+    * channel count, sample width, and frame length from the actual
+    * container. Non-WAV payloads fall through to the deterministic fake
+    * in [[extractAudioMeta]]. The [[ImageIoDecoder]] counterpart for the
+    * image seam.
+    */
+  object WavDecoder {
+    def isWav(p: Array[Byte]): Boolean =
+      p.length > 12 &&
+        p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == 'F'.toByte && p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
+    /** (sample_rate, channels, bits, n_frames) — None when the magic is
+      * absent or the container does not parse.
+      */
+    def tryDecode(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      if (!isWav(p)) None
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(p))
+          try {
+            val f = ais.getFormat
+            Some((f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, ais.getFrameLength))
+          } finally ais.close()
+        } catch { case _: Throwable => None }
+  }
+
   /** STUB decoder — deterministic byte inspection standing in for a codec.
     * A real deployment replaces `decodeMeta`/`sampleFrames` bodies with
     * libjpeg/ffmpeg calls; the call sites, batching and schemas stay as-is.
@@ -139,6 +170,38 @@ object Multimodal {
     assets.filter(_.kind == "video").flatMap { a =>
       FakeDecoder.sampleFrames(a.payload, frameBytes).map {
         case (idx, off, bytes) => Frame(a.asset_id, idx, off, bytes)
+      }
+    }
+  }
+
+  case class AudioMeta(asset_id: Long, kind: String, n_bytes: Long,
+                       sample_rate: Long, channels: Long, bits: Long,
+                       n_frames: Long, duration_ms: Long)
+
+  /** Audio metadata for the `audio`-kind assets: WAV payloads decode FOR
+    * REAL ([[WavDecoder]] — the container's true format chunk and frame
+    * length); everything else derives a deterministic fake from the
+    * payload's first bytes (SQL-replicable integer arithmetic, so the
+    * registered query keeps a DuckDB oracle). Same per-partition batch
+    * shape as [[extractMeta]].
+    */
+  def extractAudioMeta(assets: Dataset[Asset]): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        val n = a.payload.length.toLong
+        val (sr, ch, bits, frames) = WavDecoder.tryDecode(a.payload).getOrElse {
+          if (n < 3) (0, 0, 0, 0L)
+          else {
+            val sr = 8000 * (1 + (a.payload(0) & 3))
+            val ch = 1 + (a.payload(1) & 1)
+            val bits = 8 * (1 + (a.payload(2) & 1))
+            (sr, ch, bits, n / (ch * bits / 8))
+          }
+        }
+        val durMs = if (sr == 0) 0L else frames * 1000L / sr
+        AudioMeta(a.asset_id, a.kind, n, sr.toLong, ch.toLong, bits.toLong,
+          frames, durMs)
       }
     }
   }
@@ -274,4 +337,7 @@ object Multimodal {
 
   def qExactAssetDups(spark: SparkSession, sfDir: String): DataFrame =
     exactAssetDups(syntheticAssets(spark, sfDir))
+
+  def qAudioMeta(spark: SparkSession, sfDir: String): DataFrame =
+    extractAudioMeta(syntheticAssets(spark, sfDir)).toDF()
 }

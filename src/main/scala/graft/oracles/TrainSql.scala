@@ -1222,6 +1222,35 @@ object TrainSql {
     * [[decodedMetaSql]] checksum fold, grouped on (n_bytes, checksum),
     * min-id keeper per family.
     */
+  /** The [[graft.operators.Multimodal.extractAudioMeta]] fake path in SQL
+    * (m7): the synthetic corpus has no WAV payloads, so every audio asset
+    * takes the deterministic byte-derived branch — pure integer
+    * arithmetic over the first three (ASCII ⇒ byte = code point) payload
+    * bytes, integer-division frame and duration math.
+    */
+  val audioMetaSql: String =
+    """WITH fmt AS (
+      |  SELECT doc_id,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         CASE WHEN octet_length(encode(text)) < 3 THEN 0
+      |              ELSE 8000 * (1 + (unicode(substr(text, 1, 1)) & 3)) END AS sample_rate,
+      |         CASE WHEN octet_length(encode(text)) < 3 THEN 0
+      |              ELSE 1 + (unicode(substr(text, 2, 1)) & 1) END AS channels,
+      |         CASE WHEN octet_length(encode(text)) < 3 THEN 0
+      |              ELSE 8 * (1 + (unicode(substr(text, 3, 1)) & 1)) END AS bits
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT doc_id AS asset_id, 'audio' AS kind,
+      |       n_bytes::BIGINT AS n_bytes,
+      |       sample_rate::BIGINT AS sample_rate,
+      |       channels::BIGINT AS channels,
+      |       bits::BIGINT AS bits,
+      |       (CASE WHEN channels = 0 THEN 0
+      |             ELSE n_bytes // (channels * bits // 8) END)::BIGINT AS n_frames,
+      |       (CASE WHEN sample_rate = 0 THEN 0
+      |             ELSE (n_bytes // (channels * bits // 8)) * 1000 // sample_rate
+      |        END)::BIGINT AS duration_ms
+      |FROM fmt""".stripMargin
+
   val exactAssetDupsSql: String = {
     val seed = 1125899906842597L
     val two64 = "18446744073709551616::HUGEINT"

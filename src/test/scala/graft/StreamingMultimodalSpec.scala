@@ -323,4 +323,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dups(0) == ((0L, 2L, 0L, false)) && dups(1) == ((1L, 2L, 0L, true)))
     assert(dups(2)._2 == 1L && dups(3)._2 == 1L && dups(4)._2 == 1L)
   }
+
+  test("multimodal: WAV assets decode FOR REAL — container sample rate, " +
+       "channels, sample width, frame length; non-WAV falls to the fake") {
+    import javax.sound.sampled._
+    def wavBytes(rateHz: Float, bits: Int, channels: Int,
+                 nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rateHz, bits, channels, true, false)
+      val frameSize = channels * bits / 8
+      val pcm = Array.tabulate[Byte](nFrames * frameSize)(i => (i * 31 % 127).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.Asset(0L, "audio", wavBytes(16000f, 16, 1, 1600)),
+      Multimodal.Asset(1L, "audio", wavBytes(8000f, 8, 2, 400)),
+      Multimodal.Asset(2L, "audio", "RIFFxxxxWAVE but not a real container".getBytes("UTF-8")),
+      Multimodal.Asset(3L, "audio", "plain text payload here".getBytes("UTF-8")),
+      Multimodal.Asset(4L, "image", wavBytes(16000f, 16, 1, 10))) // wrong kind: excluded
+    .toDS()
+    val metas = Multimodal.extractAudioMeta(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    // real container fields, not byte-derived fakes
+    assert(metas(0L).sample_rate == 16000 && metas(0L).channels == 1 &&
+      metas(0L).bits == 16 && metas(0L).n_frames == 1600 &&
+      metas(0L).duration_ms == 100)
+    assert(metas(1L).sample_rate == 8000 && metas(1L).channels == 2 &&
+      metas(1L).bits == 8 && metas(1L).n_frames == 400 &&
+      metas(1L).duration_ms == 50)
+    // RIFF magic that does not parse falls back to the fake (byte math,
+    // no crash): 'R' = 82 -> 8000*(1+(82&3)) = 24000
+    assert(metas(2L).sample_rate == 24000)
+    // plain payloads take the fake branch; 'p' = 112 -> 8000*(1+(112&3)) = 8000
+    assert(metas(3L).sample_rate == 8000)
+    // only audio-kind assets are described
+    assert(!metas.contains(4L) && metas.size == 4)
+  }
 }
