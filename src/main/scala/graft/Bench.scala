@@ -163,36 +163,39 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       (1 to repeat).map { i =>
-        val t1 = timeOnce()
-        // Median-of-3 for expensive queries (auto mode only): single-shot
-        // timings above a couple of seconds are dominated by whichever
-        // GC pause / first-build cost happened to land on them (measured
-        // x36 3.6 s vs 10.3 s across identical sweeps), which mis-ranks
-        // queries and masks real regressions. The median of three runs is
-        // the steady-state per-query cost — the number a long-lived
-        // service pays and the one comparable to solo probes. Cheap ones
-        // stay single-shot: their absolute error is bounded by their cost.
-        val t = if (repeat == 1 && t1 > 2.0) {
-          val ts = Seq(t1, timeOnce(), timeOnce()).sorted
-          ts(1)
-        } else t1
-        (if (i == 1) name else s"$name#$i") -> t
+        // Uniform median-of-3 (auto mode): single-shot timings are
+        // dominated by whichever GC pause / first-build cost happened to
+        // land on them — the round-7 driver sweep swung +30% on identical
+        // code and could no longer adjudicate the 2x gate by itself. The
+        // median of three runs is the steady-state per-query cost — the
+        // number a long-lived service pays — and the min bounds the
+        // machine's noise floor; both are recorded so a single sweep
+        // artifact carries its own error bars. SPARK_GRAFT_REPEAT>1
+        // (dev knob) keeps raw single-shot timings per iteration.
+        val (t, tMin) = if (repeat == 1) {
+          val ts = Seq(timeOnce(), timeOnce(), timeOnce()).sorted
+          (ts(1), ts(0))
+        } else { val t1 = timeOnce(); (t1, t1) }
+        (if (i == 1) name else s"$name#$i") -> (t, tMin)
       }
     }
     // Locale.ROOT: the f-interpolator uses the default locale, which on a
     // comma-decimal JVM would print "0,123" and break the JSON contract
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + sec(med) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + sec(mn) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMin = results.map(_._2._2).sum
     // The driver keeps only the tail of stdout, so the expensive per-query
     // map goes to an EARLIER line + a sidecar file, and the LAST line is a
     // compact totals object (~150 chars) that always survives truncation.
     val memoNote = memoWarmed.filter(_ => warmDir.nonEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -200,7 +203,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"median_of_3","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
