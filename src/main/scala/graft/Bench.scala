@@ -28,7 +28,8 @@ object Bench {
         "x30_semantic_dedup", "x37_ivf_knn_join", "x38_ann_recall",
         "x50_pq_codes", "x51_pq_adc_topk", "x52_ivfpq_topk",
         "x55_cluster_topics", "x57_hard_negatives", "x68_ivf_cell_stats",
-        "x82_ivf_persisted", "x83_ivfpq_persisted"),
+        "x82_ivf_persisted", "x83_ivfpq_persisted",
+        "x82b_ivf_probe", "x83b_ivfpq_probe"),
       "x-quality" -> Seq("x9_lang_id", "x10_quality", "x11_token_counts",
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",

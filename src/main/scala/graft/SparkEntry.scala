@@ -172,6 +172,7 @@ object SparkEntry {
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
     "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
     "x83_ivfpq_persisted" -> (VectorSearch.qIvfPqTopKPersisted _),
+    "x83b_ivfpq_probe" -> (VectorSearch.qIvfPqProbeOnly _),
     "x53_dsir_weights" -> (Dsir.qDsirWeights _),
     "x54_dsir_sample"  -> (Dsir.qDsirSample _),
     "x55_cluster_topics" -> (ClusterTopics.qClusterTopics _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "x26_knn_join"     -> (VectorSearch.qKnnJoin _),
     "x37_ivf_knn_join" -> (VectorSearch.qIvfKnnJoin _),
     "x82_ivf_persisted" -> (VectorSearch.qIvfKnnJoinPersisted _),
+    "x82b_ivf_probe" -> (VectorSearch.qIvfKnnJoinProbeOnly _),
     "x38_ann_recall"   -> (VectorSearch.qIvfRecall _),
     "x57_hard_negatives" -> (VectorSearch.qHardNegatives _),
     "x27_ngram_rep"    -> (TextQuality.qNgramRepetition _),
@@ -843,6 +845,10 @@ object SparkEntry {
     // (centroids + codebooks + cell-partitioned codes), so it shares
     // x52's oracle verbatim — the hash match proves lossless persistence
     "x83_ivfpq_persisted" -> graft.oracles.TrainSql.ivfPqSql(),
+    // x83b is the probe-only serving half (index memoized per session) —
+    // same oracle: the hash proves the memoized artifact serves exactly
+    // what a fresh build would
+    "x83b_ivfpq_probe" -> graft.oracles.TrainSql.ivfPqSql(),
     // x53/x54: hashed unigram+bigram bucket distributions (target vs raw),
     // add-1-smoothed log-likelihood-ratio scoring, Gumbel-top-k resample
     "x53_dsir_weights" -> graft.oracles.TrainSql.dsirWeightsSql(),
@@ -876,6 +882,8 @@ object SparkEntry {
     // x82 is x37 through a persisted index (quantizer + cell-partitioned
     // corpus on parquet, probe-from-disk) — shares x37's oracle verbatim
     "x82_ivf_persisted" -> graft.oracles.TrainSql.ivfKnnJoinSql(),
+    // x82b: probe-only serving half, same oracle as x37/x82
+    "x82b_ivf_probe"   -> graft.oracles.TrainSql.ivfKnnJoinSql(),
     "x38_ann_recall"   -> graft.oracles.TrainSql.ivfRecallSql(),
     // x57: the x37 chain truncated to the top-poolK pool, label
     // anti-filter vs the query's label, re-rank

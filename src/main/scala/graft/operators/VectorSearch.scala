@@ -230,12 +230,13 @@ object VectorSearch {
     */
   /** How many Lloyd trainings have run in this JVM — observability hook for
     * the persisted-index specs ("probe-from-disk must not retrain").
+    * AtomicLong: concurrent query execution must not lose increments.
     */
-  @volatile private[graft] var lloydRuns: Long = 0L
+  private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
                       iters: Int = 5): Array[Array[Double]] = {
-    lloydRuns += 1
+    lloydRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -973,6 +974,9 @@ object VectorSearch {
     * quantizer and the cell-partitioned corpus go to parquet, are read
     * back, and the query batch probes the files. Shares x37's oracle: a
     * hash match proves the artifact is lossless and serving never retrains.
+    * This registered query retrains + rewrites the artifact EVERY run by
+    * design (it benches the build pipeline); the serving number lives in
+    * x82b ([[qIvfKnnJoinProbeOnly]]).
     */
   def qIvfKnnJoinPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -984,12 +988,64 @@ object VectorSearch {
   /** x83: x52's IVF-PQ ADC search through a persisted index — centroids,
     * residual codebooks, and cell-partitioned code rows written to parquet
     * and probed from disk with a static cell partition filter. Shares
-    * x52's oracle (lossless persistence).
+    * x52's oracle (lossless persistence). Full build+probe cycle per run
+    * by design; the serving number lives in x83b ([[qIvfPqProbeOnly]]).
     */
   def qIvfPqTopKPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val dir = Artifacts.sessionScopedDir(spark, "ivfpq_index", sfDir)
     writeIvfPqIndex(e, dir)
+    probeIvfPqIndex(spark, dir, e, queryVecId = 0L)
+  }
+
+  /** Serve-path artifacts for the probe-only queries (x82b/x83b): the
+    * index is built at most once per JVM per (kind, corpus fingerprint) —
+    * like trained centroids or [[Bpe]]'s merge table, it is the durable
+    * model state a long-lived ANN service holds, so the registered query
+    * times the PROBE, not the training chain. Ordering-safe by
+    * construction: whichever registered query (or spec) asks first builds
+    * the artifact inside its own call; later callers memo-hit. The key
+    * folds in [[Caches.planMemoKey]]'s file fingerprint (name, length,
+    * mtime of every corpus file), so a rewritten corpus misses the memo
+    * and rebuilds instead of serving a stale index; an unverifiable
+    * fingerprint disables memoization (rebuild every call — correct,
+    * just no longer probe-only). Dir kinds are DISTINCT from the
+    * full-cycle queries' (x82/x83 overwrite their artifact every run —
+    * sharing a path would race a rewrite against a memo-hit read).
+    */
+  private val servedIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def servedIndexDir(spark: SparkSession, kind: String,
+                             corpus: DataFrame, fallbackKey: String)
+                            (build: String => Unit): String = {
+    val pk = Caches.planMemoKey(corpus)
+    def buildAt(): String = {
+      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey)
+      build(dir); dir
+    }
+    if (pk.isEmpty) buildAt()
+    else servedIndexMemo.computeIfAbsent(kind + "|" + pk, _ => buildAt())
+  }
+
+  /** x82b: the SERVING half of x82 — the batched probe against an IVF
+    * index built at most once per session (see [[servedIndexDir]]).
+    * Oracle = x37's SQL verbatim, so the row hash proves the memoized
+    * artifact serves exactly what a fresh build would.
+    */
+  def qIvfKnnJoinProbeOnly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = servedIndexDir(spark, "ivf_serve", e, sfDir)(d =>
+      writeIvfIndex(e.where(col("vec_id") % 50 =!= 0), d, trainSet = e))
+    probeIvfIndex(spark, dir, e.where(col("vec_id") % 50 === 0))
+  }
+
+  /** x83b: the SERVING half of x83 — the ADC probe against an IVF-PQ
+    * index built at most once per session. Oracle = x52's SQL verbatim.
+    */
+  def qIvfPqProbeOnly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = servedIndexDir(spark, "ivfpq_serve", e, sfDir)(writeIvfPqIndex(e, _))
     probeIvfPqIndex(spark, dir, e, queryVecId = 0L)
   }
 

@@ -254,14 +254,14 @@ class PlanSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
     VectorSearch.writeIvfPqIndex(emb, dir, nCells = 8, cIters = 2, iters = 2)
-    val lloydBefore = VectorSearch.lloydRuns
+    val lloydBefore = VectorSearch.lloydRuns.get()
     val probe = VectorSearch.probeIvfPqIndex(spark, dir, emb, queryVecId = 0L,
       kTop = 10, nprobe = 3)
     val rows = probe.collect()
     assert(rows.nonEmpty)
     // serving reads the model — Lloyd must not have run again
-    assert(VectorSearch.lloydRuns == lloydBefore,
-      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns}")
+    assert(VectorSearch.lloydRuns.get() == lloydBefore,
+      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns.get()}")
     // the probed cells are a STATIC partition filter on the codes scan:
     // only those cell directories are listed (inspect the pre-AQE physical
     // plan — the adaptive wrapper hides scan nodes from collectFirst)
@@ -286,16 +286,45 @@ class PlanSpec extends SparkSpec {
     val corpus = emb.where(col("vec_id") % 50 =!= 0)
     val queries = emb.where(col("vec_id") % 50 === 0)
     VectorSearch.writeIvfIndex(corpus, dir, nCells = 8, iters = 2, trainSet = emb)
-    val lloydBefore = VectorSearch.lloydRuns
+    val lloydBefore = VectorSearch.lloydRuns.get()
     val persisted = VectorSearch.probeIvfIndex(spark, dir, queries, k = 5, nprobe = 3)
       .orderBy("query_id", "rank").collect()
     assert(persisted.nonEmpty)
-    assert(VectorSearch.lloydRuns == lloydBefore,
-      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns}")
+    assert(VectorSearch.lloydRuns.get() == lloydBefore,
+      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns.get()}")
     val inline = VectorSearch.ivfKnnJoin(corpus, queries, k = 5, nCells = 8,
       nprobe = 3, iters = 2, trainSet = emb)
       .orderBy("query_id", "rank").collect()
     assert(persisted.toSeq == inline.toSeq)
+  }
+
+  test("probe-only serving queries (x82b/x83b): first call builds, later calls " +
+       "memo-hit without retraining, results identical to the full-cycle queries") {
+    import graft.operators.VectorSearch
+    // first call may build the artifact (0 or 1+ trainings depending on
+    // whether an earlier test already populated the memo for this corpus)
+    val first82 = VectorSearch.qIvfKnnJoinProbeOnly(spark, sf0001)
+      .orderBy("query_id", "rank").collect()
+    val first83 = VectorSearch.qIvfPqProbeOnly(spark, sf0001).collect()
+    assert(first82.nonEmpty && first83.nonEmpty)
+    // second call must serve from the memoized artifact: zero Lloyd runs
+    val lloydBefore = VectorSearch.lloydRuns.get()
+    val second82 = VectorSearch.qIvfKnnJoinProbeOnly(spark, sf0001)
+      .orderBy("query_id", "rank").collect()
+    val second83 = VectorSearch.qIvfPqProbeOnly(spark, sf0001).collect()
+    assert(VectorSearch.lloydRuns.get() == lloydBefore,
+      s"probe-only re-call retrained: $lloydBefore -> ${VectorSearch.lloydRuns.get()}")
+    assert(second82.toSeq == first82.toSeq)
+    assert(second83.toSeq == first83.toSeq)
+    // ordering safety vs the full-cycle queries: x82/x83 overwrite THEIR
+    // artifact dirs; the served artifact must be unaffected
+    VectorSearch.qIvfKnnJoinPersisted(spark, sf0001).count()
+    val full83 = VectorSearch.qIvfPqTopKPersisted(spark, sf0001).collect()
+    val third82 = VectorSearch.qIvfKnnJoinProbeOnly(spark, sf0001)
+      .orderBy("query_id", "rank").collect()
+    assert(third82.toSeq == first82.toSeq)
+    // and the served results equal the full-cycle computation exactly
+    assert(first83.toSeq == full83.toSeq)
   }
 
   test("no registered query plans a cartesian product or an unjustified nested-loop join") {
@@ -349,6 +378,8 @@ class PlanSpec extends SparkSpec {
                              // persisted index instead of trained inline
       "x83_ivfpq_persisted", // x52's 1-row LUT-stack broadcast over the
                              // partition-pruned codes scan
+      "x82b_ivf_probe",      // x82's probe half verbatim (memoized artifact)
+      "x83b_ivfpq_probe",    // x83's probe half verbatim (memoized artifact)
       "x68_ivf_cell_stats",  // the IVF family's broadcast centroid frame; the
                              // per-cell aggregate is a plain hash aggregate
       "x69_source_drift",    // 1-row corpus-token-total aggregate onto the
