@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.{TextFns, TopKWords}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -119,19 +120,30 @@ object DocStream {
     * (Spark redelivers the same batchId after a crash) therefore either
     * (a) sees the marker and returns the persisted verdicts without
     * recomputing or re-appending, or (b) wholesale-replaces its own
-    * half-written partition before committing. The state read is pinned
-    * to `batch_id < batchId` — committed predecessors only (micro-batches
-    * commit in order), never this batch's own partial leftovers.
-    * (The marker check/create uses `java.io.File` — a cluster deployment
-    * with remote state storage swaps those two lines for the Hadoop
-    * FileSystem API; the commit protocol itself is storage-agnostic.)
+    * half-written partition before committing. All marker and listing
+    * operations go through `org.apache.hadoop.fs.FileSystem`, so the
+    * protocol holds unchanged on HDFS/S3A state dirs, not just local
+    * paths. The state read never lists the bands/sigs roots: it reads an
+    * EXPLICIT path list built from the commits/ directory (committed
+    * predecessor partitions only, `basePath`-anchored), so a visible but
+    * footerless partition left by a crashed attempt — including this
+    * batch's own — can never poison schema inference on a retry.
+    *
+    * Long-running streams: every micro-batch adds one `batch_id=` delta
+    * partition, so after `compactEvery` committed deltas the state is
+    * COMPACTED — rewritten into one sorted generation table (see
+    * [[compactAdmissionState]]); reads then union the latest committed
+    * generation with the deltas that followed it.
     */
   private[graft] def admitBatch(batch: DataFrame, stateDir: String,
-                                minEstJaccard: Double, batchId: Long): DataFrame = {
+                                minEstJaccard: Double, batchId: Long,
+                                compactEvery: Int = 8): DataFrame = {
     val sparkPre = batch.sparkSession
-    val commitMarker = new java.io.File(s"$stateDir/commits/$batchId")
+    val fs = stateFs(sparkPre, stateDir)
+    val commitsDir = new Path(s"$stateDir/commits")
+    val commitMarker = new Path(commitsDir, batchId.toString)
     val verdictsPath = s"$stateDir/verdicts/batch_id=$batchId"
-    if (commitMarker.exists())
+    if (fs.exists(commitMarker))
       return sparkPre.read.parquet(verdictsPath)
     graft.operators.Caches.withScope {
       val spark = sparkPre
@@ -142,31 +154,20 @@ object DocStream {
       val bands = Dedup.bandRows(sigs)
       val bandsPath = s"$stateDir/bands"
       val sigsPath = s"$stateDir/sigs"
-      // gate the state read on COMMITTED prior batches, not directory
-      // existence: a batch-0 crash between the bands and sigs writes
-      // leaves bandsPath existing (possibly footerless) with no sigs —
-      // reading it on retry would fail deterministically forever
-      val haveState = {
-        val commits = new java.io.File(s"$stateDir/commits")
-        commits.exists && commits.listFiles().exists(f =>
-          f.getName.toLongOption.exists(_ < batchId))
-      }
-      val extColl: Set[Long] = if (!haveState) Set.empty else {
-        val stBands = spark.read.parquet(bandsPath)
-          .where(col("batch_id") < batchId)
-          .withColumnRenamed("doc_id", "old_id")
-        val stSigs = spark.read.parquet(sigsPath)
-          .where(col("batch_id") < batchId)
-          .select(col("doc_id").as("old_id"), col("signature").as("old_sig"))
-        bands.join(stBands, Seq("band_idx", "band_key"))
-          .select("doc_id", "old_id").distinct()
-          .join(sigs, "doc_id")
-          .join(stSigs, "old_id")
-          .where((size(filter(zip_with(col("signature"), col("old_sig"),
-              (x, y) => x === y), b => b)).cast("double") / Dedup.NumHashes)
-            >= minEstJaccard)
-          .select(col("doc_id")).distinct().as[Long].collect().toSet
-      }
+      val extColl: Set[Long] = committedState(spark, fs, stateDir, batchId)
+        .map { case (stBandsRaw, stSigsRaw) =>
+          val stBands = stBandsRaw.withColumnRenamed("doc_id", "old_id")
+          val stSigs = stSigsRaw
+            .select(col("doc_id").as("old_id"), col("signature").as("old_sig"))
+          bands.join(stBands, Seq("band_idx", "band_key"))
+            .select("doc_id", "old_id").distinct()
+            .join(sigs, "doc_id")
+            .join(stSigs, "old_id")
+            .where((size(filter(zip_with(col("signature"), col("old_sig"),
+                (x, y) => x === y), b => b)).cast("double") / Dedup.NumHashes)
+              >= minEstJaccard)
+            .select(col("doc_id")).distinct().as[Long].collect().toSet
+        }.getOrElse(Set.empty)
       // within-batch near-dup pairs (id1 < id2), then the greedy scan in
       // arrival (doc_id) order — both bounded by the micro-batch
       val internal = Dedup.minhashLshPairs(docs, minEstJaccard)
@@ -187,9 +188,122 @@ object DocStream {
         .parquet(s"$sigsPath/batch_id=$batchId")
       val verdictsDf = verdicts.toSeq.toDF("doc_id", "kept")
       verdictsDf.write.mode("overwrite").parquet(verdictsPath)
-      commitMarker.getParentFile.mkdirs()
-      commitMarker.createNewFile()
+      fs.mkdirs(commitsDir)
+      fs.createNewFile(commitMarker)
+      // state maintenance AFTER the commit: this batch's result is durable
+      // whether or not the compaction below completes
+      if (compactEvery > 0) {
+        val upto = latestCompaction(fs, stateDir).map(_._2).getOrElse(-1L)
+        if (listCommitted(fs, commitsDir).count(_ > upto) >= compactEvery)
+          compactAdmissionState(spark, stateDir)
+      }
       verdictsDf
+    }
+  }
+
+  private def stateFs(spark: SparkSession, stateDir: String): FileSystem =
+    new Path(stateDir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def listCommitted(fs: FileSystem, commitsDir: Path): Seq[Long] =
+    if (!fs.exists(commitsDir)) Seq.empty
+    else fs.listStatus(commitsDir).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption)
+
+  /** Latest committed compaction generation as (gen, upto): the marker
+    * file name `<gen>_<upto>` carries both, so readers never open marker
+    * contents. Absent dir / unparsable names → no compaction.
+    */
+  private def latestCompaction(fs: FileSystem, stateDir: String): Option[(Long, Long)] = {
+    val dir = new Path(s"$stateDir/compact_commits")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.flatMap { s =>
+      s.getPath.getName.split("_") match {
+        case Array(g, u) =>
+          for (gl <- g.toLongOption; ul <- u.toLongOption) yield (gl, ul)
+        case _ => None
+      }
+    }.maxByOption(_._1)
+  }
+
+  /** The committed admission state visible to `batchId`, as (bands, sigs)
+    * frames — None when no predecessor has committed. Reads ONLY explicit
+    * committed paths: the latest compacted generation (if any) unioned
+    * with the delta partitions that committed after it, each delta named
+    * by its commits/ marker and read under `basePath` so `batch_id` stays
+    * a partition column. A corrupt uncommitted partition (crashed attempt)
+    * is never in the list, so it can never fail a retry's schema
+    * inference.
+    */
+  private def committedState(spark: SparkSession, fs: FileSystem,
+                             stateDir: String,
+                             batchId: Long): Option[(DataFrame, DataFrame)] = {
+    val comp = latestCompaction(fs, stateDir).filter(_._2 < batchId)
+    val upto = comp.map(_._2).getOrElse(-1L)
+    val deltas = listCommitted(fs, new Path(s"$stateDir/commits"))
+      .filter(b => b > upto && b < batchId).sorted
+    if (comp.isEmpty && deltas.isEmpty) None
+    else {
+      def read(sub: String, cols: Seq[String]): DataFrame = {
+        val root = s"$stateDir/$sub"
+        val deltaDf =
+          if (deltas.isEmpty) None
+          else Some(spark.read.option("basePath", root)
+            .parquet(deltas.map(b => s"$root/batch_id=$b"): _*)
+            .select(cols.map(col): _*))
+        val compDf = comp.map { case (g, _) =>
+          spark.read.parquet(s"$stateDir/compact/gen=$g/$sub")
+            .select(cols.map(col): _*)
+        }
+        (compDf.toSeq ++ deltaDf.toSeq).reduce(_.unionByName(_))
+      }
+      Some((read("bands", Seq("doc_id", "band_idx", "band_key")),
+            read("sigs", Seq("doc_id", "signature"))))
+    }
+  }
+
+  /** Compact the admission state: rewrite the latest compacted generation
+    * plus every delta partition committed since into ONE sorted state
+    * table per side (`compact/gen=<g>/{bands,sigs}`), committed by a
+    * `compact_commits/<g>_<upto>` marker written LAST. Readers always use
+    * the highest committed generation, so a crash at any point leaves the
+    * previous state fully readable: a half-written generation has no
+    * marker and is simply overwritten by the next attempt (same gen id).
+    * After the marker commits, superseded delta partitions and older
+    * generations are garbage-collected best-effort — a crash mid-GC
+    * leaves stale directories no read path references, and the next
+    * compaction's GC (strictly larger `upto`) retries them.
+    *
+    * Bands sort by (band_idx, band_key): the probe join's keys become
+    * contiguous runs, so parquet row-group stats prune non-colliding
+    * ranges — the "one sorted band table" a long-running admission
+    * service wants instead of thousands of per-batch files.
+    */
+  private[graft] def compactAdmissionState(spark: SparkSession,
+                                           stateDir: String): Unit = {
+    val fs = stateFs(spark, stateDir)
+    val committed = listCommitted(fs, new Path(s"$stateDir/commits"))
+    if (committed.isEmpty) return
+    val upto = committed.max
+    val prevGen = latestCompaction(fs, stateDir)
+    if (prevGen.exists(_._2 >= upto)) return // nothing new to fold in
+    val gen = prevGen.map(_._1 + 1).getOrElse(0L)
+    committedState(spark, fs, stateDir, upto + 1).foreach { case (bands, sigs) =>
+      bands.sort("band_idx", "band_key", "doc_id")
+        .write.mode("overwrite").parquet(s"$stateDir/compact/gen=$gen/bands")
+      sigs.sort("doc_id")
+        .write.mode("overwrite").parquet(s"$stateDir/compact/gen=$gen/sigs")
+      val marker = new Path(s"$stateDir/compact_commits/${gen}_$upto")
+      fs.mkdirs(marker.getParent)
+      fs.createNewFile(marker)
+      for (b <- committed; sub <- Seq("bands", "sigs"))
+        try fs.delete(new Path(s"$stateDir/$sub/batch_id=$b"), true)
+        catch { case _: Throwable => () }
+      for ((g, u) <- prevGen) {
+        try fs.delete(new Path(s"$stateDir/compact/gen=$g"), true)
+        catch { case _: Throwable => () }
+        try fs.delete(new Path(s"$stateDir/compact_commits/${g}_$u"), false)
+        catch { case _: Throwable => () }
+      }
     }
   }
 

@@ -117,6 +117,49 @@ class NearDupStreamSpec extends SparkSpec {
     assert(!v3(900001L), "post-retry batches admit against committed state")
   }
 
+  test("admission-state compaction: verdicts identical with and without " +
+       "compaction, probes read the compacted generation, files shrink") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("w12-nocompact").toString
+    val dirB = java.nio.file.Files.createTempDirectory("w12-compact").toString
+    def partFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(root))
+    }
+    // five micro-batches; B compacts every 2 committed deltas, A never
+    for (i <- 0 until 5) {
+      val b = docs.where(col("doc_id") % 5 === i)
+      val va = DocStream.admitBatch(b, dirA, 0.5, i.toLong, compactEvery = 0)
+        .as[(Long, Boolean)].collect().toMap
+      val vb = DocStream.admitBatch(b, dirB, 0.5, i.toLong, compactEvery = 2)
+        .as[(Long, Boolean)].collect().toMap
+      assert(va == vb, s"batch $i verdicts diverge under compaction")
+    }
+    // B holds a committed generation and strictly fewer state files than A
+    assert(new java.io.File(s"$dirB/compact_commits").listFiles().nonEmpty,
+      "compaction must have committed a generation")
+    val (filesA, filesB) = (partFiles(s"$dirA/bands") + partFiles(s"$dirA/sigs"),
+      partFiles(s"$dirB/bands") + partFiles(s"$dirB/sigs") +
+      partFiles(s"$dirB/compact"))
+    assert(filesB < filesA, s"compacted state must shrink: A=$filesA B=$filesB")
+    info(s"state part files after 5 batches: uncompacted=$filesA compacted=$filesB")
+    // post-hoc compaction of A preserves probe behavior: clones of
+    // already-admitted docs are rejected through the compacted state on
+    // both sides, with identical verdicts
+    DocStream.compactAdmissionState(spark, dirA)
+    val probe = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"))
+    val pa = DocStream.admitBatch(probe, dirA, 0.5, 5L, compactEvery = 0)
+      .as[(Long, Boolean)].collect().toMap
+    val pb = DocStream.admitBatch(probe, dirB, 0.5, 5L, compactEvery = 2)
+      .as[(Long, Boolean)].collect().toMap
+    assert(pa == pb, "post-compaction probes diverge")
+    assert(pa.values.forall(_ == false),
+      "every clone of an admitted doc must be rejected through compacted state")
+  }
+
   test("admitBatch first-batch retry: a crash between the state writes " +
        "leaves no marker, and the retry must not trip over partial state") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
