@@ -17,7 +17,8 @@ object Bench {
       "x-dedup" -> Seq("x1_exact_digest", "x2_jaccard_pairs", "x2b_jaccard_capped",
         "x3_minhash_lsh", "x3b_minhash_lsh_capped", "x4_simhash_pairs",
         "x33_dup_spans", "x36_containment", "x36b_containment_capped",
-        "x45_minhash_dedup", "x45b_minhash_dedup_iter", "x60_dedup_report",
+        "x45_minhash_dedup", "x45b_minhash_dedup_iter",
+        "x45c_minhash_dedup_digest", "x60_dedup_report",
         "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats",
         "x77_substr_decontaminate",
         "x66_incremental_dedup", "x67_novelty_curve",

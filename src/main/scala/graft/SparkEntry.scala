@@ -152,6 +152,7 @@ object SparkEntry {
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
+    "x45c_minhash_dedup_digest" -> (Dedup.qMinhashDedupDigestFirst _),
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
     "x77_substr_decontaminate" -> (Dedup.qSubstrDecontaminate _),
@@ -806,6 +807,9 @@ object SparkEntry {
       SemanticSearch.VocabSize, SemanticSearch.Threshold),
     "x45_minhash_dedup" -> graft.oracles.TrainSql.minhashDedupSql(),
     "x45b_minhash_dedup_iter" -> graft.oracles.TrainSql.minhashDedupIterSql(),
+    // x45c runs the digest-first collapse on the identical planted corpus
+    // — same oracle as x45b: the hash proves rep-graph ≡ member-graph
+    "x45c_minhash_dedup_digest" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
     "x77_substr_decontaminate" -> graft.oracles.TrainSql.substrDecontaminateSql(),

@@ -200,6 +200,36 @@ class DedupGuardSpec extends SparkSpec {
       s"planted clones must all be dropped members of a ≥201 family")
   }
 
+  test("x45c digest-first dedup is output-identical to member-level, " +
+       "capped and uncapped, and null-text docs stay kept singletons") {
+    val planted = Dedup.plantedHotCorpus(Tables.documents(spark, sf0001))
+    val member = Dedup.minhashDedup(planted)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val digest = Dedup.minhashDedup(planted, digestFirst = true)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(digest == member, "digest-first must be output-identical")
+    // capped: member-weighted bucket caps must reproduce the member-level
+    // drop set — including the fully-capped family whose members revert
+    // to singletons (cap below the 201-strong planted family)
+    for (cap <- Seq(50, 150, 500)) {
+      val m = Dedup.minhashDedup(planted, maxBucketSize = cap)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val d = Dedup.minhashDedup(planted, maxBucketSize = cap, digestFirst = true)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(d == m, s"capped divergence at maxBucketSize=$cap")
+    }
+    // null-text docs must not collapse into one "identical" family
+    val withNulls = planted.unionByName(
+      Seq((990001L, null: String), (990002L, null: String)).toDF("doc_id", "text"))
+    for (df <- Seq(false, true)) {
+      val out = Dedup.minhashDedup(withNulls, digestFirst = df)
+        .where(col("doc_id") >= 990000L)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(out == Set((990001L, 990001L, 1L, true), (990002L, 990002L, 1L, true)),
+        s"null-text docs must stay kept singletons (digestFirst=$df), got $out")
+    }
+  }
+
   test("prefix-filtered jaccard equals the naive all-pairs join at every threshold") {
     // exactness of the PPJoin-style candidate pruning: same pairs, same
     // values as the single-join form the DuckDB oracle runs

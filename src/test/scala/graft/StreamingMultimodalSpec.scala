@@ -324,6 +324,54 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dups(2)._2 == 1L && dups(3)._2 == 1L && dups(4)._2 == 1L)
   }
 
+  test("multimodal: PNG and JPEG assets decode FOR REAL through the same " +
+       "seam, kind gates the decoder, content identity crosses containers") {
+    def encode(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JVM must ship a $fmt writer")
+      bos.toByteArray
+    }
+    def grad(x: Int, y: Int): Int = ((x * 37 + y * 11) % 256) * 0x010101
+    val png = encode("png", 6, 4)(grad)
+    val jpg = encode("jpg", 5, 7)(grad)
+    val bmp = encode("bmp", 6, 4)(grad)
+    assert(png(0) == 0x89.toByte && jpg(0) == 0xFF.toByte, "real containers")
+    val assets = Seq(
+      Multimodal.Asset(0L, "image", png),
+      Multimodal.Asset(1L, "image", jpg),
+      Multimodal.Asset(2L, "image", bmp),
+      // same PNG bytes under a non-image kind: the typed kind column, not
+      // payload sniffing, selects the decoder — this must take the fake
+      Multimodal.Asset(3L, "audio", png.clone())).toDS()
+    val metas = Multimodal.extractMeta(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    // true raster dimensions from both containers (the stub would derive
+    // fake dims from the first two bytes)
+    assert(metas(0L).width == 6 && metas(0L).height == 4, "PNG real dims")
+    assert(metas(1L).width == 5 && metas(1L).height == 7, "JPEG real dims")
+    // PNG is lossless: the same raster through PNG and BMP containers has
+    // the same decoded-pixel checksum — content identity, not bytes
+    assert(metas(0L).checksum == metas(2L).checksum,
+      "PNG and BMP encodings of one raster are the same content")
+    // m6: they form one content family despite different container bytes
+    val dups = Multimodal.exactAssetDups(
+        assets.filter(_.asset_id < 3L)).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("family_size")).toMap
+    assert(dups(0L) == 2L && dups(2L) == 2L && dups(1L) == 1L)
+    // kind gating: identical PNG bytes under kind=audio take the fake path
+    assert(metas(3L).width == (png(0) & 0x3F) + 1 &&
+      metas(3L).height == (png(1) & 0x3F) + 1,
+      "non-image kind must not decode as an image")
+    // m4: resample reads the real decoded raster for both formats
+    val resized = Multimodal.resize(assets, 2, 2).collect()
+      .map(r => r.asset_id -> r.payload).toMap
+    assert((resized(0L)(0) & 0xFF) == 0, "PNG gradient pixel (0,0) lum = 0")
+    assert(resized.contains(1L) && !resized.contains(3L))
+  }
+
   test("multimodal: WAV assets decode FOR REAL — container sample rate, " +
        "channels, sample width, frame length; non-WAV falls to the fake") {
     import javax.sound.sampled._
