@@ -50,11 +50,18 @@ object Caches {
     * explicit release it parks executor memory until its Dataset is GC'd.
     * Inside a [[withScope]], the underlying RDD is blocking-unpersisted at
     * scope exit (the body must have evaluated anything derived from it, the
-    * same contract [[shared]] carries). Outside a scope it behaves exactly
-    * like `localCheckpoint()`. Call sites that stop needing the checkpoint
-    * mid-flight (a collected edge list, a superseded loop iterate) should
-    * additionally release eagerly via [[releaseCheckpoint]] — release is
-    * idempotent.
+    * same contract [[shared]] carries). WARNING — this contract is STRICTER
+    * than [[shared]]'s in one way: a released `shared` frame silently
+    * recomputes from lineage, but a released localCheckpoint CANNOT (its
+    * lineage is truncated), so a checkpointed frame that escapes the scope
+    * unevaluated throws "checkpoint block not found" when a later caller
+    * finally evaluates it. A frame (or anything derived from it) that may
+    * outlive the scope must either be fully materialized inside the scope
+    * or not be checkpointed through this helper. Outside a scope it behaves
+    * exactly like `localCheckpoint()`. Call sites that stop needing the
+    * checkpoint mid-flight (a collected edge list, a superseded loop
+    * iterate) should additionally release eagerly via [[releaseCheckpoint]]
+    * — release is idempotent.
     */
   def checkpointed(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()

@@ -298,6 +298,20 @@ class PlanSpec extends SparkSpec {
     assert(persisted.toSeq == inline.toSeq)
   }
 
+  test("langId/qualityScore evaluate the word-extraction regex once per row " +
+       "(staged column survives projection collapse)") {
+    import graft.operators.TextQuality
+    for ((name, df) <- Seq(
+        "x9_lang_id" -> TextQuality.qLangId(spark, sf0001),
+        "x10_quality" -> TextQuality.qQuality(spark, sf0001))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      val n = "regexp_extract_all".r.findAllIn(plan).length
+      assert(n == 1,
+        s"$name: expected ONE word-extraction regexp_extract_all in the " +
+          s"optimized plan, found $n")
+    }
+  }
+
   test("probe-only serving queries (x82b/x83b): first call builds, later calls " +
        "memo-hit without retraining, results identical to the full-cycle queries") {
     import graft.operators.VectorSearch
