@@ -361,8 +361,8 @@ object DocStream {
       .parquet(dir)
     src.select(col("source"), TextFns.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(graft.operators.Dedup.shinglesFromTokens(col("toks"))).as("shingle"))
-      .select(col("source"), graft.operators.Dedup.md5Long60(col("shingle")).as("h60"))
+        explode(org.apache.spark.sql.graftext.ShingleHashExpr
+          .shingleHashes(col("toks"), 0L)).as("h60"))
       .groupBy("source")
       .agg(graft.functions.KmvSketch.kmv(col("h60"), k).as("sk"))
       .select(col("source"), col("sk.n_kept").as("n_kept"),
@@ -449,11 +449,12 @@ object DocStream {
     * the partitioned equi-join on the band key, where x70's
     * band_idx-partitioned layout keeps the static side's scan pruned.
     *
-    * The MinHash signature is computed PER ROW (array algebra over the
-    * document's own shingle set — no explode/groupBy, so the streaming
-    * plan carries zero aggregation state; min over the multiset equals
-    * min over the distinct set, so it matches [[graft.operators.Dedup
-    * .minhashSignatures]] exactly). Band rows fan out via posexplode
+    * The MinHash signature is computed PER ROW (the fused
+    * [[org.apache.spark.sql.graftext.MinHashSigExpr]] kernel over the
+    * document's own shingle multiset — no explode/groupBy, so the
+    * streaming plan carries zero aggregation state; min over the multiset
+    * equals min over the distinct set, so it matches
+    * [[graft.operators.Dedup.minhashSignatures]] exactly). Band rows fan out via posexplode
     * (a stateless generator), join the static index bands, verify
     * against the static index signatures, and the sink gets one row per
     * (delta doc, matching index doc). Verdicts are a batch aggregate
@@ -465,14 +466,12 @@ object DocStream {
                                  deltaMod: Int = 5): DataFrame = {
     import graft.operators.Dedup
     val toks = TextFns.tokens(col("text"))
-    val hs = transform(Dedup.shinglesFromTokens(col("__toks")),
-      s => pmod(Dedup.md5Long60(s), lit(Dedup.Prime)))
+    val hs = org.apache.spark.sql.graftext.ShingleHashExpr
+      .shingleHashes(col("__toks"), Dedup.Prime)
     val as = Dedup.HashParams.map(_._1).toArray
     val bs = Dedup.HashParams.map(_._2).toArray
-    val signature = transform(sequence(lit(0), lit(Dedup.NumHashes - 1)), i =>
-      array_min(transform(col("__hs"), h =>
-        pmod(h * element_at(lit(as), i + 1) + element_at(lit(bs), i + 1),
-          lit(Dedup.Prime)))))
+    val signature = org.apache.spark.sql.graftext.MinHashSigExpr
+      .minhashSig(col("__hs"), as, bs, Dedup.Prime)
     val bandKeys = transform(sequence(lit(0), lit(Dedup.NumBands - 1)), b =>
       Dedup.md5Long60(concat_ws("_", b,
         slice(col("signature"), b * Dedup.RowsPerBand + 1, lit(Dedup.RowsPerBand)))))
