@@ -110,9 +110,24 @@ object TextQuality {
     *
     * The token array is staged as a column first: the fold lambda would
     * otherwise re-run the tokenizer per element (cross-lambda-boundary
-    * rule, see NOTES.md).
+    * rule, see NOTES.md). The fold itself is the fused
+    * [[org.apache.spark.sql.graftext.RollingHashExpr]] kernel (the
+    * composable `aggregate` form ran an interpreted md5+pmod lambda per
+    * token; kept as [[fingerprintsHof]] for the equality spec).
     */
   def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    docs.select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        md5(norm.cast("binary")).as("content_md5"),
+        org.apache.spark.sql.graftext.ShingleHashExpr
+          .rollingFingerprint(col("__toks")).as("rolling_hash"))
+  }
+
+  /** The interpreted-fold fingerprint form used before the fused kernel —
+    * retained as the reference implementation for the equality spec.
+    */
+  private[graft] def fingerprintsHof(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val rolling = aggregate(
       col("__toks"), lit(0L),

@@ -304,11 +304,23 @@ object VectorSearch {
   }
 
   /** Cell assignment as pure column algebra over the centroid-matrix
-    * COLUMN: argmin of the k squared distances (`transform` over the
-    * matrix, `array_min`, `array_position` — ties to the lower cell).
-    * No UDF, one lambda regardless of k.
+    * COLUMN: argmin of the k squared distances (the fused
+    * [[org.apache.spark.sql.graftext.SqDistsExpr]] kernel, `array_min`,
+    * `array_position` — ties to the lower cell). No UDF, no
+    * data-dependent plan literal; the kernel replaced a
+    * `transform(aggregate(zip_with))` grid that ran k×dim interpreted
+    * lambda applications per vector (kept as [[cellOfHof]] for the
+    * equality spec).
     */
   def cellOf(vec: Column, cents: Column): Column = {
+    val dists = org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol(vec, cents)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The nested-HOF assignment form used before the fused kernel —
+    * retained as the reference implementation for the equality spec.
+    */
+  private[graft] def cellOfHof(vec: Column, cents: Column): Column = {
     val dists = transform(cents, c =>
       aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x))
@@ -380,19 +392,17 @@ object VectorSearch {
     * already-assigned corpus — the [[ivfKnnJoin]] back half, shared with
     * [[ivfRecall]] so the recall diagnostic trains Lloyd ONCE and both
     * arms reuse one corpus subtree. The query side's (dist, cell) struct
-    * array is a single indexed `transform` over the broadcast centroid
-    * column — same argmin/tie conventions as [[cellOf]], no driver
-    * round-trip, no data-dependent plan literal.
+    * array zips the fused [[org.apache.spark.sql.graftext.SqDistsExpr]]
+    * distances with their indices — same argmin/tie conventions as
+    * [[cellOf]], no driver round-trip, no data-dependent plan literal.
     */
   private def ivfKnnJoinAssigned(withCell: DataFrame, queries: DataFrame,
                                  centroids: Array[Array[Double]], k: Int,
                                  nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val distStructs = transform(col("__cents"), (c, i) =>
-      struct(
-        aggregate(zip_with(col("qv"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x).as("dist"),
-        i.as("cell")))
+    val distStructs = transform(
+      org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol(col("qv"), col("__cents")),
+      (d, i) => struct(d.as("dist"), i.as("cell")))
     val probed = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .crossJoin(broadcast(centroidsFrame(withCell.sparkSession, centroids)))
@@ -1079,9 +1089,8 @@ object VectorSearch {
     val assigned = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(centroidsFrame(spark, centroids)))
-      .withColumn("dists", transform(col("__cents"), c =>
-        aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x)))
+      .withColumn("dists",
+        org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol(col("v"), col("__cents")))
       .select(
         (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int")
           .as("cell"),

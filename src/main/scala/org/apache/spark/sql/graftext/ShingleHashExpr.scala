@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
@@ -105,6 +106,46 @@ case class WindowHashExpr(child: Expression, windowTokens: Int, prime: Long)
     copy(child = newChild)
 }
 
+/** Fused rolling polynomial hash over a token stream — the x12
+  * fingerprint fold `aggregate(toks, 0L, (acc, t) => pmod(acc*1000003 +
+  * pmod(md5Long60(t), 1000000007), 2147483647))`
+  * ([[graft.operators.TextQuality.fingerprints]]) as one primitive loop
+  * with a per-token digest (no interpreted fold lambda, no hex
+  * round-trip). All intermediate products fit in a long
+  * (`acc < 2^31`, `acc*1000003 < 2^51`), so plain `%` over non-negative
+  * operands IS `pmod`.
+  *
+  * Null semantics match the fold EXACTLY: null array → null; any null
+  * token poisons the accumulator (`acc + null`) and the final result is
+  * null; an empty array returns the 0 seed.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashExpr.rollingHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${childGen.isNull}) {
+        Long $boxed = org.apache.spark.sql.graftext.ShingleHashExpr.rollingHash(${childGen.value});
+        if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleHashExpr {
 
   private val SpaceByte: Byte = ' '.toByte
@@ -186,6 +227,25 @@ object ShingleHashExpr {
     }
   }
 
+  /** The x12 rolling-fingerprint fold (see [[RollingHashExpr]]); null when
+    * any token is null — `acc + null` poisons the HOF fold the same way.
+    */
+  def rollingHash(arr: ArrayData): java.lang.Long = {
+    val md = localMd5.get()
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val hmod = finish60(md, 0L) % 1000000007L
+      acc = (acc * 1000003L + hmod) % 2147483647L
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Column API: per-document shingle-hash array — 3-token shingles,
     * 60-bit md5 prefix, reduced mod `prime`.
     */
@@ -198,4 +258,8 @@ object ShingleHashExpr {
   def windowHashes(tokens: Column, windowTokens: Int, prime: Long): Column =
     ExpressionUtils.column(
       WindowHashExpr(ExpressionUtils.expression(tokens), windowTokens, prime))
+
+  /** Column API: the x12 rolling polynomial fingerprint of a token array. */
+  def rollingFingerprint(tokens: Column): Column =
+    ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(tokens)))
 }

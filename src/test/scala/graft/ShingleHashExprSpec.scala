@@ -88,6 +88,30 @@ class ShingleHashExprSpec extends SparkSpec {
     assert(short.getSeq[Long](0).isEmpty)
   }
 
+  test("rolling-fingerprint kernel equals the interpreted fold") {
+    import org.apache.spark.sql.graftext.ShingleHashExpr.rollingFingerprint
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val kernel = graft.operators.TextQuality.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    val hof = graft.operators.TextQuality.fingerprintsHof(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(kernel.nonEmpty && kernel == hof)
+    // edge shapes: empty array -> 0 seed; null token -> null; null array -> null
+    val edges = spark.sql(
+      """SELECT 0 AS id, CAST(array() AS array<string>) AS toks
+        |UNION ALL SELECT 1, array('a', CAST(NULL AS string))
+        |UNION ALL SELECT 2, CAST(NULL AS array<string>)
+        |""".stripMargin)
+    val hofRoll = aggregate(col("toks"), lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(Dedup.md5Long60(t), lit(1000000007L)),
+        lit(2147483647L)))
+    val rows = edges.select(col("id"), rollingFingerprint(col("toks")).as("k"), hofRoll.as("h"))
+      .orderBy("id").collect()
+    rows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+    assert(rows(0).getLong(1) == 0L && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("distinct kernel hashes equal the batch explode path mod Prime") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol
+
+/** The fused squared-distances kernel must agree EXACTLY with the
+  * `transform(cents, c => aggregate(zip_with(v, c, (x,y)=>(x-y)²), 0, +))`
+  * form it replaced — bit-identical float sums (same index-ascending
+  * order) on real embeddings, and matching null semantics on every edge
+  * shape (null matrix → null; null vector → k nulls; null centroid row /
+  * length mismatch / null element → that element null) — in both codegen
+  * and interpreted paths. Cell assignment through [[graft.operators
+  * .VectorSearch.cellOf]] must be unchanged vs the retained HOF form.
+  */
+class SqDistsExprSpec extends SparkSpec {
+
+  private def hofDists = transform(col("cents"), c =>
+    aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x))
+
+  private def edgeFrames = spark.sql(
+    """SELECT 0 AS id, array(1.0d, 2.0d, 3.0d) AS v,
+      |       array(array(1.0d, 2.0d, 3.0d), array(0.5d, -1.5d, 2.25d)) AS cents
+      |UNION ALL SELECT 1, array(0.1d, 0.2d), array(array(0.3d, 0.4d))
+      |UNION ALL SELECT 2, array(1.0d, 2.0d), CAST(NULL AS array<array<double>>)
+      |UNION ALL SELECT 3, CAST(NULL AS array<double>), array(array(1.0d), array(2.0d))
+      |UNION ALL SELECT 4, array(1.0d, 2.0d),
+      |       array(CAST(NULL AS array<double>), array(3.0d, 4.0d))
+      |UNION ALL SELECT 5, array(1.0d, 2.0d), array(array(3.0d))
+      |UNION ALL SELECT 6, array(1.0d, CAST(NULL AS double)),
+      |       array(array(3.0d, 4.0d))
+      |""".stripMargin)
+
+  test("kernel equals the HOF form on every edge shape, codegen path") {
+    val rows = edgeFrames
+      .select(col("id"), sqDistsCol(col("v"), col("cents")).as("k"), hofDists.as("h"))
+      .orderBy("id").collect()
+    rows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+    assert(rows(2).isNullAt(1))                       // null matrix -> null
+    assert(rows(3).getSeq[Any](1) == Seq(null, null)) // null vector -> k nulls
+    assert(rows(5).getSeq[Any](1) == Seq(null))       // length mismatch -> null elem
+  }
+
+  test("kernel equals the HOF form on every edge shape, interpreted path") {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val rows = edgeFrames
+        .select(col("id"), sqDistsCol(col("v"), col("cents")).as("k"), hofDists.as("h"))
+        .orderBy("id").collect()
+      rows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cell assignment is bit-identical to the HOF form on real embeddings") {
+    import graft.operators.VectorSearch
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = embs.limit(7).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    import spark.implicits._
+    val centsDf = Seq(Tuple1(cents.map(_.toSeq).toSeq)).toDF("cents")
+    val assigned = embs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("vec_id"),
+        VectorSearch.cellOf(col("v"), col("cents")).as("kcell"),
+        VectorSearch.cellOfHof(col("v"), col("cents")).as("hcell"))
+    assert(assigned.where(not(col("kcell") <=> col("hcell"))).count() == 0)
+    assert(assigned.count() > 0)
+  }
+}
