@@ -3,6 +3,7 @@ package org.apache.spark.sql.graftext
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Session-extension entry point: makes the engine's native expressions
   * available to pure SQL. Configure cluster-wide with
@@ -11,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
   }
@@ -19,20 +20,112 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** Model parameters (hash seeds, widths, primes) arrive in SQL as
+    * literal arguments; the builders fold them at resolution time so the
+    * expressions carry plain JVM values, same as the Column API.
+    */
+  private def foldableLong(e: Expression, fn: String, arg: String): Long = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other   => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integral literal, got $other")
+    }
+  }
+
+  private def foldableLongArray(e: Expression, fn: String, arg: String): Array[Long] = {
+    require(e.foldable, s"$fn: $arg must be a literal array")
+    e.eval() match {
+      case a: ArrayData => a.toLongArray()
+      case other        => throw new IllegalArgumentException(
+        s"$fn: $arg must be an array<bigint> literal, got $other")
+    }
+  }
+
   private def buildCosine(children: Seq[Expression]): Expression = {
     require(children.length == 2, "cosine_sim takes exactly 2 arguments")
     CosineSimilarityExpr(children.head, children(1))
   }
 
+  private def buildSqDists(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "sq_dists takes exactly 2 arguments")
+    SqDistsExpr(children.head, children(1))
+  }
+
+  private def buildShingleHashes(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "shingle_hashes takes (tokens, prime)")
+    ShingleHashExpr(children.head, foldableLong(children(1), "shingle_hashes", "prime"))
+  }
+
+  private def buildWindowHashes(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "window_hashes takes (tokens, window, prime)")
+    WindowHashExpr(children.head,
+      foldableLong(children(1), "window_hashes", "window").toInt,
+      foldableLong(children(2), "window_hashes", "prime"))
+  }
+
+  private def buildRollingFingerprint(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "rolling_fingerprint takes exactly 1 argument")
+    RollingHashExpr(children.head)
+  }
+
+  private def buildSimhashSig(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "simhash_sig takes (hc, bits)")
+    SimHashSigExpr(children.head, foldableLong(children(1), "simhash_sig", "bits").toInt)
+  }
+
+  private def buildMinhashSig(children: Seq[Expression]): Expression = {
+    require(children.length == 4, "minhash_sig takes (hs, as, bs, prime)")
+    MinHashSigExpr(children.head,
+      foldableLongArray(children(1), "minhash_sig", "as"),
+      foldableLongArray(children(2), "minhash_sig", "bs"),
+      foldableLong(children(3), "minhash_sig", "prime"))
+  }
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
   /** (name, info, builder) triple for `SparkSessionExtensions.injectFunction`. */
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - cosine similarity of two array<double> vectors", ""),
+      info(classOf[CosineSimilarityExpr], "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two array<double> vectors"),
       buildCosine)
 
-  /** Register on an already-built session (temp function, session-scoped). */
+  /** Every native-kernel descriptor the extensions class injects. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      cosineSimDescriptor,
+      (FunctionIdentifier("sq_dists"),
+        info(classOf[SqDistsExpr], "sq_dists",
+          "sq_dists(v, cents) - squared L2 distance from v to each centroid row"),
+        buildSqDists),
+      (FunctionIdentifier("shingle_hashes"),
+        info(classOf[ShingleHashExpr], "shingle_hashes",
+          "shingle_hashes(tokens, prime) - 60-bit md5 hashes of 3-token shingles (prime=0: raw)"),
+        buildShingleHashes),
+      (FunctionIdentifier("window_hashes"),
+        info(classOf[WindowHashExpr], "window_hashes",
+          "window_hashes(tokens, window, prime) - 60-bit md5 hash per K-token window start"),
+        buildWindowHashes),
+      (FunctionIdentifier("rolling_fingerprint"),
+        info(classOf[RollingHashExpr], "rolling_fingerprint",
+          "rolling_fingerprint(tokens) - rolling polynomial hash over md5-60 token hashes"),
+        buildRollingFingerprint),
+      (FunctionIdentifier("simhash_sig"),
+        info(classOf[SimHashSigExpr], "simhash_sig",
+          "simhash_sig(hc, bits) - SimHash fingerprint of array<struct<h,cnt>> token hashes"),
+        buildSimhashSig),
+      (FunctionIdentifier("minhash_sig"),
+        info(classOf[MinHashSigExpr], "minhash_sig",
+          "minhash_sig(hs, as, bs, prime) - MinHash signature of an array<bigint> hash set"),
+        buildMinhashSig))
+
+  /** Register on an already-built session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", buildCosine, "built-in")
+    descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
 }
