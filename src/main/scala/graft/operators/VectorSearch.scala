@@ -199,12 +199,16 @@ object VectorSearch {
   def annLshTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
                  dim: Int = 64, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
-    def bucketOf(vec: Column): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        val dot = aggregate(
-          zip_with(vec, lit(p.toArray), (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-      }.reduce(_.bitwiseOR(_))
+    // all nPlanes dots in one fused kernel pass (the per-plane
+    // aggregate(zip_with) form ran nPlanes×dim interpreted lambdas per
+    // vector); sign bits pack via disjoint masks (sum == OR)
+    def bucketOf(vec: Column): Column = {
+      val dots = org.apache.spark.sql.graftext.SqDistsExpr.matDotsCol(
+        vec, typedLit(planes.map(_.toSeq)))
+      val masks = lit(Array.tabulate(nPlanes)(1L << _))
+      aggregate(zip_with(dots, masks, (d, m) => when(d >= 0, m).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
     val withBucket = embeddings
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", bucketOf(col("v")))
@@ -713,8 +717,8 @@ object VectorSearch {
       .crossJoin(broadcast(centroidsFrame(embeddings.sparkSession, cents)))
       .withColumn("cell", cellOf(col("v"), col("__cents")))
       .select(col("vec_id"), col("label"), col("cell"),
-        zip_with(col("v"), element_at(col("__cents"), col("cell") + 1),
-          (x, y) => x - y).as("embedding")))
+        org.apache.spark.sql.graftext.SqDistsExpr.vecSubCol(col("v"),
+          element_at(col("__cents"), col("cell") + 1)).as("embedding")))
 
   /** Query-side IVF-PQ model math, all driver-scale: probe cells by exact
     * centroid distance, then one ADC LUT per cell (the query residual is

@@ -53,6 +53,16 @@ object GraftFunctions {
     SqDistsExpr(children.head, children(1))
   }
 
+  private def buildMatDots(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "mat_dots takes exactly 2 arguments")
+    MatDotsExpr(children.head, children(1))
+  }
+
+  private def buildVecSub(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "vec_sub takes exactly 2 arguments")
+    VecSubExpr(children.head, children(1))
+  }
+
   private def buildShingleHashes(children: Seq[Expression]): Expression = {
     require(children.length == 2, "shingle_hashes takes (tokens, prime)")
     ShingleHashExpr(children.head, foldableLong(children(1), "shingle_hashes", "prime"))
@@ -101,6 +111,14 @@ object GraftFunctions {
         info(classOf[SqDistsExpr], "sq_dists",
           "sq_dists(v, cents) - squared L2 distance from v to each centroid row"),
         buildSqDists),
+      (FunctionIdentifier("mat_dots"),
+        info(classOf[MatDotsExpr], "mat_dots",
+          "mat_dots(v, mat) - dot product of v with each matrix row"),
+        buildMatDots),
+      (FunctionIdentifier("vec_sub"),
+        info(classOf[VecSubExpr], "vec_sub",
+          "vec_sub(a, b) - elementwise a - b over two array<double> vectors"),
+        buildVecSub),
       (FunctionIdentifier("shingle_hashes"),
         info(classOf[ShingleHashExpr], "shingle_hashes",
           "shingle_hashes(tokens, prime) - 60-bit md5 hashes of 3-token shingles (prime=0: raw)"),

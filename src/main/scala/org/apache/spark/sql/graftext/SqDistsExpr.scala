@@ -78,6 +78,90 @@ case class SqDistsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sibling of [[SqDistsExpr]] for the dot-product form: the k-vector of
+  * `vec · row` over a matrix column — the hyperplane-bucket loop of the
+  * LSH ANN path (`annLshTopK`), which ran nPlanes×dim interpreted lambda
+  * applications per corpus vector as `aggregate(zip_with(v, plane, *))`
+  * per plane. Same null semantics and index-ascending (bit-identical)
+  * summation as [[SqDistsExpr]].
+  */
+case class MatDotsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"mat_dots expects (array<double>, array<array<double>>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val mat = right.eval(input)
+    if (mat == null) return null
+    SqDistsExpr.matDots(
+      left.eval(input).asInstanceOf[ArrayData], mat.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${rightGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = org.apache.spark.sql.graftext.SqDistsExpr.matDots(
+          ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value});
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Elementwise vector subtraction `a − b` with `zip_with` semantics — the
+  * IVF-PQ residual pass (`v − centroid[cell]`), which ran dim interpreted
+  * lambda applications per vector. Output length = max(|a|, |b|); the
+  * null-padded tail (and any null element) yields a null element, exactly
+  * as `zip_with(a, b, (x, y) => x − y)`.
+  */
+case class VecSubExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_sub expects (array<double>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistsExpr.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.SqDistsExpr.vecSub($a, $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object SqDistsExpr {
 
   /** The fused kernel body (shared by eval and codegen). `vec == null`
@@ -121,10 +205,87 @@ object SqDistsExpr {
     }
   }
 
+  /** [[MatDotsExpr]]'s kernel body: `vec · row` per matrix row. */
+  def matDots(vec: ArrayData, mat: ArrayData): ArrayData = {
+    val k = mat.numElements()
+    if (vec == null) return new GenericArrayData(new Array[Any](k))
+    val n = vec.numElements()
+    val out = new Array[Double](k)
+    var nulls: Array[Boolean] = null
+    var c = 0
+    while (c < k) {
+      var bad = mat.isNullAt(c)
+      if (!bad) {
+        val cv = mat.getArray(c)
+        if (cv.numElements() != n) bad = true
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < n && !bad) {
+            if (vec.isNullAt(i) || cv.isNullAt(i)) bad = true
+            else s += vec.getDouble(i) * cv.getDouble(i)
+            i += 1
+          }
+          if (!bad) out(c) = s
+        }
+      }
+      if (bad) {
+        if (nulls == null) nulls = new Array[Boolean](k)
+        nulls(c) = true
+      }
+      c += 1
+    }
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val boxed = new Array[Any](k)
+      var i = 0
+      while (i < k) { if (!nulls(i)) boxed(i) = java.lang.Double.valueOf(out(i)); i += 1 }
+      new GenericArrayData(boxed)
+    }
+  }
+
+  /** [[VecSubExpr]]'s kernel body: elementwise `a − b`, zip_with-padded. */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements(); val m = b.numElements()
+    val len = math.max(n, m)
+    val common = math.min(n, m)
+    var hasNull = false
+    var i = 0
+    while (i < common && !hasNull) {
+      if (a.isNullAt(i) || b.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    if (!hasNull && len == common) {
+      val out = new Array[Double](len)
+      var j = 0
+      while (j < len) { out(j) = a.getDouble(j) - b.getDouble(j); j += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](len)
+      var j = 0
+      while (j < len) {
+        if (j < common && !a.isNullAt(j) && !b.isNullAt(j))
+          out(j) = java.lang.Double.valueOf(a.getDouble(j) - b.getDouble(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Column API: squared L2 distance from `vec` (`array<double>`) to each
     * row of `cents` (`array<array<double>>`).
     */
   def sqDistsCol(vec: Column, cents: Column): Column =
     ExpressionUtils.column(
       SqDistsExpr(ExpressionUtils.expression(vec), ExpressionUtils.expression(cents)))
+
+  /** Column API: dot product of `vec` with each row of `mat`. */
+  def matDotsCol(vec: Column, mat: Column): Column =
+    ExpressionUtils.column(
+      MatDotsExpr(ExpressionUtils.expression(vec), ExpressionUtils.expression(mat)))
+
+  /** Column API: elementwise `a − b` over two `array<double>` columns. */
+  def vecSubCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      VecSubExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -55,6 +55,32 @@ class SqDistsExprSpec extends SparkSpec {
     }
   }
 
+  test("mat_dots and vec_sub equal their HOF forms on every edge shape") {
+    import org.apache.spark.sql.graftext.SqDistsExpr.{matDotsCol, vecSubCol}
+    val hofDots = transform(col("cents"), c =>
+      aggregate(zip_with(col("v"), c, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+    val dotRows = edgeFrames
+      .select(col("id"), matDotsCol(col("v"), col("cents")).as("k"), hofDots.as("h"))
+      .orderBy("id").collect()
+    dotRows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+
+    val subEdges = spark.sql(
+      """SELECT 0 AS id, array(3.0d, 5.0d) AS a, array(1.0d, 1.5d) AS b
+        |UNION ALL SELECT 1, array(1.0d, 2.0d, 3.0d), array(1.0d)
+        |UNION ALL SELECT 2, array(1.0d), array(1.0d, 2.0d, 3.0d)
+        |UNION ALL SELECT 3, CAST(NULL AS array<double>), array(1.0d)
+        |UNION ALL SELECT 4, array(1.0d, CAST(NULL AS double)), array(2.0d, 3.0d)
+        |UNION ALL SELECT 5, CAST(array() AS array<double>), CAST(array() AS array<double>)
+        |""".stripMargin)
+    val subRows = subEdges
+      .select(col("id"), vecSubCol(col("a"), col("b")).as("k"),
+        zip_with(col("a"), col("b"), (x, y) => x - y).as("h"))
+      .orderBy("id").collect()
+    subRows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+    assert(subRows(1).getSeq[Any](1) == Seq(0.0, null, null)) // pad tail -> nulls
+    assert(subRows(3).isNullAt(1))                            // null input -> null
+  }
+
   test("cell assignment is bit-identical to the HOF form on real embeddings") {
     import graft.operators.VectorSearch
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
