@@ -27,17 +27,19 @@ import org.apache.spark.sql.functions._
   *    column. One narrow (doc_id, bucket, tf) frame built from the
   *    suite-shared cached [[Relevance.termCounts]] subtree.
   *  - training: full-batch gradient descent, a fixed number of
-  *    iterations. Each iteration is two shuffles over the narrow feature
-  *    frame (score: groupBy doc; gradient: groupBy bucket) and collects
-  *    exactly B+1 doubles to the driver — the [[VectorSearch.kmeansCentroids]]
-  *    pattern: model-sized driver traffic, data-sized work distributed.
-  *  - weights ride as a B+1-row broadcast frame, NOT a literal array:
-  *    the plan shape is then identical across iterations, so whole-stage
-  *    codegen compiles once and every later iteration reuses it (a
-  *    fresh literal per iteration re-compiled ~2 min of Janino across 10
-  *    iterations — measured); and a production-sized weight vector
-  *    (fastText uses 2^20+ buckets) could never be a literal anyway.
-  *    Scoring is the same broadcast hash join + sum — codegen'd, no UDF.
+  *    iterations, gradient as a TREE-AGGREGATE: each partition of the
+  *    checkpointed doc-major feature frame folds its documents into one
+  *    (B+1)-length partial-gradient array and the driver sums the
+  *    partials — one narrow shuffle-free job per iteration, model-sized
+  *    driver traffic regardless of corpus size (the MLlib GD shape; see
+  *    [[train]] vs the retained relational [[trainShuffled]]).
+  *  - scoring (the per-shard serving path) stays relational: weights
+  *    ride as a B+1-row broadcast frame, NOT a literal array — the plan
+  *    shape is weight-independent so whole-stage codegen compiles once
+  *    (a fresh literal re-compiled ~2 min of Janino across 10 iterations
+  *    — measured), and a production-sized weight vector (fastText uses
+  *    2^20+ buckets) could never be a literal anyway. Broadcast hash
+  *    join + sum — codegen'd, no UDF.
   *
   * Determinism contract (what makes x39 DuckDB-oracle-checkable, the
   * TextRank/Lloyd lesson): weights round to 8 decimals HALF_UP after every
@@ -99,13 +101,89 @@ object Classifier {
     feats.join(broadcast(weightsDF(feats.sparkSession, w)), "j")
       .groupBy("doc_id").agg(sum(col("v") * col("wt")).as("s"))
 
+  /** Doc-major training frame: one row per document with the feature
+    * indices/values as parallel primitive arrays plus the label —
+    * `(doc_id, js, vs, y)`, `js` ascending (struct sort; `j` is unique
+    * per doc). Built once per training run; every GD iteration then
+    * reads it in a single narrow pass with no join and no shuffle.
+    */
+  private[graft] def docFeatures(hashed: DataFrame, labels: DataFrame): DataFrame =
+    hashed
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("jv"))
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("jv.j").as("js"), col("jv.v").as("vs"),
+        col("y"))
+
   def train(docs: DataFrame, labels: DataFrame, lr: Double = DefaultLr,
-            iters: Int = DefaultIters): Array[Double] = {
-    // checkpoint, not cache: the loop runs 2 actions per iteration, and
-    // with a cached frame Catalyst re-analyzes the FULL tokenize+union
-    // lineage each time (the cache substitutes at execution, not
-    // planning) — a checkpoint makes every iteration's plan a 3-node
-    // join over concrete partitions (measured ~1.3 s off x39 at sf0.1)
+            iters: Int = DefaultIters): Array[Double] =
+    trainOnFeatures(hashedFeatures(docs), labels, docs.count().toDouble,
+      lr, iters)
+
+  /** [[train]] over a prebuilt `(doc_id, j, v)` feature frame — lets a
+    * caller that also scores the same corpus ([[qualityDistill]]) build
+    * and checkpoint the features once for both arms. `n` is the
+    * mean-loss denominator (the full corpus size, even if `labels` only
+    * covers part of it — [[train]]'s semantics).
+    */
+  private[graft] def trainOnFeatures(hashed: DataFrame, labels: DataFrame,
+                                     n: Double, lr: Double,
+                                     iters: Int): Array[Double] = {
+    // The gradient is a tree-aggregate, not a shuffle: each partition
+    // folds its documents into ONE (B+1)-length partial-gradient array
+    // (score, sigmoid, and scatter-add fused in a primitive loop with
+    // the weight vector captured in the closure), and the driver sums
+    // the per-partition partials in partition-index order. Per
+    // iteration that is a single narrow job over the checkpointed
+    // doc-major frame — no join, no shuffle, model-sized driver traffic
+    // — the MLlib GD/treeAggregate shape, and the one that holds at
+    // 2^20 buckets × 100 TB (partials stay |w|-sized regardless of data
+    // scale). The previous relational form (broadcast-join the weight
+    // frame, groupBy doc then groupBy bucket — two shuffles per
+    // iteration) is retained as [[trainShuffled]] for the equality spec.
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val feats = Caches.checkpointed(
+      docFeatures(hashed, labels).select(col("js"), col("vs"), col("y")))
+    val bias = NumBuckets
+    var w = Array.fill(NumBuckets + 1)(0.0d)
+    for (_ <- 0 until iters) {
+      val wNow = w
+      val partials = feats.as[(Array[Int], Array[Double], Double)]
+        .mapPartitions { it =>
+          val g = new Array[Double](bias + 1)
+          var any = false
+          while (it.hasNext) {
+            val (js, vs, y) = it.next()
+            var s = 0.0d
+            var i = 0
+            while (i < js.length) { s += vs(i) * wNow(js(i)); i += 1 }
+            val err = 1.0d / (1.0d + math.exp(-s)) - y
+            i = 0
+            while (i < js.length) { g(js(i)) += err * vs(i); i += 1 }
+            any = true
+          }
+          if (any) Iterator.single(g) else Iterator.empty
+        }.collect()
+      val grad = new Array[Double](bias + 1)
+      for (p <- partials; j <- 0 to bias) grad(j) += p(j)
+      w = Array.tabulate(bias + 1) { j =>
+        BigDecimal(w(j) - lr * (grad(j) / n))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    Caches.releaseCheckpoint(feats) // w is collected — nothing lazy remains
+    w
+  }
+
+  /** Reference implementation of [[train]] in relational form: weights as
+    * a broadcast frame, per-iteration score (groupBy doc) and gradient
+    * (groupBy bucket) aggregations — two shuffles per iteration. Kept for
+    * the weight-equality spec; the fused pass above is the serving path.
+    */
+  private[graft] def trainShuffled(docs: DataFrame, labels: DataFrame,
+                                   lr: Double = DefaultLr,
+                                   iters: Int = DefaultIters): Array[Double] = {
     val feats = Caches.checkpointed(hashedFeatures(docs))
     val n = docs.count().toDouble
     var w = Array.fill(NumBuckets + 1)(0.0d)
@@ -120,7 +198,7 @@ object Classifier {
           .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
-    Caches.releaseCheckpoint(feats) // w is collected — nothing lazy remains
+    Caches.releaseCheckpoint(feats)
     w
   }
 
@@ -129,7 +207,12 @@ object Classifier {
     * margin, not the rounded probability).
     */
   def classify(docs: DataFrame, labels: DataFrame, w: Array[Double]): DataFrame =
-    scoresOf(hashedFeatures(docs), w)
+    classifyFeatures(hashedFeatures(docs), labels, w)
+
+  /** [[classify]] over a prebuilt `(doc_id, j, v)` feature frame. */
+  private[graft] def classifyFeatures(hashed: DataFrame, labels: DataFrame,
+                                      w: Array[Double]): DataFrame =
+    scoresOf(hashed, w)
       .join(labels, "doc_id")
       .select(col("doc_id"), col("y").cast("long").as("y"),
         round(sigmoid(col("s")), 6).as("prob"),
@@ -162,14 +245,17 @@ object Classifier {
     */
   def qualityDistill(docs: DataFrame, lr: Double = DefaultLr,
                      iters: Int = DefaultIters): DataFrame = {
-    // checkpoint the labels once up front: the training loop joins them
-    // every iteration (checkpointed = trivially re-plannable concrete
-    // partitions, the same reasoning as the feature frame in [[train]]),
-    // and the classify arm reads them lazily after — released at scope
-    // exit when the caller runs inside Caches.withScope
+    // checkpoint labels AND the hashed feature frame once up front: both
+    // arms read them (training folds them into the doc-major frame;
+    // classify re-joins for scoring), so the tokenize+hash+normalize
+    // subtree runs once instead of twice. checkpointed = trivially
+    // re-plannable concrete partitions; the classify arm reads both
+    // lazily after — released at scope exit when the caller runs inside
+    // Caches.withScope
     val labels = Caches.checkpointed(lmLabels(docs))
-    val w = train(docs, labels, lr, iters)
-    classify(docs, labels, w)
+    val hashed = Caches.checkpointed(hashedFeatures(docs))
+    val w = trainOnFeatures(hashed, labels, docs.count().toDouble, lr, iters)
+    classifyFeatures(hashed, labels, w)
   }
 
   def qQualityDistill(spark: SparkSession, sfDir: String): DataFrame =

@@ -32,6 +32,15 @@ class ClassifierSpec extends SparkSpec {
     assert(w3.exists(_ != 0.0), "training must actually move the weights")
   }
 
+  test("fused tree-aggregate gradient equals the relational two-shuffle path") {
+    val labels = Classifier.lmLabels(docs).cache()
+    val fused = Classifier.train(docs, labels)
+    val relational = Classifier.trainShuffled(docs, labels)
+    assert(fused.toSeq == relational.toSeq,
+      "8-dp-rounded updates must make the fused partial-gradient sum and " +
+        "the relational groupBy-bucket sum produce identical weights")
+  }
+
   test("probabilities lie in (0,1) and the margin decides the prediction") {
     val rows = Classifier.qualityDistill(docs)
       .select("prob", "pred").as[(Double, Long)].collect()
