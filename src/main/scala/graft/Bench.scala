@@ -196,8 +196,11 @@ object Bench {
     // compact totals object (~150 chars) that always survives truncation.
     val memoNote = memoWarmed.filter(_ => warmDir.nonEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the stat label must describe what was actually measured: the dev
+    // knob SPARK_GRAFT_REPEAT>1 switches every timing to raw single shots
+    val stat = if (repeat == 1) "median_of_3" else "single_shot"
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"median_of_3","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -205,7 +208,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"median_of_3","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1027,19 +1027,42 @@ object VectorSearch {
     * full-cycle queries' (x82/x83 overwrite their artifact every run —
     * sharing a path would race a rewrite against a memo-hit read).
     */
-  private val servedIndexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val servedIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   private def servedIndexDir(spark: SparkSession, kind: String,
                              corpus: DataFrame, fallbackKey: String)
                             (build: String => Unit): String = {
     val pk = Caches.planMemoKey(corpus)
+    // The artifact directory folds in the corpus FINGERPRINT, not just
+    // (kind, sfDir): after an in-place corpus rewrite the new fingerprint
+    // must rebuild into a FRESH path — writing into the old one would
+    // mutate the artifact an earlier memo entry (or a lazily-held probe
+    // frame over it) still serves.
     def buildAt(): String = {
-      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey)
+      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey + "|" + pk)
       build(dir); dir
     }
     if (pk.isEmpty) buildAt()
-    else servedIndexMemo.computeIfAbsent(kind + "|" + pk, _ => buildAt())
+    else {
+      // Per-key future so the multi-second index build never runs while
+      // holding a ConcurrentHashMap bin lock (computeIfAbsent would
+      // serialize unrelated same-bin builds and forbid re-entry): losers
+      // of the putIfAbsent race — and later callers — block on the
+      // winner's future only. A failed build removes its future so the
+      // next caller retries instead of joining a poisoned entry.
+      val fut = new java.util.concurrent.CompletableFuture[String]()
+      val prior = servedIndexMemo.putIfAbsent(kind + "|" + pk, fut)
+      if (prior != null) prior.join()
+      else
+        try { fut.complete(buildAt()); fut.join() }
+        catch {
+          case t: Throwable =>
+            servedIndexMemo.remove(kind + "|" + pk, fut)
+            fut.completeExceptionally(t)
+            throw t
+        }
+    }
   }
 
   /** x82b: the SERVING half of x82 — the batched probe against an IVF

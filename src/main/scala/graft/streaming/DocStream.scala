@@ -143,7 +143,12 @@ object DocStream {
     val commitsDir = new Path(s"$stateDir/commits")
     val commitMarker = new Path(commitsDir, batchId.toString)
     val verdictsPath = s"$stateDir/verdicts/batch_id=$batchId"
-    if (fs.exists(commitMarker))
+    // committed ⟺ the batch's own marker exists OR the batch is at/below
+    // the latest compaction's fold point (compaction prunes the markers
+    // it subsumes — see [[compactAdmissionState]] — so the marker alone
+    // is not the full committed set)
+    if (fs.exists(commitMarker) ||
+        latestCompaction(fs, stateDir).exists(_._2 >= batchId))
       return sparkPre.read.parquet(verdictsPath)
     graft.operators.Caches.withScope {
       val spark = sparkPre
@@ -268,10 +273,14 @@ object DocStream {
     * the highest committed generation, so a crash at any point leaves the
     * previous state fully readable: a half-written generation has no
     * marker and is simply overwritten by the next attempt (same gen id).
-    * After the marker commits, superseded delta partitions and older
-    * generations are garbage-collected best-effort — a crash mid-GC
-    * leaves stale directories no read path references, and the next
-    * compaction's GC (strictly larger `upto`) retries them.
+    * After the marker commits, superseded delta partitions, their commit
+    * markers, and older generations are garbage-collected best-effort.
+    * GC cost is bounded by what exists on disk (the state roots are
+    * LISTED, not reconstructed from the full marker history), and marker
+    * pruning keeps the per-batch commits/ listing O(compactEvery) for the
+    * stream's whole lifetime; a crash mid-GC leaves stale directories no
+    * read path references, and the next compaction's listing-based sweep
+    * collects them.
     *
     * Bands sort by (band_idx, band_key): the probe join's keys become
     * contiguous runs, so parquet row-group stats prune non-colliding
@@ -295,8 +304,25 @@ object DocStream {
       val marker = new Path(s"$stateDir/compact_commits/${gen}_$upto")
       fs.mkdirs(marker.getParent)
       fs.createNewFile(marker)
-      for (b <- committed; sub <- Seq("bands", "sigs"))
-        try fs.delete(new Path(s"$stateDir/$sub/batch_id=$b"), true)
+      // GC by LISTING each state root (one RPC per side) and deleting the
+      // batch_id dirs at/below the fold point — proportional to what is
+      // actually on disk, never to stream lifetime, and it sweeps up
+      // leftovers from a crash during an earlier GC for free. Then prune
+      // the subsumed commit markers: admitBatch treats batchId ≤ upto as
+      // committed via the compaction marker, so commits/ listings on the
+      // hot per-batch path stay O(compactEvery) instead of growing one
+      // tiny file per micro-batch forever.
+      for (sub <- Seq("bands", "sigs")) {
+        val root = new Path(s"$stateDir/$sub")
+        val stale =
+          try fs.listStatus(root).toSeq.filter(
+            _.getPath.getName.stripPrefix("batch_id=").toLongOption.exists(_ <= upto))
+          catch { case _: Throwable => Seq.empty }
+        for (s <- stale)
+          try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+      }
+      for (b <- committed if b <= upto)
+        try fs.delete(new Path(s"$stateDir/commits/$b"), false)
         catch { case _: Throwable => () }
       for ((g, u) <- prevGen) {
         try fs.delete(new Path(s"$stateDir/compact/gen=$g"), true)

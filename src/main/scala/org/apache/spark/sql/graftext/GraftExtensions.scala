@@ -34,12 +34,19 @@ object GraftFunctions {
     }
   }
 
+  /** Like [[foldableLong]], integer literals widen: `array(1, 2)` in SQL
+    * is `array<int>`, and `ArrayData.toLongArray` would die on it with a
+    * bare ClassCastException — the element type must drive the read.
+    */
   private def foldableLongArray(e: Expression, fn: String, arg: String): Array[Long] = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, ShortType}
     require(e.foldable, s"$fn: $arg must be a literal array")
-    e.eval() match {
-      case a: ArrayData => a.toLongArray()
-      case other        => throw new IllegalArgumentException(
-        s"$fn: $arg must be an array<bigint> literal, got $other")
+    (e.dataType, e.eval()) match {
+      case (ArrayType(LongType, _), a: ArrayData)    => a.toLongArray()
+      case (ArrayType(IntegerType, _), a: ArrayData) => a.toIntArray().map(_.toLong)
+      case (ArrayType(ShortType, _), a: ArrayData)   => a.toShortArray().map(_.toLong)
+      case (t, v) => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integral-array literal, got $v: $t")
     }
   }
 

@@ -167,62 +167,37 @@ object SqDistsExpr {
   /** The fused kernel body (shared by eval and codegen). `vec == null`
     * yields a k-vector of nulls, matching the HOF's inner-null behavior.
     */
-  def sqDists(vec: ArrayData, cents: ArrayData): ArrayData = {
-    val k = cents.numElements()
-    if (vec == null) return new GenericArrayData(new Array[Any](k))
-    val n = vec.numElements()
-    val out = new Array[Double](k)
-    var nulls: Array[Boolean] = null
-    var c = 0
-    while (c < k) {
-      var bad = cents.isNullAt(c)
-      if (!bad) {
-        val cv = cents.getArray(c)
-        if (cv.numElements() != n) bad = true
-        else {
-          var s = 0.0
-          var i = 0
-          while (i < n && !bad) {
-            if (vec.isNullAt(i) || cv.isNullAt(i)) bad = true
-            else { val d = vec.getDouble(i) - cv.getDouble(i); s += d * d }
-            i += 1
-          }
-          if (!bad) out(c) = s
-        }
-      }
-      if (bad) {
-        if (nulls == null) nulls = new Array[Boolean](k)
-        nulls(c) = true
-      }
-      c += 1
-    }
-    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
-    else {
-      val boxed = new Array[Any](k)
-      var i = 0
-      while (i < k) { if (!nulls(i)) boxed(i) = java.lang.Double.valueOf(out(i)); i += 1 }
-      new GenericArrayData(boxed)
-    }
-  }
+  def sqDists(vec: ArrayData, cents: ArrayData): ArrayData =
+    rowAggregate(vec, cents, squared = true)
 
   /** [[MatDotsExpr]]'s kernel body: `vec · row` per matrix row. */
-  def matDots(vec: ArrayData, mat: ArrayData): ArrayData = {
-    val k = mat.numElements()
+  def matDots(vec: ArrayData, mat: ArrayData): ArrayData =
+    rowAggregate(vec, mat, squared = false)
+
+  /** One kernel for both per-row aggregates — `Σ (v−r)²` (`squared`) and
+    * `Σ v·r` — so the null-row / length-mismatch / boxed-fallback
+    * contract lives in exactly one place. The flag is loop-invariant and
+    * perfectly predicted; both call paths stay primitive.
+    */
+  private def rowAggregate(vec: ArrayData, rows: ArrayData,
+                           squared: Boolean): ArrayData = {
+    val k = rows.numElements()
     if (vec == null) return new GenericArrayData(new Array[Any](k))
     val n = vec.numElements()
     val out = new Array[Double](k)
     var nulls: Array[Boolean] = null
     var c = 0
     while (c < k) {
-      var bad = mat.isNullAt(c)
+      var bad = rows.isNullAt(c)
       if (!bad) {
-        val cv = mat.getArray(c)
+        val cv = rows.getArray(c)
         if (cv.numElements() != n) bad = true
         else {
           var s = 0.0
           var i = 0
           while (i < n && !bad) {
             if (vec.isNullAt(i) || cv.isNullAt(i)) bad = true
+            else if (squared) { val d = vec.getDouble(i) - cv.getDouble(i); s += d * d }
             else s += vec.getDouble(i) * cv.getDouble(i)
             i += 1
           }
