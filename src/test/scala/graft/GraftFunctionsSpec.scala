@@ -46,6 +46,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.nonEmpty && viaSql == viaCol)
   }
 
+  test("int-typed array literals widen: the natural SQL spelling works") {
+    GraftFunctions.register(spark)
+    // array(1, 2) is array<int> in SQL — the registry must widen it like
+    // the scalar path widens int literals, not die in toLongArray
+    val r = spark.sql(
+      "SELECT minhash_sig(array(5L), array(1, 2), array(0, 1), 7) AS ms").head()
+    assert(r.getSeq[Long](0) == Seq(5L, 4L)) // (5*1+0)%7, (5*2+1)%7
+  }
+
   test("non-literal model parameters are rejected at build time") {
     GraftFunctions.register(spark)
     val err = intercept[Exception] {

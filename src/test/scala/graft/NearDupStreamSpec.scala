@@ -158,6 +158,13 @@ class NearDupStreamSpec extends SparkSpec {
     assert(pa == pb, "post-compaction probes diverge")
     assert(pa.values.forall(_ == false),
       "every clone of an admitted doc must be rejected through compacted state")
+    // compaction must also bound the commits/ listing a long-running
+    // stream pays on EVERY micro-batch: markers at/below the fold point
+    // are pruned (the compaction marker subsumes them)
+    val markers = Option(new java.io.File(s"$dirB/commits").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(markers <= 3,
+      s"subsumed commit markers must be pruned, found $markers after 6 batches")
   }
 
   test("admitBatch first-batch retry: a crash between the state writes " +
