@@ -536,8 +536,16 @@ object DocStream {
     import graft.operators.Dedup
     val batchDocs = spark.read.schema(docSchema).parquet(dir)
     val isDelta = pmod(col("doc_id"), lit(deltaMod.toLong)) === (deltaMod - 1)
-    val indexSigs = Dedup.minhashSignatures(batchDocs.where(!isDelta))
-    val indexBands = Dedup.bandRows(indexSigs)
+    // CACHE the static index side: a stream-static join re-executes the
+    // static plan on EVERY micro-batch, so without this the whole
+    // tokenize→shingle→signature chain over the full index corpus reran
+    // per arriving file — at the 100× smoke that was ~90 of the 104 s.
+    // Materializing once is the train-once/serve-many shape (a production
+    // admission service reads a persisted index — x70's probeIndex);
+    // released after the replay completes (the result frame reads only
+    // the memory sink, never these).
+    val indexSigs = Dedup.minhashSignatures(batchDocs.where(!isDelta)).cache()
+    val indexBands = Dedup.bandRows(indexSigs).cache()
     val q: StreamingQuery =
       incrementalAdmissionStream(spark, dir, indexBands, indexSigs,
         minEstJaccard, deltaMod)
@@ -546,6 +554,8 @@ object DocStream {
         .start()
     q.processAllAvailable()
     q.stop()
+    indexBands.unpersist(blocking = false)
+    indexSigs.unpersist(blocking = false)
     val byBest = Window.partitionBy("delta_id")
       .orderBy(col("est_jaccard").desc, col("index_id").asc)
     val best = spark.table("w15_matches")
