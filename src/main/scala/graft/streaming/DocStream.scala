@@ -437,10 +437,13 @@ object DocStream {
                            windowTokens: Int = 20,
                            evalMod: Int = 20): DataFrame = {
     val batchDocs = spark.read.schema(docSchema).parquet(dir)
+    // cached for the same reason as w15's index frames: the stream-static
+    // broadcast is rebuilt per micro-batch, and without the cache each
+    // rebuild re-derives the eval window hashes from the raw corpus
     val evalHashes = graft.operators.Dedup
       .windowHashes(batchDocs.where(pmod(col("doc_id"), lit(evalMod.toLong)) === 0),
         windowTokens)
-      .select("h").distinct()
+      .select("h").distinct().cache()
     val q: StreamingQuery =
       substrDecontamStream(spark, dir, evalHashes, windowTokens, evalMod)
         .writeStream.outputMode("append")
@@ -448,6 +451,7 @@ object DocStream {
         .start()
     q.processAllAvailable()
     q.stop()
+    evalHashes.unpersist(blocking = false)
     val hits = spark.table("w14_hits")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contaminated_windows"),
