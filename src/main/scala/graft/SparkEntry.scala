@@ -182,6 +182,8 @@ object SparkEntry {
     "x67_novelty_curve" -> (Sketches.qNoveltyCurve _),
     "x69_source_drift" -> (Sketches.qSourceDrift _),
     "x81_term_zipf"    -> (Sketches.qTermZipf _),
+    "x84_corpus_diff"  -> (Snapshots.qCorpusDiff _),
+    "x85_corpus_manifest" -> (Snapshots.qCorpusManifest _),
     "x60_dedup_report" -> (Dedup.qDedupReport _),
     "x61_prf_bm25"     -> (Relevance.qPrfBm25 _),
     "x62_packing_efficiency" -> (CorpusPrep.qPackingEfficiency _),
@@ -868,6 +870,11 @@ object SparkEntry {
     "x67_novelty_curve" -> graft.oracles.TrainSql.noveltyCurveSql(),
     "x69_source_drift" -> graft.oracles.TrainSql.sourceDriftSql,
     "x81_term_zipf"    -> graft.oracles.TrainSql.termZipfSql,
+    // x84: both snapshot versions derive from the committed table; the
+    // diff classifies by md5 digest through a full-outer doc_id join
+    "x84_corpus_diff"  -> graft.oracles.TrainSql.corpusDiffSql,
+    // x85: order-independent sum-mod-2^63 / XOR fingerprints per source
+    "x85_corpus_manifest" -> graft.oracles.TrainSql.corpusManifestSql,
     // x60: x1 + x45 keep flags joined to token counts, one aggregate per
     // method (the minhash side embeds the full x45 closure oracle)
     "x60_dedup_report" -> graft.oracles.TrainSql.dedupReportSql(),

@@ -2716,4 +2716,54 @@ object TrainSql {
        |            AS BIGINT) AS sample_rank,
        |       doc_id, source, log_weight, gumbel_key
        |FROM top""".stripMargin
+
+  /** Snapshot diff summary ([[graft.operators.Snapshots.corpusDiff]],
+    * x84): both versions derive from the one committed table exactly as
+    * the engine's `snapV1`/`snapV2` do, digests compare via md5, and the
+    * full-outer join classifies added/removed/changed/unchanged.
+    */
+  val corpusDiffSql: String =
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents
+       |            WHERE doc_id % 17 != 2),
+       |v2 AS (SELECT doc_id, source,
+       |              CASE WHEN doc_id % 11 = 5 THEN text || ' rev2'
+       |                   ELSE text END AS text
+       |       FROM documents WHERE doc_id % 13 != 3),
+       |a AS (SELECT doc_id, source AS source_v1,
+       |             md5(coalesce(text, 'null:' || doc_id)) AS dig_v1,
+       |             length(coalesce(text, '')) AS chars_v1 FROM v1),
+       |b AS (SELECT doc_id, source AS source_v2,
+       |             md5(coalesce(text, 'null:' || doc_id)) AS dig_v2,
+       |             length(coalesce(text, '')) AS chars_v2 FROM v2),
+       |j AS (SELECT coalesce(b.source_v2, a.source_v1) AS source,
+       |             CASE WHEN a.dig_v1 IS NULL THEN 'added'
+       |                  WHEN b.dig_v2 IS NULL THEN 'removed'
+       |                  WHEN a.dig_v1 = b.dig_v2 THEN 'unchanged'
+       |                  ELSE 'changed' END AS status,
+       |             coalesce(a.chars_v1, 0) AS c1,
+       |             coalesce(b.chars_v2, 0) AS c2
+       |      FROM a FULL OUTER JOIN b USING (doc_id))
+       |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(c1) AS BIGINT) AS chars_v1,
+       |       CAST(sum(c2) AS BIGINT) AS chars_v2
+       |FROM j GROUP BY 1, 2""".stripMargin
+
+  /** Per-source integrity manifest
+    * ([[graft.operators.Snapshots.corpusManifest]], x85): the
+    * order-independent fingerprints — Σ md5-60 mod 2^63 (HUGEINT
+    * arithmetic, exact) and XOR — plus exact doc/char/distinct counts.
+    */
+  val corpusManifestSql: String =
+    s"""WITH dig AS (
+       |  SELECT source, doc_id, length(coalesce(text, '')) AS len,
+       |         ${md5Long60Sql("coalesce(text, 'null:' || doc_id)")} AS h60
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT h60) AS BIGINT) AS n_distinct_texts,
+       |       CAST(sum(len) AS BIGINT) AS n_chars,
+       |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |       CAST(sum(CAST(h60 AS HUGEINT)) %
+       |            CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS sum_fp,
+       |       bit_xor(h60) AS xor_fp
+       |FROM dig GROUP BY 1""".stripMargin
 }
