@@ -120,6 +120,7 @@ object SparkEntry {
     "x68_ivf_cell_stats" -> (VectorSearch.qIvfCellStats _),
     "x15_quantized"    -> (VectorSearch.qQuantized _),
     "x30_semantic_dedup" -> (VectorSearch.qSemanticDedup _),
+    "x86_semantic_decontam" -> (VectorSearch.qSemanticDecontam _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),
@@ -751,6 +752,9 @@ object SparkEntry {
     // x30: same Lloyd chain as x14, then within-cell pairwise cosine and
     // the greedy first-occurrence keep rule (deterministic on both sides).
     "x30_semantic_dedup" -> graft.oracles.TrainSql.semanticDedupSql(),
+    // x86: per-pair rounded cosines aggregate per corpus doc; engine-side
+    // round(max) == oracle max(round) by round's monotonicity
+    "x86_semantic_decontam" -> graft.oracles.TrainSql.semanticDecontamSql,
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,

@@ -516,6 +516,57 @@ object VectorSearch {
       .select(col("vec_id"), col("cell"), col("__pruned").isNull.as("kept"))
   }
 
+  /** Embedding-space decontamination: the semantic complement of the
+    * n-gram passes ([[CorpusPrep.decontaminateGrams]] catches verbatim
+    * leakage, [[Dedup.substrDecontaminate]] catches quoted spans; this
+    * catches PARAPHRASED eval material — the leakage mode neither
+    * lexical pass can see, and the one that actually inflates benchmark
+    * scores after rewording). Every corpus document scores against the
+    * whole eval set; output is one verdict row per corpus doc:
+    * `(vec_id, label, max_sim, n_close, contaminated)` where `max_sim`
+    * is the highest eval cosine (6 dp), `n_close` counts eval docs at
+    * `round(sim, 6) ≥ threshold`, and `contaminated = max_sim ≥
+    * threshold`.
+    *
+    * Scale shape: eval sets are model-sized next to a 100 TB corpus
+    * (thousands of benchmark items), so the eval matrix rides as a
+    * broadcast 1-row frame built IN-PLAN (`sort_array(collect_list(…))`
+    * — deterministic row order, no driver collect) and the corpus
+    * streams once with ZERO shuffle — no pair rows ever materialize; the
+    * per-document loop is the fused
+    * [[org.apache.spark.sql.graftext.MatCosExpr]] kernel (m×dim
+    * primitive ops inside whole-stage codegen). The only interpreted
+    * per-element work left is the m-comparison `n_close` filter — dim×
+    * cheaper than the cosines. For eval sets too big to broadcast,
+    * pre-cluster with [[ivfKnnJoin]] and threshold the pool instead.
+    *
+    * Parity contract: `max_sim = round(array_max(sims), 6)` equals the
+    * oracle's `max(round(sim, 6))` because round is monotone — the max
+    * over raw sims is some s_j, and round(s_j) ≥ round(s_i) ∀i, so the
+    * two orders of max/round agree wherever per-pair 6-dp parity holds
+    * (the invariant every cosine oracle already rests on). Callers
+    * guarantee a non-empty eval set (an empty one yields null max_sim,
+    * zero n_close).
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
+    val evalRow = evalSet
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("__pairs"))
+      .select(transform(col("__pairs"), p => p.getField("v")).as("__mat"))
+    corpus
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(evalRow))
+      .select(col("vec_id"), col("label"),
+        matCosCol(col("v"), col("__mat")).as("__sims"))
+      .select(col("vec_id"), col("label"),
+        round(array_max(col("__sims")), 6).as("max_sim"),
+        size(filter(col("__sims"),
+          s => round(s, 6) >= lit(threshold))).cast("long").as("n_close"))
+      .withColumn("contaminated", col("max_sim") >= lit(threshold))
+  }
+
   /** Materialize the corpus cell-partitioned — the "IVF cells prune scans
     * entirely" story made physical storage. Each vector lands in the
     * parquet partition `cell=<id>`, so a probe query's `cell IN (…)`
@@ -954,6 +1005,15 @@ object VectorSearch {
 
   def qSemanticDedup(spark: SparkSession, sfDir: String): DataFrame =
     semanticDedup(Tables.embeddings(spark, sfDir))
+
+  /** x86: every 10th embedding is "the eval set", the rest the corpus —
+    * the same deterministic-split convention as x19/x34/x77.
+    */
+  def qSemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    semanticDecontaminate(e.where(col("vec_id") % 10 =!= 0),
+      e.where(col("vec_id") % 10 === 0), threshold = 0.4)
+  }
 
   /** Quantization codes in long form (vec_id, dim, q, scale) — array
     * columns stay out of the dump so the driver's value hash sees scalars.

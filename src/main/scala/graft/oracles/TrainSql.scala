@@ -576,6 +576,24 @@ object TrainSql {
       |SELECT query_id, vec_id, label, sim, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Embedding decontamination
+    * ([[graft.operators.VectorSearch.semanticDecontaminate]], x86): the
+    * per-pair rounded cosines aggregate per corpus doc — max(round) here
+    * equals the engine's round(max) by round's monotonicity.
+    */
+  val semanticDecontamSql: String =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |            FROM embeddings WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |      FROM embeddings WHERE vec_id % 10 <> 0),
+      |s AS (SELECT c.vec_id, c.label,
+      |             round(list_cosine_similarity(c.v, e.v), 6) AS sim
+      |      FROM c CROSS JOIN ev e)
+      |SELECT vec_id, label, max(sim) AS max_sim,
+      |       CAST(count(*) FILTER (WHERE sim >= 0.4) AS BIGINT) AS n_close,
+      |       max(sim) >= 0.4 AS contaminated
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   val embNearDupsSql: String =
     """SELECT a.vec_id AS id1, b.vec_id AS id2,
       |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

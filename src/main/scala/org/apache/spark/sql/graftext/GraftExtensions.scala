@@ -65,6 +65,11 @@ object GraftFunctions {
     MatDotsExpr(children.head, children(1))
   }
 
+  private def buildMatCos(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "mat_cos takes exactly 2 arguments")
+    MatCosExpr(children.head, children(1))
+  }
+
   private def buildVecSub(children: Seq[Expression]): Expression = {
     require(children.length == 2, "vec_sub takes exactly 2 arguments")
     VecSubExpr(children.head, children(1))
@@ -122,6 +127,10 @@ object GraftFunctions {
         info(classOf[MatDotsExpr], "mat_dots",
           "mat_dots(v, mat) - dot product of v with each matrix row"),
         buildMatDots),
+      (FunctionIdentifier("mat_cos"),
+        info(classOf[MatCosExpr], "mat_cos",
+          "mat_cos(v, mat) - cosine similarity of v with each matrix row"),
+        buildMatCos),
       (FunctionIdentifier("vec_sub"),
         info(classOf[VecSubExpr], "vec_sub",
           "vec_sub(a, b) - elementwise a - b over two array<double> vectors"),

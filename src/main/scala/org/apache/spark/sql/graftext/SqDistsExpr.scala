@@ -127,6 +127,62 @@ case class MatDotsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sibling of [[MatDotsExpr]] for the cosine form: the k-vector of
+  * `cos(vec, row)` over a matrix column — the per-document loop of the
+  * embedding decontamination pass
+  * ([[graft.operators.VectorSearch.semanticDecontaminate]]), where every
+  * corpus vector scores against the whole broadcast eval matrix. Each
+  * element follows [[CosineSimilarityExpr]]'s arithmetic exactly
+  * (prefix dot, tail elements folded into the norms, 0.0 on a zero
+  * norm, index-ascending summation), so
+  * `transform(mat, r => cosine_sim(v, r))` is the reference form — equal
+  * on dense arrays; a null element inside either vector yields a null
+  * sim here (defensive) where the HOF form's behavior is
+  * representation-dependent. Null matrix → null; null vec → k nulls;
+  * null row → that element null.
+  */
+case class MatCosExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"mat_cos expects (array<double>, array<array<double>>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val mat = right.eval(input)
+    if (mat == null) return null
+    SqDistsExpr.matCos(
+      left.eval(input).asInstanceOf[ArrayData], mat.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${rightGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = org.apache.spark.sql.graftext.SqDistsExpr.matCos(
+          ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value});
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Elementwise vector subtraction `a − b` with `zip_with` semantics — the
   * IVF-PQ residual pass (`v − centroid[cell]`), which ran dim interpreted
   * lambda applications per vector. Output length = max(|a|, |b|); the
@@ -219,6 +275,64 @@ object SqDistsExpr {
     }
   }
 
+  /** [[MatCosExpr]]'s kernel body: `cos(vec, row)` per matrix row, each
+    * row computed exactly as [[CosineSimilarityExpr.nullSafeEval]] —
+    * prefix dot + tail-inclusive norms, 0.0 on a zero norm.
+    */
+  def matCos(vec: ArrayData, mat: ArrayData): ArrayData = {
+    val k = mat.numElements()
+    if (vec == null) return new GenericArrayData(new Array[Any](k))
+    val n = vec.numElements()
+    val out = new Array[Double](k)
+    var nulls: Array[Boolean] = null
+    var c = 0
+    while (c < k) {
+      var bad = mat.isNullAt(c)
+      if (!bad) {
+        val rv = mat.getArray(c)
+        val m = rv.numElements()
+        val common = math.min(n, m)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var i = 0
+        while (i < common && !bad) {
+          if (vec.isNullAt(i) || rv.isNullAt(i)) bad = true
+          else {
+            val xi = vec.getDouble(i); val yi = rv.getDouble(i)
+            dot += xi * yi; nx += xi * xi; ny += yi * yi
+          }
+          i += 1
+        }
+        var j = common
+        while (j < n && !bad) {
+          if (vec.isNullAt(j)) bad = true
+          else { val v = vec.getDouble(j); nx += v * v }
+          j += 1
+        }
+        j = common
+        while (j < m && !bad) {
+          if (rv.isNullAt(j)) bad = true
+          else { val v = rv.getDouble(j); ny += v * v }
+          j += 1
+        }
+        if (!bad)
+          out(c) = if (nx == 0.0 || ny == 0.0) 0.0
+                   else dot / (math.sqrt(nx) * math.sqrt(ny))
+      }
+      if (bad) {
+        if (nulls == null) nulls = new Array[Boolean](k)
+        nulls(c) = true
+      }
+      c += 1
+    }
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)
+    else {
+      val boxed = new Array[Any](k)
+      var i = 0
+      while (i < k) { if (!nulls(i)) boxed(i) = java.lang.Double.valueOf(out(i)); i += 1 }
+      new GenericArrayData(boxed)
+    }
+  }
+
   /** [[VecSubExpr]]'s kernel body: elementwise `a − b`, zip_with-padded. */
   def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
     val n = a.numElements(); val m = b.numElements()
@@ -258,6 +372,11 @@ object SqDistsExpr {
   def matDotsCol(vec: Column, mat: Column): Column =
     ExpressionUtils.column(
       MatDotsExpr(ExpressionUtils.expression(vec), ExpressionUtils.expression(mat)))
+
+  /** Column API: cosine similarity of `vec` with each row of `mat`. */
+  def matCosCol(vec: Column, mat: Column): Column =
+    ExpressionUtils.column(
+      MatCosExpr(ExpressionUtils.expression(vec), ExpressionUtils.expression(mat)))
 
   /** Column API: elementwise `a − b` over two `array<double>` columns. */
   def vecSubCol(a: Column, b: Column): Column =

@@ -140,6 +140,72 @@ class PropertySpec extends SparkSpec {
     assert(strict.subsetOf(loose) && loose.size >= strict.size)
   }
 
+  test("semanticDecontaminate equals the pair-form reference, flags a " +
+       "planted twin, and its verdicts are monotone in the threshold") {
+    import graft.operators.VectorSearch
+    import org.apache.spark.sql.graftext.CosineSimilarityExpr.cosineSim
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val evalSet = emb.where(col("vec_id") % 10 === 0)
+    val got = VectorSearch.semanticDecontaminate(corpus, evalSet, 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    // pair-form reference: explicit cross join + per-pair rounded cosine
+    val asD = (c: String) => expr(s"transform($c, x -> cast(x as double))")
+    val want = corpus.select(col("vec_id"), asD("embedding").as("v"))
+      .crossJoin(broadcast(
+        evalSet.select(asD("embedding").as("ev"))))
+      .select(col("vec_id"), round(cosineSim(col("v"), col("ev")), 6).as("sim"))
+      .groupBy("vec_id")
+      .agg(max("sim").as("max_sim"),
+        sum(when(col("sim") >= 0.4, 1L).otherwise(0L)).as("n_close"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(1) >= 0.4)).toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size == corpus.count())
+    // planted twin: a corpus vector inserted into the eval set under a new
+    // id must come back max_sim == 1.0, contaminated
+    val twinSrc = corpus.orderBy("vec_id").limit(1)
+    val twinId = twinSrc.select("vec_id").as[Long].head()
+    val planted = VectorSearch.semanticDecontaminate(
+      corpus, evalSet.unionByName(twinSrc.withColumn("vec_id", lit(999999L))), 0.4)
+      .where(col("vec_id") === twinId).collect().head
+    assert(planted.getDouble(2) == 1.0 && planted.getBoolean(4))
+    // monotone: raising the threshold can only shrink the flagged set
+    def flagged(t: Double): Set[Long] =
+      VectorSearch.semanticDecontaminate(corpus, evalSet, t)
+        .where(col("contaminated")).select("vec_id").as[Long].collect().toSet
+    assert(flagged(0.45).subsetOf(flagged(0.3)))
+  }
+
+  test("semanticDecontaminate streams the corpus: no pair rows, no corpus " +
+       "shuffle — the only exchanges build the broadcast eval matrix") {
+    import graft.operators.VectorSearch
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = VectorSearch.semanticDecontaminate(
+      emb.where(col("vec_id") % 10 =!= 0), emb.where(col("vec_id") % 10 === 0))
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case s: QueryStageExec        => s +: flatten(s.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the eval collect_list agg is the only legal shuffle source; the
+    // corpus never reshuffles (its verdict is computed in the scan stage)
+    assert(shuffles.size <= 2, s"unexpected shuffles: $shuffles")
+    assert(shuffles.forall(_.child.output.forall(_.name != "vec_id")),
+      "no exchange may carry corpus rows")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
+  }
+
   test("containment dominates jaccard: every jaccard pair at θ is a " +
        "containment pair at θ, with containment >= jaccard") {
     import spark.implicits._

@@ -81,6 +81,56 @@ class SqDistsExprSpec extends SparkSpec {
     assert(subRows(3).isNullAt(1))                            // null input -> null
   }
 
+  test("mat_cos equals transform(mat, r => cosine_sim(v, r)) on dense and " +
+       "top-level-null shapes, codegen and interpreted") {
+    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
+    import org.apache.spark.sql.graftext.CosineSimilarityExpr.cosineSim
+    // id 6 (null ELEMENT) is excluded: the kernel yields a null sim there
+    // by contract, while the HOF form's read of a null slot is
+    // representation-dependent — the only documented divergence.
+    val hofCos = transform(col("cents"), c => cosineSim(col("v"), c))
+    def check(): Unit = {
+      val rows = edgeFrames.where(col("id") =!= 6)
+        .select(col("id"), matCosCol(col("v"), col("cents")).as("k"), hofCos.as("h"))
+        .orderBy("id").collect()
+      rows.foreach { r => assert(r.get(1) == r.get(2), s"row ${r.get(0)}: ${r.get(1)} != ${r.get(2)}") }
+      assert(rows(2).isNullAt(1))                       // null matrix -> null
+      assert(rows(3).getSeq[Any](1) == Seq(null, null)) // null vector -> k nulls
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // the contract case the HOF reference can't pin: null element -> null sim
+    val nullElem = edgeFrames.where(col("id") === 6)
+      .select(matCosCol(col("v"), col("cents"))).collect().head
+    assert(nullElem.getSeq[Any](0) == Seq(null))
+  }
+
+  test("mat_cos on real embeddings equals the pairwise cosine_sim kernel") {
+    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
+    import org.apache.spark.sql.graftext.CosineSimilarityExpr.cosineSim
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val mat = embs.orderBy("vec_id").limit(5).collect()
+      .map(_.getSeq[Double](1).toSeq)
+    val matDf = Seq(Tuple1(mat.toSeq)).toDF("cents")
+    val viaKernel = embs.crossJoin(broadcast(matDf))
+      .select(col("vec_id"), posexplode(matCosCol(col("v"), col("cents"))))
+      .toDF("vec_id", "j", "sim_k")
+    val viaPairs = embs.crossJoin(broadcast(matDf))
+      .select(col("vec_id"), col("v"), posexplode(col("cents")))
+      .toDF("vec_id", "v", "j", "r")
+      .select(col("vec_id"), col("j"), cosineSim(col("v"), col("r")).as("sim_p"))
+    assert(viaKernel.join(viaPairs, Seq("vec_id", "j"))
+      .where(not(col("sim_k") <=> col("sim_p"))).count() == 0)
+    assert(viaKernel.count() == embs.count() * 5)
+  }
+
   test("cell assignment is bit-identical to the HOF form on real embeddings") {
     import graft.operators.VectorSearch
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
