@@ -54,6 +54,19 @@ object Bench {
   private[graft] def cohortOf(name: String): String =
     xCohorts.getOrElse(name, name.takeWhile(_.isLetter))
 
+  /** Execute a query's OWN physical plan and materialize every output
+    * row. `df.count()` plans a count-aggregate OVER the query, and column
+    * pruning then deletes any per-row projection nothing references — a
+    * pure-projection query (x9 lang-id, x86 decontamination verdicts, x87
+    * training order) would time the parquet scan, not the compute (x86 at
+    * 10× "ran" in 0.4 s under count() while its materialized plan takes
+    * seconds). `toRdd.count()` runs the executed
+    * plan as-is: every output row is produced — the cost a consumer of
+    * the query actually pays — and nothing is collected to the driver.
+    */
+  private[graft] def execRows(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,9 +130,12 @@ object Bench {
           .filter(d => d.isDirectory && d.getPath != sfDir)
           .map(_.getPath)
     }
+    // the warm pass must force evaluation the same way the timed pass
+    // does: a count()-pruned plan compiles DIFFERENT generated classes
+    // than the materialized one, defeating the compile amortization
     warmDir.foreach { wd =>
       selected.foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
+        try execRows(fn(spark, wd)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
@@ -140,7 +156,7 @@ object Bench {
       Seq("n10_components", "x46_bpe_merges").filter(n => only.forall(_.contains(n)))
     if (warmDir.nonEmpty)
       for (name <- memoWarmed; fn <- SparkEntry.queries.get(name)) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { execRows(fn(spark, sfDir)) } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
     // Session hygiene: clear the SQL cache at COHORT boundaries (letter
@@ -161,7 +177,7 @@ object Bench {
       }
       def timeOnce(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { execRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       (1 to repeat).map { i =>
@@ -200,7 +216,7 @@ object Bench {
     // knob SPARK_GRAFT_REPEAT>1 switches every timing to raw single shots
     val stat = if (repeat == 1) "median_of_3" else "single_shot"
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -208,7 +224,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

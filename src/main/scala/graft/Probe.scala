@@ -20,7 +20,9 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // materialize the query's own plan (Bench.execRows semantics) — a
+      // count() on top lets column pruning delete projection-only compute
+      val n = Bench.execRows(SparkEntry.queries(name)(spark, sfDir))
       val path = graft.operators.Duplicates.lastComponentsPath
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n" +
         (if (path.nonEmpty) s" componentsPath=$path" else ""))

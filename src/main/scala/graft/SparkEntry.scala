@@ -132,6 +132,7 @@ object SparkEntry {
     "x19_decontaminate" -> (CorpusPrep.qDecontaminate _),
     "x34_decontaminate_bloom" -> (CorpusPrep.qDecontaminateBloom _),
     "x20_split"        -> (CorpusPrep.qAssignSplit _),
+    "x87_training_order" -> (CorpusPrep.qTrainingOrder _),
     "x21_packing"      -> (CorpusPrep.qPackOffsets _),
     "x22_c4_filter"    -> (TextQuality.qC4Filter _),
     "x29_line_dedup"   -> (TextQuality.qLineDedup _),
@@ -771,6 +772,7 @@ object SparkEntry {
     // join, so x34 shares x19's oracle semantics
     "x34_decontaminate_bloom" -> graft.oracles.TrainSql.decontaminateSql(),
     "x20_split"        -> graft.oracles.TrainSql.assignSplitSql,
+    "x87_training_order" -> graft.oracles.TrainSql.trainingOrderSql,
     "x21_packing"      -> graft.oracles.TrainSql.packOffsetsSql(),
     "x22_c4_filter"    -> graft.oracles.TrainSql.c4FilterSql,
     "x29_line_dedup"   -> graft.oracles.TrainSql.lineDedupSql,

@@ -116,6 +116,39 @@ object CorpusPrep {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic dataloader order: the materialized (shard, position)
+    * index a trainer consumes for one epoch — the step after mixing
+    * ([[mixSources]]) and packing ([[packOffsets]]) that none of them
+    * emit. Shard = salted md5-60 hash mod `nShards`, position = dense
+    * rank of the same hash within the shard — one uniform global shuffle,
+    * reproducible across engines, runs, and partitionings (no RNG), so
+    * a preempted job re-derives the identical order and resumes at
+    * (shard, pos) instead of re-randomizing mid-epoch.
+    *
+    * Within-shard ordering reuses the shard hash: a shard holds one
+    * residue class of h, and h's order within any residue class is still
+    * a uniform shuffle, so one hash pays for both decisions. Unlike
+    * [[assignSplit]], positions are NOT append-stable by design — the
+    * order is computed once per corpus release (a new doc's hash shifts
+    * later positions), which is exactly what "epoch over snapshot N"
+    * means.
+    *
+    * Scale shape: one hash-partition exchange on `shard` with an
+    * in-partition sort — the plan a distributed index writer wants
+    * (each shard's index file is one partition, written sorted); the
+    * hash is uniform so shards balance to ±O(√(n/nShards)) without
+    * salting.
+    */
+  def trainingOrder(docs: DataFrame, nShards: Int = 8,
+                    salt: String = "graft-order-v1"): DataFrame = {
+    val h = Dedup.md5Long60(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy("shard").orderBy(asc("__h"), asc("doc_id"))
+    docs.select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+  }
+
   /** Train→validation n-gram leakage audit: for each document the split
     * assigns to `validation`, the fraction of its distinct token n-grams
     * NOT present anywhere in the `train` split. Complements the
@@ -303,6 +336,9 @@ object CorpusPrep {
 
   def qAssignSplit(spark: SparkSession, sfDir: String): DataFrame =
     assignSplit(Tables.documents(spark, sfDir))
+
+  def qTrainingOrder(spark: SparkSession, sfDir: String): DataFrame =
+    trainingOrder(Tables.documents(spark, sfDir))
 
   def qSplitNovelty(spark: SparkSession, sfDir: String): DataFrame =
     splitNovelty(Tables.documents(spark, sfDir))

@@ -550,14 +550,41 @@ object VectorSearch {
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             threshold: Double = 0.4): DataFrame = {
-    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
-    val evalRow = evalSet
+    import org.apache.spark.sql.graftext.MatCosStatsExpr.matCosStatsCol
+    corpus
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(evalMatrixFrame(evalSet)))
+      .select(col("vec_id"), col("label"),
+        matCosStatsCol(col("v"), col("__mat"), threshold).as("__st"))
+      .select(col("vec_id"), col("label"),
+        round(col("__st.max_sim"), 6).as("max_sim"),
+        col("__st.n_close").as("n_close"))
+      .withColumn("contaminated", col("max_sim") >= lit(threshold))
+  }
+
+  /** The eval set as a broadcastable 1-row matrix frame, built in-plan
+    * (`sort_array(collect_list(…))` — deterministic row order, no driver
+    * collect). Shared by [[semanticDecontaminate]] and its HOF reference
+    * form.
+    */
+  private def evalMatrixFrame(evalSet: DataFrame): DataFrame =
+    evalSet
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("__pairs"))
       .select(transform(col("__pairs"), p => p.getField("v")).as("__mat"))
+
+  /** The pre-kernel composable form — `mat_cos` sims array, `array_max`,
+    * and an interpreted per-element rounded-threshold filter. Retained as
+    * the equality-spec reference for [[semanticDecontaminate]]'s fused
+    * verdict kernel (the m interpreted `round` applications per corpus
+    * row are what the kernel deletes: 25.4 s → 3.6 s steady at 10×).
+    */
+  private[graft] def semanticDecontaminateHof(corpus: DataFrame,
+      evalSet: DataFrame, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
     corpus
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      .crossJoin(broadcast(evalRow))
+      .crossJoin(broadcast(evalMatrixFrame(evalSet)))
       .select(col("vec_id"), col("label"),
         matCosCol(col("v"), col("__mat")).as("__sims"))
       .select(col("vec_id"), col("label"),

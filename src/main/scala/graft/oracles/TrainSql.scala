@@ -842,6 +842,20 @@ object TrainSql {
        |            ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Dataloader order ([[graft.operators.CorpusPrep.trainingOrder]],
+    * x87): salted md5-60 shard + dense within-shard rank of the same
+    * hash. The hash is non-negative (15 hex chars < 2^60), so `%` here
+    * equals the engine's `pmod`.
+    */
+  val trainingOrderSql: String = {
+    val h = md5Long60Sql("'graft-order-v1:' || doc_id")
+    s"""WITH h AS (SELECT doc_id, source, $h AS hh FROM documents)
+       |SELECT doc_id, source, CAST(hh % 8 AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY hh % 8
+       |                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+       |FROM h""".stripMargin
+  }
+
   /** Domain mixing ([[graft.operators.CorpusPrep.mixSources]]) with the
     * query's 0.25/0.5/1.0/2.5 rate cycle over the src<i> sources.
     */

@@ -70,6 +70,26 @@ object GraftFunctions {
     MatCosExpr(children.head, children(1))
   }
 
+  /** Thresholds arrive as numeric literals of any flavor; fold to double. */
+  private def foldableDouble(e: Expression, fn: String, arg: String): Double = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float  => f.toDouble
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
+
+  private def buildMatCosStats(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "mat_cos_stats takes (v, mat, threshold)")
+    MatCosStatsExpr(children.head, children(1),
+      foldableDouble(children(2), "mat_cos_stats", "threshold"))
+  }
+
   private def buildVecSub(children: Seq[Expression]): Expression = {
     require(children.length == 2, "vec_sub takes exactly 2 arguments")
     VecSubExpr(children.head, children(1))
@@ -131,6 +151,10 @@ object GraftFunctions {
         info(classOf[MatCosExpr], "mat_cos",
           "mat_cos(v, mat) - cosine similarity of v with each matrix row"),
         buildMatCos),
+      (FunctionIdentifier("mat_cos_stats"),
+        info(classOf[MatCosStatsExpr], "mat_cos_stats",
+          "mat_cos_stats(v, mat, t) - struct(max_sim, n_close) of v vs matrix rows at threshold t"),
+        buildMatCosStats),
       (FunctionIdentifier("vec_sub"),
         info(classOf[VecSubExpr], "vec_sub",
           "vec_sub(a, b) - elementwise a - b over two array<double> vectors"),

@@ -183,6 +183,141 @@ case class MatCosExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The decontamination-verdict kernel: `struct(max_sim, n_close)` of a
+  * vector against a matrix column in ONE fused pass —
+  * `array_max(mat_cos(v, mat))` plus
+  * `size(filter(mat_cos(v, mat), s => round(s, 6) >= t))` without ever
+  * materializing the sims array or paying m interpreted lambda
+  * applications per row (the HOF filter's per-element `round` is a
+  * BigDecimal construction — measured 25.4 s vs 3.6 s steady at 10× for
+  * [[graft.operators.VectorSearch.semanticDecontaminate]]).
+  *
+  * `n_close` counts rows with `round(sim, 6) >= threshold` under Spark's
+  * exact Round-on-double semantics (`BigDecimal.valueOf(s).setScale(6,
+  * HALF_UP)`), but only sims inside `threshold ± 1e-6` take the
+  * BigDecimal path: outside the window the verdict is forced, because
+  * 6-dp rounding moves a value by at most 5e-7 — `s ≥ t + 1e-6` rounds to
+  * ≥ t − 5e-7 above it, `s < t − 1e-6` rounds short of t. `max_sim` is
+  * the RAW maximum (callers round it; round is monotone so round-of-max
+  * equals max-of-rounds). Null matrix or null vector → null; null rows
+  * and null-element rows are skipped from both the max and the count
+  * (exactly as `array_max` and a null-dropping `filter` treat a null
+  * sim); a matrix with no scoreable row yields `(null, 0)`. `threshold`
+  * is a model parameter, folded at construction like
+  * [[MinHashSigExpr]]'s.
+  */
+case class MatCosStatsExpr(left: Expression, right: Expression,
+                           threshold: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = MatCosStatsExpr.outType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"mat_cos_stats expects (array<double>, array<array<double>>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MatCosStatsExpr.stats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftext.MatCosStatsExpr.stats(
+         |  $a, $b, $threshold);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatCosStatsExpr {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val outType: StructType = StructType(Seq(
+    StructField("max_sim", DoubleType, nullable = true),
+    StructField("n_close", LongType, nullable = false)))
+
+  /** Spark's Round-on-double, verbatim: decimal HALF_UP at 6 places. */
+  private def round6(s: Double): Double =
+    java.math.BigDecimal.valueOf(s)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Kernel body (shared by eval and codegen). One pass over the matrix:
+    * each scoreable row contributes its raw cosine to the max and its
+    * rounded-threshold verdict to the count.
+    */
+  def stats(vec: ArrayData, mat: ArrayData,
+            threshold: Double): InternalRow = {
+    val k = mat.numElements()
+    val lo = threshold - 1e-6
+    val hi = threshold + 1e-6
+    var maxSim = Double.NaN
+    var any = false
+    var nClose = 0L
+    // a null vec element poisons every row (see SqDistsExpr.hoistVec),
+    // leaving no scoreable row: (null, 0)
+    val hoisted = SqDistsExpr.hoistVec(vec)
+    if (hoisted == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, 0L))
+    val (vd, nx) = hoisted
+    val n = vd.length
+    var c = 0
+    while (c < k) {
+      var bad = mat.isNullAt(c)
+      var sim = 0.0
+      if (!bad) {
+        val rv = mat.getArray(c)
+        val m = rv.numElements()
+        val common = math.min(n, m)
+        var dot = 0.0; var ny = 0.0
+        var i = 0
+        while (i < common && !bad) {
+          if (rv.isNullAt(i)) bad = true
+          else {
+            val yi = rv.getDouble(i)
+            dot += vd(i) * yi; ny += yi * yi
+          }
+          i += 1
+        }
+        var j = common
+        while (j < m && !bad) {
+          if (rv.isNullAt(j)) bad = true
+          else { val v = rv.getDouble(j); ny += v * v }
+          j += 1
+        }
+        if (!bad) {
+          sim = if (nx == 0.0 || ny == 0.0) 0.0
+                else dot / (math.sqrt(nx) * math.sqrt(ny))
+          if (!any || sim > maxSim) { maxSim = sim; any = true }
+          if (sim >= hi) nClose += 1L
+          else if (sim >= lo && round6(sim) >= threshold) nClose += 1L
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (any) java.lang.Double.valueOf(maxSim) else null, nClose))
+  }
+
+  /** Column API: `struct(max_sim, n_close)` of `vec` vs the rows of
+    * `mat` at `threshold`.
+    */
+  def matCosStatsCol(vec: Column, mat: Column, threshold: Double): Column =
+    ExpressionUtils.column(
+      MatCosStatsExpr(ExpressionUtils.expression(vec),
+        ExpressionUtils.expression(mat), threshold))
+}
+
 /** Elementwise vector subtraction `a − b` with `zip_with` semantics — the
   * IVF-PQ residual pass (`v − centroid[cell]`), which ran dim interpreted
   * lambda applications per vector. Output length = max(|a|, |b|); the
@@ -275,6 +410,29 @@ object SqDistsExpr {
     }
   }
 
+  /** The hoisted left-vector of the cosine kernels: primitive copy plus
+    * the full squared norm, computed ONCE per call. Sound because the
+    * per-row semantics make both row-independent — the tail rule scans
+    * every vec element into nx whatever the row's length, so nx is always
+    * the full |v|², and a null anywhere in vec therefore poisons every
+    * row (`null` is returned to signal that degenerate case). Halves the
+    * per-element accessor work in the m×dim hot loop (measured 390 s →
+    * 207 s at the 100× decontamination fixture, 6.4 → 3.6 s at 10×).
+    */
+  private[graftext] def hoistVec(vec: ArrayData): (Array[Double], Double) = {
+    val n = vec.numElements()
+    val vd = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val v = vec.getDouble(i)
+      vd(i) = v; nx += v * v
+      i += 1
+    }
+    (vd, nx)
+  }
+
   /** [[MatCosExpr]]'s kernel body: `cos(vec, row)` per matrix row, each
     * row computed exactly as [[CosineSimilarityExpr.nullSafeEval]] —
     * prefix dot + tail-inclusive norms, 0.0 on a zero norm.
@@ -282,7 +440,10 @@ object SqDistsExpr {
   def matCos(vec: ArrayData, mat: ArrayData): ArrayData = {
     val k = mat.numElements()
     if (vec == null) return new GenericArrayData(new Array[Any](k))
-    val n = vec.numElements()
+    val hoisted = hoistVec(vec)
+    if (hoisted == null) return new GenericArrayData(new Array[Any](k))
+    val (vd, nx) = hoisted
+    val n = vd.length
     val out = new Array[Double](k)
     var nulls: Array[Boolean] = null
     var c = 0
@@ -292,23 +453,17 @@ object SqDistsExpr {
         val rv = mat.getArray(c)
         val m = rv.numElements()
         val common = math.min(n, m)
-        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var dot = 0.0; var ny = 0.0
         var i = 0
         while (i < common && !bad) {
-          if (vec.isNullAt(i) || rv.isNullAt(i)) bad = true
+          if (rv.isNullAt(i)) bad = true
           else {
-            val xi = vec.getDouble(i); val yi = rv.getDouble(i)
-            dot += xi * yi; nx += xi * xi; ny += yi * yi
+            val yi = rv.getDouble(i)
+            dot += vd(i) * yi; ny += yi * yi
           }
           i += 1
         }
         var j = common
-        while (j < n && !bad) {
-          if (vec.isNullAt(j)) bad = true
-          else { val v = vec.getDouble(j); nx += v * v }
-          j += 1
-        }
-        j = common
         while (j < m && !bad) {
           if (rv.isNullAt(j)) bad = true
           else { val v = rv.getDouble(j); ny += v * v }

@@ -58,6 +58,33 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!a.map(_._2).sameElements(c.map(_._2)))
   }
 
+  test("training order: a deterministic partition into dense balanced shards, " +
+       "invariant to input partitioning") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    val a = CorpusPrep.trainingOrder(docs, nShards = 4)
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    // every doc exactly once; (shard, pos) unique
+    assert(a.length == n)
+    assert(a.map(r => (r._3, r._4)).distinct.length == n)
+    // dense positions per shard: 0..size-1
+    a.groupBy(_._3).foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(0L until rows.length.toLong), s"shard $s")
+    }
+    // balanced within a loose bound (hash-uniform; deterministic fixture)
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.size == 4 && sizes.max <= sizes.min * 2, s"imbalance: $sizes")
+    // invariant to partitioning and row order
+    val b = CorpusPrep.trainingOrder(docs.orderBy(desc("doc_id")).repartition(13),
+        nShards = 4)
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // a different salt produces a different order
+    val c = CorpusPrep.trainingOrder(docs, nShards = 4, salt = "other")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    assert(!a.map(r => (r._3, r._4)).sameElements(c.map(r => (r._3, r._4))))
+  }
+
   test("split novelty: copied validation doc scores 0, unique doc scores 1") {
     // find real bucket assignments first — the split hashes doc_id, so the
     // fixture must plant text on ids that actually land in each split

@@ -404,7 +404,10 @@ class PlanSpec extends SparkSpec {
                              // frame (the x25 scalar-broadcast pattern)
       "x75_tokenizer_report", // embeds x74's 1-row piece-frequency total
       "x79_worst_spans",     // x43's 1-row vocabulary-size aggregate
-      "x80_unigram_em"       // x74's 1-row piece-frequency totals (both models)
+      "x80_unigram_em",      // x74's 1-row piece-frequency totals (both models)
+      "x86_semantic_decontam" // the 1-row broadcast eval-matrix frame; the
+                             // corpus streams once against it (PropertySpec
+                             // asserts no corpus rows cross an exchange)
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

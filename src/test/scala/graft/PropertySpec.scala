@@ -164,6 +164,11 @@ class PropertySpec extends SparkSpec {
         (r.getDouble(1), r.getLong(2), r.getDouble(1) >= 0.4)).toMap
     assert(got == want)
     assert(got.nonEmpty && got.size == corpus.count())
+    // the fused verdict kernel equals the composable HOF form it replaced
+    val hof = VectorSearch.semanticDecontaminateHof(corpus, evalSet, 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(hof == got)
     // planted twin: a corpus vector inserted into the eval set under a new
     // id must come back max_sim == 1.0, contaminated
     val twinSrc = corpus.orderBy("vec_id").limit(1)

@@ -131,6 +131,48 @@ class SqDistsExprSpec extends SparkSpec {
     assert(viaKernel.count() == embs.count() * 5)
   }
 
+  test("mat_cos_stats equals array_max + rounded-threshold filter over " +
+       "mat_cos, including thresholds ON a rounded sim (boundary window)") {
+    import org.apache.spark.sql.graftext.MatCosStatsExpr.matCosStatsCol
+    import org.apache.spark.sql.graftext.SqDistsExpr.matCosCol
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val mat = embs.orderBy("vec_id").limit(7).collect()
+      .map(_.getSeq[Double](1).toSeq)
+    val matDf = Seq(Tuple1(mat.toSeq)).toDF("cents")
+    // a threshold equal to an actual rounded sim lands inside the ±1e-6
+    // BigDecimal window — the path a generic threshold never exercises
+    val someSim = embs.crossJoin(broadcast(matDf))
+      .select(explode(matCosCol(col("v"), col("cents"))).as("s"))
+      .select(round(col("s"), 6).as("r")).where(col("r") > 0.1)
+      .orderBy("r").limit(1).collect().head.getDouble(0)
+    for (t <- Seq(0.25, someSim, someSim + 1e-6, someSim - 1e-6)) {
+      val both = embs.crossJoin(broadcast(matDf))
+        .select(col("vec_id"),
+          matCosStatsCol(col("v"), col("cents"), t).as("k"),
+          struct(
+            array_max(matCosCol(col("v"), col("cents"))).as("max_sim"),
+            size(filter(matCosCol(col("v"), col("cents")),
+              s => round(s, 6) >= lit(t))).cast("long").as("n_close")).as("h"))
+      assert(both.where(not(col("k") <=> col("h"))).count() == 0, s"t=$t")
+    }
+    // degenerate shapes: null vec / null matrix -> null; empty matrix ->
+    // (null, 0); an unscoreable (null) row is skipped
+    val edge = spark.sql(
+      """SELECT matv, cents FROM VALUES
+        |  (CAST(NULL AS array<double>), array(array(1.0d))),
+        |  (array(1.0d), CAST(NULL AS array<array<double>>)),
+        |  (array(1.0d), CAST(array() AS array<array<double>>)),
+        |  (array(1.0d), array(CAST(NULL AS array<double>), array(2.0d)))
+        |AS t(matv, cents)""".stripMargin)
+      .select(matCosStatsCol(col("matv"), col("cents"), 0.5).as("k")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getStruct(0).isNullAt(0) && edge(2).getStruct(0).getLong(1) == 0L)
+    assert(edge(3).getStruct(0).getDouble(0) == 1.0 &&
+      edge(3).getStruct(0).getLong(1) == 1L)
+  }
+
   test("cell assignment is bit-identical to the HOF form on real embeddings") {
     import graft.operators.VectorSearch
     val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
