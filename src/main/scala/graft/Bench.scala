@@ -30,7 +30,7 @@ object Bench {
         "x50_pq_codes", "x51_pq_adc_topk", "x52_ivfpq_topk",
         "x55_cluster_topics", "x57_hard_negatives", "x68_ivf_cell_stats",
         "x82_ivf_persisted", "x83_ivfpq_persisted",
-        "x82b_ivf_probe", "x83b_ivfpq_probe"),
+        "x82b_ivf_probe", "x83b_ivfpq_probe", "x86_semantic_decontam"),
       "x-quality" -> Seq("x9_lang_id", "x10_quality", "x11_token_counts",
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",
@@ -43,7 +43,8 @@ object Bench {
         "x24_mix_sources", "x28_crossdoc_dup", "x32_token_budget",
         "x34_decontaminate_bloom", "x35_mix_temperature", "x42_weighted_sample",
         "x49_split_novelty", "x53_dsir_weights", "x54_dsir_sample",
-        "x62_packing_efficiency"),
+        "x62_packing_efficiency", "x84_corpus_diff", "x85_corpus_manifest",
+        "x87_training_order"),
       "x-retrieval" -> Seq("x41_phrase_search", "x44_hybrid_search",
         "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25",
         "x72_wp_vocab", "x73_wp_segment", "x74_unigram_viterbi",

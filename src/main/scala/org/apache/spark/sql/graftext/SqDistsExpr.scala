@@ -199,11 +199,14 @@ case class MatCosExpr(left: Expression, right: Expression)
   * 6-dp rounding moves a value by at most 5e-7 — `s ≥ t + 1e-6` rounds to
   * ≥ t − 5e-7 above it, `s < t − 1e-6` rounds short of t. `max_sim` is
   * the RAW maximum (callers round it; round is monotone so round-of-max
-  * equals max-of-rounds). Null matrix or null vector → null; null rows
-  * and null-element rows are skipped from both the max and the count
-  * (exactly as `array_max` and a null-dropping `filter` treat a null
-  * sim); a matrix with no scoreable row yields `(null, 0)`. `threshold`
-  * is a model parameter, folded at construction like
+  * equals max-of-rounds), and a NaN sim ranks greatest, exactly as
+  * Spark's double ordering makes `array_max` behave. Null matrix →
+  * null; null rows and null-element rows are skipped from both the max
+  * and the count (exactly as `array_max` and a null-dropping `filter`
+  * treat a null sim); a null vector — or one with a null element, which
+  * poisons every row — and a matrix with no scoreable row all yield
+  * `(null, 0)`, the HOF form's own verdict over all-null sims.
+  * `threshold` is a model parameter, folded at construction like
   * [[MinHashSigExpr]]'s.
   */
 case class MatCosStatsExpr(left: Expression, right: Expression,
@@ -222,17 +225,29 @@ case class MatCosStatsExpr(left: Expression, right: Expression,
           s"mat_cos_stats expects (array<double>, array<array<double>>), got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    MatCosStatsExpr.stats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+  override def eval(input: InternalRow): Any = {
+    val mat = right.eval(input)
+    if (mat == null) return null
+    MatCosStatsExpr.stats(
+      left.eval(input).asInstanceOf[ArrayData], mat.asInstanceOf[ArrayData],
       threshold)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-         |${ev.value} = org.apache.spark.sql.graftext.MatCosStatsExpr.stats(
-         |  $a, $b, $threshold);
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${rightGen.isNull};
+      InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = org.apache.spark.sql.graftext.MatCosStatsExpr.stats(
+          ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value},
+          $threshold);
+      }
+    """)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -257,51 +272,30 @@ object MatCosStatsExpr {
     */
   def stats(vec: ArrayData, mat: ArrayData,
             threshold: Double): InternalRow = {
-    val k = mat.numElements()
     val lo = threshold - 1e-6
     val hi = threshold + 1e-6
     var maxSim = Double.NaN
     var any = false
     var nClose = 0L
-    // a null vec element poisons every row (see SqDistsExpr.hoistVec),
-    // leaving no scoreable row: (null, 0)
-    val hoisted = SqDistsExpr.hoistVec(vec)
+    // a null vec — or a null vec element, which poisons every row (see
+    // SqDistsExpr.hoistVec) — leaves no scoreable row: (null, 0), exactly
+    // what array_max + a null-dropping filter yield over all-null sims
+    val hoisted = if (vec == null) null else SqDistsExpr.hoistVec(vec)
     if (hoisted == null)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](null, 0L))
     val (vd, nx) = hoisted
-    val n = vd.length
+    val k = mat.numElements()
     var c = 0
     while (c < k) {
-      var bad = mat.isNullAt(c)
-      var sim = 0.0
-      if (!bad) {
-        val rv = mat.getArray(c)
-        val m = rv.numElements()
-        val common = math.min(n, m)
-        var dot = 0.0; var ny = 0.0
-        var i = 0
-        while (i < common && !bad) {
-          if (rv.isNullAt(i)) bad = true
-          else {
-            val yi = rv.getDouble(i)
-            dot += vd(i) * yi; ny += yi * yi
-          }
-          i += 1
-        }
-        var j = common
-        while (j < m && !bad) {
-          if (rv.isNullAt(j)) bad = true
-          else { val v = rv.getDouble(j); ny += v * v }
-          j += 1
-        }
-        if (!bad) {
-          sim = if (nx == 0.0 || ny == 0.0) 0.0
-                else dot / (math.sqrt(nx) * math.sqrt(ny))
-          if (!any || sim > maxSim) { maxSim = sim; any = true }
-          if (sim >= hi) nClose += 1L
-          else if (sim >= lo && round6(sim) >= threshold) nClose += 1L
-        }
+      val boxed = SqDistsExpr.rowCos(vd, nx, mat, c)
+      if (boxed != null) {
+        val sim = boxed.doubleValue()
+        // NaN ranks GREATEST in Spark's double ordering (array_max over a
+        // NaN-containing sims vector returns NaN) — mirror it
+        if (!any || sim > maxSim || sim.isNaN) { maxSim = sim; any = true }
+        if (sim >= hi) nClose += 1L
+        else if (sim >= lo && round6(sim) >= threshold) nClose += 1L
       }
       c += 1
     }
@@ -433,6 +427,39 @@ object SqDistsExpr {
     (vd, nx)
   }
 
+  /** The per-row half of the cosine kernels: `cos(vd, row c of mat)` with
+    * [[CosineSimilarityExpr.nullSafeEval]]'s exact arithmetic (prefix dot
+    * + tail-inclusive row norm; `nx` is the hoisted full |v|²; 0.0 on a
+    * zero norm). Returns null (boxed) for an unscoreable row — a null
+    * row or a null element — so [[matCos]] and [[MatCosStatsExpr.stats]]
+    * share ONE copy of the null/mismatch/zero-norm contract.
+    */
+  private[graftext] def rowCos(vd: Array[Double], nx: Double,
+                               mat: ArrayData, c: Int): java.lang.Double = {
+    if (mat.isNullAt(c)) return null
+    val rv = mat.getArray(c)
+    val n = vd.length
+    val m = rv.numElements()
+    val common = math.min(n, m)
+    var dot = 0.0; var ny = 0.0
+    var i = 0
+    while (i < common) {
+      if (rv.isNullAt(i)) return null
+      val yi = rv.getDouble(i)
+      dot += vd(i) * yi; ny += yi * yi
+      i += 1
+    }
+    var j = common
+    while (j < m) {
+      if (rv.isNullAt(j)) return null
+      val v = rv.getDouble(j); ny += v * v
+      j += 1
+    }
+    java.lang.Double.valueOf(
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
   /** [[MatCosExpr]]'s kernel body: `cos(vec, row)` per matrix row, each
     * row computed exactly as [[CosineSimilarityExpr.nullSafeEval]] —
     * prefix dot + tail-inclusive norms, 0.0 on a zero norm.
@@ -443,40 +470,15 @@ object SqDistsExpr {
     val hoisted = hoistVec(vec)
     if (hoisted == null) return new GenericArrayData(new Array[Any](k))
     val (vd, nx) = hoisted
-    val n = vd.length
     val out = new Array[Double](k)
     var nulls: Array[Boolean] = null
     var c = 0
     while (c < k) {
-      var bad = mat.isNullAt(c)
-      if (!bad) {
-        val rv = mat.getArray(c)
-        val m = rv.numElements()
-        val common = math.min(n, m)
-        var dot = 0.0; var ny = 0.0
-        var i = 0
-        while (i < common && !bad) {
-          if (rv.isNullAt(i)) bad = true
-          else {
-            val yi = rv.getDouble(i)
-            dot += vd(i) * yi; ny += yi * yi
-          }
-          i += 1
-        }
-        var j = common
-        while (j < m && !bad) {
-          if (rv.isNullAt(j)) bad = true
-          else { val v = rv.getDouble(j); ny += v * v }
-          j += 1
-        }
-        if (!bad)
-          out(c) = if (nx == 0.0 || ny == 0.0) 0.0
-                   else dot / (math.sqrt(nx) * math.sqrt(ny))
-      }
-      if (bad) {
+      val sim = rowCos(vd, nx, mat, c)
+      if (sim == null) {
         if (nulls == null) nulls = new Array[Boolean](k)
         nulls(c) = true
-      }
+      } else out(c) = sim.doubleValue()
       c += 1
     }
     if (nulls == null) UnsafeArrayData.fromPrimitiveArray(out)

@@ -187,18 +187,11 @@ class PropertySpec extends SparkSpec {
   test("semanticDecontaminate streams the corpus: no pair rows, no corpus " +
        "shuffle — the only exchanges build the broadcast eval matrix") {
     import graft.operators.VectorSearch
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val emb = Tables.embeddings(spark, sf0001)
     val df = VectorSearch.semanticDecontaminate(
       emb.where(col("vec_id") % 10 =!= 0), emb.where(col("vec_id") % 10 === 0))
     df.collect()
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case s: QueryStageExec        => s +: flatten(s.plan)
-      case other                    => other +: other.children.flatMap(flatten)
-    }
-    val nodes = flatten(df.queryExecution.executedPlan)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
     val shuffles = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

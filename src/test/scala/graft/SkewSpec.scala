@@ -52,15 +52,9 @@ class SkewSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import graft.operators.Duplicates
 
-    def joinOutputRows(p: SparkPlan): Long = {
-      def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case s: QueryStageExec        => s +: flatten(s.plan)
-        case other                    => other +: other.children.flatMap(flatten)
-      }
-      flatten(p).filter(_.nodeName.contains("Join"))
+    def joinOutputRows(p: SparkPlan): Long =
+      flattenPlan(p).filter(_.nodeName.contains("Join"))
         .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-    }
 
     // Every document carries one planted ultra-common term plus three
     // unique ones — the worst case the guard exists for: one join key
@@ -125,12 +119,7 @@ class SkewSpec extends SparkSpec {
       // AQE decides from runtime stats, so THIS queryExecution must run
       // (count() would plan a separate execution and leave this one cold)
       assert(joined.collect().length == 200000, "skew split must not change results")
-      def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case s: QueryStageExec        => s +: flatten(s.plan)
-        case other                    => other +: other.children.flatMap(flatten)
-      }
-      val smjs = flatten(joined.queryExecution.executedPlan)
+      val smjs = flattenPlan(joined.queryExecution.executedPlan)
         .collect { case s: SortMergeJoinExec => s }
       assert(smjs.nonEmpty, "expected a sort-merge join with broadcast disabled")
       assert(smjs.exists(_.isSkewJoin),

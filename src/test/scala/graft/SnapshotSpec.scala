@@ -92,18 +92,53 @@ class SnapshotSpec extends SparkSpec {
     // itself does over any union of shards.
   }
 
+  test("diff over bucketed snapshots joins exchange-free: the only shuffle " +
+       "is the final (source, status) aggregate") {
+    def reset(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new java.io.File(s"spark-warehouse/$table")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    reset("snap_v1_test"); reset("snap_v2_test")
+    val all = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    graft.sources.Ingest.writeBucketed(Snapshots.snapV1(all), "snap_v1_test",
+      key = "doc_id", buckets = 4)
+    graft.sources.Ingest.writeBucketed(Snapshots.snapV2(all), "snap_v2_test",
+      key = "doc_id", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Snapshots.corpusDiff(
+        spark.table("snap_v1_test"), spark.table("snap_v2_test"))
+      df.collect()
+      val nodes = flattenPlan(df.queryExecution.executedPlan)
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin") && planStr.contains("FullOuter"),
+        s"expected a full-outer sort-merge join, plan:\n$planStr")
+      val shuffles = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size == 1,
+        s"bucketed diff must shuffle only for the final aggregate, " +
+        s"found ${shuffles.size} exchanges:\n$planStr")
+      // and that one shuffle is the post-join aggregate, not a join input
+      assert(shuffles.head.child.output.exists(_.name == "status"))
+      // same diff result as the unbucketed path
+      val want = Snapshots.corpusDiff(Snapshots.snapV1(all), Snapshots.snapV2(all))
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("diff shuffles digests, not text: the joined plan carries no text column") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val all = Tables.documents(spark, sf0001)
     val df = Snapshots.corpusDiff(Snapshots.snapV1(all), Snapshots.snapV2(all))
     df.collect()
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case s: QueryStageExec        => s +: flatten(s.plan)
-      case other                    => other +: other.children.flatMap(flatten)
-    }
-    val shuffles = flatten(df.queryExecution.executedPlan).collect {
+    val shuffles = flattenPlan(df.queryExecution.executedPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(shuffles.nonEmpty)

@@ -26,6 +26,20 @@ trait SparkSpec extends AnyFunSuite {
     import spark.implicits._
     sampleTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
+
+  /** Flatten an executed plan through its AQE wrappers (final plan of an
+    * `AdaptiveSparkPlanExec`, the plan inside each `QueryStageExec`) —
+    * the walk every shuffle/join-shape assertion needs, in one place.
+    */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+      case s: QueryStageExec        => s +: flattenPlan(s.plan)
+      case other                    => other +: other.children.flatMap(flattenPlan)
+    }
+  }
 }
 
 object SparkSpec {

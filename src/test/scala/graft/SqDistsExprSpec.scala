@@ -157,20 +157,33 @@ class SqDistsExprSpec extends SparkSpec {
               s => round(s, 6) >= lit(t))).cast("long").as("n_close")).as("h"))
       assert(both.where(not(col("k") <=> col("h"))).count() == 0, s"t=$t")
     }
-    // degenerate shapes: null vec / null matrix -> null; empty matrix ->
-    // (null, 0); an unscoreable (null) row is skipped
+    // degenerate shapes, each mirroring what array_max + a null-dropping
+    // filter yield over the HOF sims: null matrix -> null; a null vec (or
+    // one with a null element — every row poisoned) and an empty matrix
+    // -> (null, 0); an unscoreable (null) row is skipped
     val edge = spark.sql(
       """SELECT matv, cents FROM VALUES
         |  (CAST(NULL AS array<double>), array(array(1.0d))),
         |  (array(1.0d), CAST(NULL AS array<array<double>>)),
         |  (array(1.0d), CAST(array() AS array<array<double>>)),
-        |  (array(1.0d), array(CAST(NULL AS array<double>), array(2.0d)))
+        |  (array(1.0d), array(CAST(NULL AS array<double>), array(2.0d))),
+        |  (array(1.0d, CAST(NULL AS double)), array(array(1.0d, 2.0d)))
         |AS t(matv, cents)""".stripMargin)
       .select(matCosStatsCol(col("matv"), col("cents"), 0.5).as("k")).collect()
-    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(0).getStruct(0).isNullAt(0) && edge(0).getStruct(0).getLong(1) == 0L)
+    assert(edge(1).isNullAt(0))
     assert(edge(2).getStruct(0).isNullAt(0) && edge(2).getStruct(0).getLong(1) == 0L)
     assert(edge(3).getStruct(0).getDouble(0) == 1.0 &&
       edge(3).getStruct(0).getLong(1) == 1L)
+    assert(edge(4).getStruct(0).isNullAt(0) && edge(4).getStruct(0).getLong(1) == 0L)
+    // NaN sims rank greatest, exactly as array_max orders doubles
+    val nan = spark.sql(
+      """SELECT array(1.0d, 0.0d) AS matv,
+        |       array(array(1.0d, 0.0d),
+        |             array(cast('Infinity' as double), 0.0d)) AS cents""".stripMargin)
+      .select(matCosStatsCol(col("matv"), col("cents"), 0.5).as("k"),
+        array_max(matCosCol(col("matv"), col("cents"))).as("h")).collect().head
+    assert(nan.getStruct(0).getDouble(0).isNaN && nan.getDouble(1).isNaN)
   }
 
   test("cell assignment is bit-identical to the HOF form on real embeddings") {
