@@ -6,7 +6,14 @@ runs each oracle SQL in DuckDB against the same testdata parquet tables,
 and compares: row count, column names (sorted), and values (exact for
 ints/strings, tolerant-then-exact hashing for floats).
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [only1,only2,...]
+
+sf0.1 note: DuckDB instance memory is not fully returned to the OS while
+the process lives, so a full 205-query sweep at sf0.1 can cascade into
+spurious "Out of Memory Error" failures after the heavy closure oracles
+(x45b, x47, p1...) even with a fresh connection per query. Re-run the
+FAILed names via the third argument in a fresh process (chunks of ~10) —
+every such failure so far has been residue, not a mismatch.
 """
 import json
 import sys
@@ -69,21 +76,37 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # optional third arg: comma-separated query names (re-check a subset)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+    # one FRESH connection per query: a shared connection accumulates
+    # buffer/temp memory across 200+ oracles and at sf0.1 eventually turns
+    # every later query into a spurious "Out of Memory Error" cascade
+    def connect():
+        con = duckdb.connect()
+        for t in TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return con
+
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_ok = 0
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    if only is not None:
+        names = [n for n in names if n in only]
+        oracle = {k: v for k, v in oracle.items() if k in only}
     for name in names:
         spark_df = pd.read_parquet(Path(out_dir) / name)
         if name not in oracle:
             print(f"[rows-only] {name}: {len(spark_df)} rows")
             continue
         try:
-            duck_df = con.execute(oracle[name]).df()
+            con = connect()
+            try:
+                duck_df = con.execute(oracle[name]).df()
+            finally:
+                con.close()
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             continue
