@@ -30,7 +30,8 @@ object Bench {
         "x50_pq_codes", "x51_pq_adc_topk", "x52_ivfpq_topk",
         "x55_cluster_topics", "x57_hard_negatives", "x68_ivf_cell_stats",
         "x82_ivf_persisted", "x83_ivfpq_persisted",
-        "x82b_ivf_probe", "x83b_ivfpq_probe", "x86_semantic_decontam"),
+        "x82b_ivf_probe", "x83b_ivfpq_probe", "x86_semantic_decontam",
+        "x86b_semantic_decontam_ivf"),
       "x-quality" -> Seq("x9_lang_id", "x10_quality", "x11_token_counts",
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",

@@ -121,6 +121,7 @@ object SparkEntry {
     "x15_quantized"    -> (VectorSearch.qQuantized _),
     "x30_semantic_dedup" -> (VectorSearch.qSemanticDedup _),
     "x86_semantic_decontam" -> (VectorSearch.qSemanticDecontam _),
+    "x86b_semantic_decontam_ivf" -> (VectorSearch.qSemanticDecontamIvf _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),
@@ -756,6 +757,9 @@ object SparkEntry {
     // x86: per-pair rounded cosines aggregate per corpus doc; engine-side
     // round(max) == oracle max(round) by round's monotonicity
     "x86_semantic_decontam" -> graft.oracles.TrainSql.semanticDecontamSql,
+    // x86b: Lloyd chain trained on the eval split, nprobe cell candidates,
+    // corpus-spine left join for the no-candidate verdict
+    "x86b_semantic_decontam_ivf" -> graft.oracles.TrainSql.semanticDecontamIvfSql(),
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,

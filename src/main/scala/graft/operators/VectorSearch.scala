@@ -594,6 +594,52 @@ object VectorSearch {
       .withColumn("contaminated", col("max_sim") >= lit(threshold))
   }
 
+  /** [[semanticDecontaminate]] for eval sets too big to broadcast as one
+    * matrix — the scale path that operator's scaladoc names. The k-means
+    * coarse quantizer trains on the EVAL set (cells partition eval
+    * space), its centroid matrix broadcasts (k×dim — model-sized however
+    * large eval is), each corpus document probes its `nprobe` nearest
+    * cells, and candidates meet in a cell equi-join — so per-document
+    * work is ~nprobe/nCells of the eval set and the only large shuffle
+    * key is the cell id (with a cell-partitioned eval layout on disk,
+    * probes prune partitions instead — the x82 story).
+    *
+    * Approximate by construction, like every IVF operator here: a
+    * paraphrase pair whose eval twin lives outside the probed cells is
+    * missed; `nprobe = nCells` degrades to [[semanticDecontaminate]]'s
+    * exact verdicts. Verdict rows keep x86's exact contract — one row
+    * per corpus doc, `(max_sim, n_close, contaminated)` — with
+    * `max_sim` null / `n_close` 0 / `contaminated` false for a document
+    * whose probed cells hold no eval vector.
+    */
+  def semanticDecontaminateIvf(corpus: DataFrame, evalSet: DataFrame,
+                               threshold: Double = 0.4, nCells: Int = 16,
+                               nprobe: Int = 3, iters: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(evalSet, nCells, iters)
+    val evalCells = assignCells(evalSet, centroids, withLabel = false)
+    val distStructs = transform(
+      org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol(col("v"), col("__cents")),
+      (d, i) => struct(d.as("dist"), i.as("cell")))
+    val probed = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(centroidsFrame(corpus.sparkSession, centroids)))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(distStructs), 1, nprobe),
+          s => s.getField("cell"))))
+      .drop("__cents")
+    val agg = probed
+      .join(evalCells.select(col("v").as("ev"), col("cell")), Seq("cell"))
+      .select(col("vec_id"), round(cosineSim(col("v"), col("ev")), 6).as("sim"))
+      .groupBy("vec_id")
+      .agg(max("sim").as("max_sim"),
+        sum(when(col("sim") >= threshold, 1L).otherwise(0L)).as("n_close"))
+    corpus.select(col("vec_id"), col("label"))
+      .join(agg, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("label"), col("max_sim"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("max_sim") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Materialize the corpus cell-partitioned — the "IVF cells prune scans
     * entirely" story made physical storage. Each vector lands in the
     * parquet partition `cell=<id>`, so a probe query's `cell IN (…)`
@@ -1039,6 +1085,13 @@ object VectorSearch {
   def qSemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     semanticDecontaminate(e.where(col("vec_id") % 10 =!= 0),
+      e.where(col("vec_id") % 10 === 0), threshold = 0.4)
+  }
+
+  /** x86b: the same split through the IVF-celled scale path. */
+  def qSemanticDecontamIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    semanticDecontaminateIvf(e.where(col("vec_id") % 10 =!= 0),
       e.where(col("vec_id") % 10 === 0), threshold = 0.4)
   }
 

@@ -594,6 +594,43 @@ object TrainSql {
       |       max(sim) >= 0.4 AS contaminated
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** IVF-celled embedding decontamination
+    * ([[graft.operators.VectorSearch.semanticDecontaminateIvf]], x86b):
+    * the Lloyd chain trains on the EVAL split (the lloydChain `v` CTE is
+    * the eval set, so `fin` assigns eval vectors to cells), each corpus
+    * doc probes its nprobe nearest cells, candidates meet on the cell
+    * id, and the corpus spine left-join gives the no-candidate verdict.
+    */
+  def semanticDecontamIvfSql(threshold: Double = 0.4, nCells: Int = 16,
+                             nprobe: Int = 3, iters: Int = 5,
+                             dim: Int = 64): String =
+    s"""WITH ${lloydChain(nCells, iters, dim,
+            vSrc = "SELECT vec_id, label, embedding::DOUBLE[] AS v " +
+              "FROM embeddings WHERE vec_id % 10 = 0")},
+       |${assignCte(s"c$iters", "fin", dim)},
+       |corp AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |         FROM embeddings WHERE vec_id % 10 <> 0),
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sqDist("q.v", "c.c", dim)}, c.cell) AS rk
+       |    FROM corp q CROSS JOIN c$iters c)
+       |  WHERE rk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, round(list_cosine_similarity(f.v, q.v), 6) AS sim
+       |  FROM fin f JOIN pr p ON f.cell = p.cell
+       |  JOIN corp q ON q.vec_id = p.query_id),
+       |agg AS (
+       |  SELECT query_id, max(sim) AS max_sim,
+       |         CAST(count(*) FILTER (WHERE sim >= $threshold) AS BIGINT)
+       |           AS n_close
+       |  FROM cand GROUP BY 1)
+       |SELECT c.vec_id, c.label, a.max_sim,
+       |       coalesce(a.n_close, 0) AS n_close,
+       |       coalesce(a.max_sim >= $threshold, false) AS contaminated
+       |FROM corp c LEFT JOIN agg a ON a.query_id = c.vec_id""".stripMargin
+
   val embNearDupsSql: String =
     """SELECT a.vec_id AS id1, b.vec_id AS id2,
       |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -405,9 +405,12 @@ class PlanSpec extends SparkSpec {
       "x75_tokenizer_report", // embeds x74's 1-row piece-frequency total
       "x79_worst_spans",     // x43's 1-row vocabulary-size aggregate
       "x80_unigram_em",      // x74's 1-row piece-frequency totals (both models)
-      "x86_semantic_decontam" // the 1-row broadcast eval-matrix frame; the
+      "x86_semantic_decontam", // the 1-row broadcast eval-matrix frame; the
                              // corpus streams once against it (PropertySpec
                              // asserts no corpus rows cross an exchange)
+      "x86b_semantic_decontam_ivf" // the IVF family's broadcast centroid
+                             // frame (as in x37); candidates meet in a
+                             // cell equi-join
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

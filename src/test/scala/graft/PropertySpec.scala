@@ -184,6 +184,31 @@ class PropertySpec extends SparkSpec {
     assert(flagged(0.45).subsetOf(flagged(0.3)))
   }
 
+  test("IVF decontamination can only under-report the exact pass, and " +
+       "probing every cell recovers it exactly") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val evalSet = emb.where(col("vec_id") % 10 === 0)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), r.getLong(3), r.getBoolean(4))).toMap
+    val exact = byId(VectorSearch.semanticDecontaminate(corpus, evalSet, 0.4))
+    val ivf = byId(VectorSearch.semanticDecontaminateIvf(corpus, evalSet, 0.4,
+      nCells = 8, nprobe = 2, iters = 2))
+    assert(ivf.keySet == exact.keySet) // one verdict row per corpus doc
+    for ((id, (ms, nc, fl)) <- ivf; (ems, enc, efl) = exact(id)) {
+      assert(nc <= enc, s"doc $id: ivf n_close $nc > exact $enc")
+      assert(!fl || efl, s"doc $id: ivf flagged but exact did not")
+      for (m <- ms; em <- ems)
+        assert(m.asInstanceOf[Double] <= em.asInstanceOf[Double], s"doc $id")
+    }
+    // full probe = exact: every eval doc becomes a candidate exactly once
+    val full = byId(VectorSearch.semanticDecontaminateIvf(corpus, evalSet, 0.4,
+      nCells = 8, nprobe = 8, iters = 2))
+    assert(full == exact)
+  }
+
   test("semanticDecontaminate streams the corpus: no pair rows, no corpus " +
        "shuffle — the only exchanges build the broadcast eval matrix") {
     import graft.operators.VectorSearch
