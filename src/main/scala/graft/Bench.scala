@@ -31,7 +31,7 @@ object Bench {
         "x55_cluster_topics", "x57_hard_negatives", "x68_ivf_cell_stats",
         "x82_ivf_persisted", "x83_ivfpq_persisted",
         "x82b_ivf_probe", "x83b_ivfpq_probe", "x86_semantic_decontam",
-        "x86b_semantic_decontam_ivf"),
+        "x86b_semantic_decontam_ivf", "x86c_semantic_decontam_probe"),
       "x-quality" -> Seq("x9_lang_id", "x10_quality", "x11_token_counts",
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",
@@ -170,35 +170,70 @@ object Bench {
     // measured query — timed numbers should reflect the query, not
     // session history. JVM-level model memos survive (they are not
     // CacheManager entries).
-    var prevFamily = ""
-    val results = selected.flatMap { case (name, fn) =>
-      val family = cohortOf(name)
-      if (family != prevFamily) {
-        if (prevFamily.nonEmpty) { spark.catalog.clearCache(); System.gc() }
-        prevFamily = family
-      }
-      def timeOnce(): Double = {
-        val t0 = System.nanoTime()
-        try { execRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (1 to repeat).map { i =>
-        // Uniform median-of-3 (auto mode): single-shot timings are
-        // dominated by whichever GC pause / first-build cost happened to
-        // land on them — the round-7 driver sweep swung +30% on identical
-        // code and could no longer adjudicate the 2x gate by itself. The
-        // median of three runs is the steady-state per-query cost — the
-        // number a long-lived service pays — and the min bounds the
-        // machine's noise floor; both are recorded so a single sweep
-        // artifact carries its own error bars. SPARK_GRAFT_REPEAT>1
-        // (dev knob) keeps raw single-shot timings per iteration.
-        val (t, tMin) = if (repeat == 1) {
-          val ts = Seq(timeOnce(), timeOnce(), timeOnce()).sorted
-          (ts(1), ts(0))
-        } else { val t1 = timeOnce(); (t1, t1) }
-        (if (i == 1) name else s"$name#$i") -> (t, tMin)
-      }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { execRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Self-diagnosing sweeps: sample the OS 1-minute load average at every
+    // cohort boundary (and pass end), so a noisy sweep carries the evidence
+    // of its own noise — round 8's driver artifact read x65 at 13.2 s under
+    // a multi-minute external load window that an idle re-run measured at
+    // 2.25 s, and adjudicating that took a judge re-run instead of a glance
+    // at the artifact.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    def runPass(pass: Int): Map[String, Double] = {
+      var prevFamily = ""
+      selected.map { case (name, fn) =>
+        val family = cohortOf(name)
+        if (family != prevFamily) {
+          if (prevFamily.nonEmpty) { spark.catalog.clearCache(); System.gc() }
+          prevFamily = family
+          loadSamples += ((pass, family, osBean.getSystemLoadAverage))
+        }
+        name -> timeOnce(fn)
+      }.toMap
+    }
+    // Interleaved median-of-3: run the WHOLE suite three times (cohort
+    // order preserved within each pass; caches cleared between passes as
+    // at cohort boundaries) and take per-query medians ACROSS passes.
+    // Round 8 ran each query's three repeats back-to-back, so a sustained
+    // external load window poisoned all three and the recorded min no
+    // longer bounded the noise floor (driver x65: 13.25 s with min 13.14
+    // vs 2.25 s idle). Interleaving separates a query's repeats by a full
+    // suite pass (~40 s+), so transient load distributes across unrelated
+    // queries instead of concentrating on one cohort; the median absorbs
+    // any single poisoned pass. SPARK_GRAFT_REPEAT>1 (dev knob) keeps raw
+    // consecutive single-shot timings per iteration.
+    val (results, passTotals): (Seq[(String, (Double, Double))], Seq[Double]) =
+      if (repeat == 1) {
+        val passResults = (1 to 3).map { p =>
+          if (p > 1) { spark.catalog.clearCache(); System.gc() }
+          runPass(p)
+        }
+        val med = selected.map { case (name, _) =>
+          val ts = passResults.map(_(name)).sorted
+          name -> (ts(1), ts(0))
+        }
+        (med, passResults.map(_.values.sum))
+      } else {
+        var prevFamily = ""
+        val raw = selected.flatMap { case (name, fn) =>
+          val family = cohortOf(name)
+          if (family != prevFamily) {
+            if (prevFamily.nonEmpty) { spark.catalog.clearCache(); System.gc() }
+            prevFamily = family
+            loadSamples += ((1, family, osBean.getSystemLoadAverage))
+          }
+          (1 to repeat).map { i =>
+            val t1 = timeOnce(fn)
+            (if (i == 1) name else s"$name#$i") -> (t1, t1)
+          }
+        }
+        (raw, Seq(raw.map(_._2._1).sum))
+      }
+    loadSamples += ((if (repeat == 1) 3 else 1, "end", osBean.getSystemLoadAverage))
     // Locale.ROOT: the f-interpolator uses the default locale, which on a
     // comma-decimal JVM would print "0,123" and break the JSON contract
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
@@ -216,9 +251,13 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // the stat label must describe what was actually measured: the dev
     // knob SPARK_GRAFT_REPEAT>1 switches every timing to raw single shots
-    val stat = if (repeat == 1) "median_of_3" else "single_shot"
+    val stat = if (repeat == 1) "median_of_3_interleaved" else "single_shot"
+    val loadJson = loadSamples.map { case (p, c, l) =>
+      s"""{"pass":$p,"cohort":"$c","load":${sec(l)}}"""
+    }.mkString("[", ",", "]")
+    val passTotalsJson = passTotals.map(sec).mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {

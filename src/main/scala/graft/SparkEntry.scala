@@ -50,6 +50,7 @@ object SparkEntry {
     "e3_purchase_error_users" -> (EventOps.purchaseErrorUsers _),
     "e4_user_type_concat"    -> (EventOps.userTypeConcat _),
     "e5_approx_distinct"     -> (EventOps.approxDistinctUsers _),
+    "e5b_distinct_sketch"    -> (EventOps.approxDistinctUsersSketchOnly _),
     "e6_distinct_skew_safe"  -> (EventOps.distinctUsersSkewSafe _),
     "e7_asof_join"           -> (EventOps.asofViewBeforePurchase _),
     "e7b_asof_native"        -> (EventOps.asofNative _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "x30_semantic_dedup" -> (VectorSearch.qSemanticDedup _),
     "x86_semantic_decontam" -> (VectorSearch.qSemanticDecontam _),
     "x86b_semantic_decontam_ivf" -> (VectorSearch.qSemanticDecontamIvf _),
+    "x86c_semantic_decontam_probe" -> (VectorSearch.qSemanticDecontamProbeOnly _),
     "x8_centroid_norms" -> (VectorSearch.qLabelCentroidNorms _),
     "x9_lang_id"       -> (TextQuality.qLangId _),
     "x10_quality"      -> (TextQuality.qQuality _),
@@ -705,6 +707,11 @@ object SparkEntry {
     // e5: the estimate itself is engine-specific, but its error contract
     // is oracle-checkable — exact count + a within-bound flag the oracle
     // pins to literal true (see EventOps.approxDistinctUsers).
+    // e5b (sketch-only serving row) is DELIBERATELY absent here: its
+    // output is the raw HLL++ estimate, engine register state no DuckDB
+    // SQL can reproduce, so it takes the driver's rows-only check; the
+    // estimate's bound rides e5's hash-checked oracle (same sketch, spec
+    // asserts value equality between the two rows).
     "e5_approx_distinct" ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -760,6 +767,9 @@ object SparkEntry {
     // x86b: Lloyd chain trained on the eval split, nprobe cell candidates,
     // corpus-spine left join for the no-candidate verdict
     "x86b_semantic_decontam_ivf" -> graft.oracles.TrainSql.semanticDecontamIvfSql(),
+    // x86c: probe of the persisted eval index — same verdicts as a fresh
+    // train-and-assign cycle, so the oracle is x86b's verbatim
+    "x86c_semantic_decontam_probe" -> graft.oracles.TrainSql.semanticDecontamIvfSql(),
     "x5_ann_topk"      -> graft.oracles.TrainSql.annTopKSql,
     "x15_quantized"    -> graft.oracles.TrainSql.quantizedSql,
     "x6_emb_near_dups" -> graft.oracles.TrainSql.embNearDupsSql,

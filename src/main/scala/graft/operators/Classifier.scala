@@ -165,8 +165,25 @@ object Classifier {
           }
           if (any) Iterator.single(g) else Iterator.empty
         }.collect()
+      // Determinism contract (same one every relational float sum in the
+      // engine carries): the per-partition fold order — and therefore the
+      // gradient's floating-point addition order — depends on how the
+      // checkpointed frame is partitioned, exactly as a shuffle-sum's
+      // order depends on task scheduling. The 8-dp HALF_UP rounding below
+      // absorbs the ULP-level drift; a value landing exactly on a rounding
+      // boundary under a different layout is the accepted residual risk,
+      // identical to the one [[trainShuffled]] and the r1-family SUMs
+      // already run under. The driver-side reduction uses Kahan
+      // compensation so at least the cross-partition component is
+      // insensitive to partial magnitude disparities.
       val grad = new Array[Double](bias + 1)
-      for (p <- partials; j <- 0 to bias) grad(j) += p(j)
+      val comp = new Array[Double](bias + 1)
+      for (p <- partials; j <- 0 to bias) {
+        val y = p(j) - comp(j)
+        val t = grad(j) + y
+        comp(j) = (t - grad(j)) - y
+        grad(j) = t
+      }
       w = Array.tabulate(bias + 1) { j =>
         BigDecimal(w(j) - lr * (grad(j) / n))
           .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -263,6 +263,26 @@ object EventOps {
         (abs(col("approx_users") - col("exact_users"))
           <= greatest(col("exact_users") * 0.05, lit(1.0))).as("approx_ok"))
 
+  /** e5b: the SERVING half of e5 — the sketch ALONE. [[approxDistinctUsers]]'
+    * row is dominated by the exact `COUNT(DISTINCT)` its error-contract
+    * oracle requires next to the estimate, i.e. by the verifier the sketch
+    * exists to replace — correct for the oracle, misleading as a
+    * benchmark of what a 100 TB user runs. This row computes only the
+    * HLL++ estimate (one partial-aggregating pass, mergeable fixed-size
+    * registers, no distinct shuffle). The raw estimate is engine-specific
+    * register state no DuckDB SQL can reproduce, so this is deliberately a
+    * rows-only registration (the one such row in the registry); the
+    * estimate's 5%-of-exact contract is still pinned twice — by e5's
+    * hash-checked oracle over the SAME sketch ([[approxDistinctUsers]]
+    * computes the identical `approx_count_distinct(user_id, 0.01)`), and
+    * by the spec asserting this row's values equal e5's estimates.
+    */
+  def approxDistinctUsersSketchOnly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
   /** Ordered conversion funnel view → click → purchase: each step counts
     * users whose step event strictly follows their previous step's first
     * occurrence. Three user_id-keyed aggregate+join rounds that all share

@@ -617,6 +617,20 @@ object VectorSearch {
                                nprobe: Int = 3, iters: Int = 5): DataFrame = {
     val centroids = kmeansCentroids(evalSet, nCells, iters)
     val evalCells = assignCells(evalSet, centroids, withLabel = false)
+    semanticDecontamAssigned(corpus,
+      evalCells.select(col("v").as("ev"), col("cell")), centroids,
+      threshold, nprobe)
+  }
+
+  /** The serve half of [[semanticDecontaminateIvf]], shared with the
+    * persisted-index probe (x86c): corpus docs probe `nprobe` nearest
+    * cells of an ALREADY-ASSIGNED eval layout (`evalCells` = (ev, cell)),
+    * candidates meet in the cell equi-join, and the corpus spine
+    * left-join keeps the one-verdict-per-doc contract.
+    */
+  private[operators] def semanticDecontamAssigned(corpus: DataFrame,
+      evalCells: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, nprobe: Int): DataFrame = {
     val distStructs = transform(
       org.apache.spark.sql.graftext.SqDistsExpr.sqDistsCol(col("v"), col("__cents")),
       (d, i) => struct(d.as("dist"), i.as("cell")))
@@ -628,7 +642,7 @@ object VectorSearch {
           s => s.getField("cell"))))
       .drop("__cents")
     val agg = probed
-      .join(evalCells.select(col("v").as("ev"), col("cell")), Seq("cell"))
+      .join(evalCells, Seq("cell"))
       .select(col("vec_id"), round(cosineSim(col("v"), col("ev")), 6).as("sim"))
       .groupBy("vec_id")
       .agg(max("sim").as("max_sim"),
@@ -638,6 +652,34 @@ object VectorSearch {
       .select(col("vec_id"), col("label"), col("max_sim"),
         coalesce(col("n_close"), lit(0L)).as("n_close"),
         coalesce(col("max_sim") >= threshold, lit(false)).as("contaminated"))
+  }
+
+  /** Persist the semantic-decontamination index — the x82 story applied to
+    * x86b: the eval set is the TRAINED, CELL-PARTITIONED artifact (its
+    * quantizer centroids model-sized beside it), written once when the
+    * benchmark suite changes; every corpus shard thereafter pays only the
+    * probe. Layout = [[writeIvfIndex]] over the eval set verbatim, so the
+    * artifact is interchangeable with any IVF serving path.
+    */
+  def writeSemanticDecontamIndex(evalSet: DataFrame, dir: String,
+                                 nCells: Int = 16, iters: Int = 5): Unit =
+    writeIvfIndex(evalSet, dir, nCells, iters)
+
+  /** Probe a persisted [[writeSemanticDecontamIndex]] artifact —
+    * bit-identical to [[semanticDecontaminateIvf]] with the same
+    * parameters (centroid and eval doubles round-trip parquet exactly;
+    * spec-pinned), with the quantizer READ, not retrained, and eval
+    * candidates read from only the probed cells' partitions (the cell
+    * equi-join against the broadcast probe frame prunes partitions
+    * dynamically, as in [[probeIvfIndex]]).
+    */
+  def probeSemanticDecontamIndex(spark: SparkSession, dir: String,
+                                 corpus: DataFrame, threshold: Double = 0.4,
+                                 nprobe: Int = 3): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    val evalCells = spark.read.parquet(dir + "/vectors")
+      .select(col("v").as("ev"), col("cell"))
+    semanticDecontamAssigned(corpus, evalCells, cents, threshold, nprobe)
   }
 
   /** Materialize the corpus cell-partitioned — the "IVF cells prune scans
@@ -1095,6 +1137,23 @@ object VectorSearch {
       e.where(col("vec_id") % 10 === 0), threshold = 0.4)
   }
 
+  /** x86c: the SERVING half of x86b — the probe against a PERSISTED eval
+    * index ([[writeSemanticDecontamIndex]]), built at most once per JVM
+    * per corpus fingerprint ([[servedIndexDir]], the x82b/x83b protocol).
+    * A real deployment writes the eval index when the benchmark suite
+    * changes and decontaminates every arriving corpus shard against it;
+    * this row times that steady-state probe. Oracle = x86b's SQL
+    * verbatim, so the row hash proves the persisted artifact serves
+    * exactly what a fresh train-and-assign would.
+    */
+  def qSemanticDecontamProbeOnly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dir = servedIndexDir(spark, "semdecon_serve", e, sfDir)(d =>
+      writeSemanticDecontamIndex(e.where(col("vec_id") % 10 === 0), d))
+    probeSemanticDecontamIndex(spark, dir, e.where(col("vec_id") % 10 =!= 0),
+      threshold = 0.4)
+  }
+
   /** Quantization codes in long form (vec_id, dim, q, scale) — array
     * columns stay out of the dump so the driver's value hash sees scalars.
     *
@@ -1169,6 +1228,7 @@ object VectorSearch {
     */
   private val servedIndexMemo = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[String]]()
+  private val servedNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def servedIndexDir(spark: SparkSession, kind: String,
                              corpus: DataFrame, fallbackKey: String)
@@ -1179,11 +1239,18 @@ object VectorSearch {
     // must rebuild into a FRESH path — writing into the old one would
     // mutate the artifact an earlier memo entry (or a lazily-held probe
     // frame over it) still serves.
-    def buildAt(): String = {
-      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey + "|" + pk)
+    def buildAt(suffix: String = ""): String = {
+      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey + "|" + pk + suffix)
       build(dir); dir
     }
-    if (pk.isEmpty) buildAt()
+    // Unverifiable fingerprint -> no memo entry, so two concurrent callers
+    // would otherwise BOTH build into the same (kind, fallbackKey+"|")
+    // directory and interleave a rewrite with a concurrent read — the
+    // exact hazard the distinct-dirs rule guards against for x82/x83. A
+    // per-call nonce gives every un-memoized build its own directory;
+    // correctness was already "rebuild every call", this just stops the
+    // builds from sharing a path.
+    if (pk.isEmpty) buildAt("|nonce=" + servedNonce.incrementAndGet())
     else {
       // Per-key future so the multi-second index build never runs while
       // holding a ConcurrentHashMap bin lock (computeIfAbsent would

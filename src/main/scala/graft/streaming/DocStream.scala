@@ -312,23 +312,29 @@ object DocStream {
       // committed via the compaction marker, so commits/ listings on the
       // hot per-batch path stay O(compactEvery) instead of growing one
       // tiny file per micro-batch forever.
+      // best-effort means "a missing path or FS hiccup is fine to skip —
+      // the next compaction's sweep collects it"; it does NOT mean eating
+      // thread interrupts or fatal JVM errors (OOM, linkage), so only
+      // NonFatal faults are swallowed — an InterruptedException propagates
+      // and shutdown stays prompt
+      import scala.util.control.NonFatal
       for (sub <- Seq("bands", "sigs")) {
         val root = new Path(s"$stateDir/$sub")
         val stale =
           try fs.listStatus(root).toSeq.filter(
             _.getPath.getName.stripPrefix("batch_id=").toLongOption.exists(_ <= upto))
-          catch { case _: Throwable => Seq.empty }
+          catch { case NonFatal(_) => Seq.empty }
         for (s <- stale)
-          try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+          try fs.delete(s.getPath, true) catch { case NonFatal(_) => () }
       }
       for (b <- committed if b <= upto)
         try fs.delete(new Path(s"$stateDir/commits/$b"), false)
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
       for ((g, u) <- prevGen) {
         try fs.delete(new Path(s"$stateDir/compact/gen=$g"), true)
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
         try fs.delete(new Path(s"$stateDir/compact_commits/${g}_$u"), false)
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
       }
     }
   }

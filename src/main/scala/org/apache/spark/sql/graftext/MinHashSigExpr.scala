@@ -46,6 +46,26 @@ case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long],
 
   require(as.length == bs.length && as.nonEmpty, "as/bs must be same non-zero length")
 
+  // Array fields compare by reference under the generated case-class
+  // equals, so two independently built but identical kernels would never
+  // compare equal — silently defeating every canonicalized-plan match
+  // (CacheManager substitution, ReuseExchange, CSE) for plans that build
+  // the signature at two call sites. Structural equality restores them;
+  // arrays could only ever fail to match, never falsely match, so this is
+  // purely a plan-reuse (perf) contract.
+  override def equals(other: Any): Boolean = other match {
+    case m: MinHashSigExpr =>
+      child == m.child && prime == m.prime &&
+        java.util.Arrays.equals(as, m.as) && java.util.Arrays.equals(bs, m.bs)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = h * 31 + java.util.Arrays.hashCode(as)
+    h = h * 31 + java.util.Arrays.hashCode(bs)
+    h * 31 + java.lang.Long.hashCode(prime)
+  }
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false

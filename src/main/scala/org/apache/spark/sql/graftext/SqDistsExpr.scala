@@ -236,6 +236,13 @@ case class MatCosStatsExpr(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val leftGen = left.genCode(ctx)
     val rightGen = right.genCode(ctx)
+    // emit the threshold as a bit-pattern round-trip, not a string-spliced
+    // double: interpolating a non-finite value would render "NaN"/
+    // "Infinity" — not valid Java literals — and the generated class would
+    // fail to compile (silent interpreted fallback, or a hard error under
+    // CODEGEN_ONLY); the bits form is exact and compiles for every double
+    val thrBits = java.lang.Double.doubleToLongBits(threshold)
+    val thrJava = s"java.lang.Double.longBitsToDouble(${thrBits}L)"
     ev.copy(code = code"""
       ${leftGen.code}
       ${rightGen.code}
@@ -244,7 +251,7 @@ case class MatCosStatsExpr(left: Expression, right: Expression,
       if (!${ev.isNull}) {
         ${ev.value} = org.apache.spark.sql.graftext.MatCosStatsExpr.stats(
           ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value},
-          $threshold);
+          $thrJava);
       }
     """)
   }

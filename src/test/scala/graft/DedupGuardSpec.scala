@@ -98,6 +98,35 @@ class DedupGuardSpec extends SparkSpec {
     assert(nbr.size == 3 && nbr.distinct.size == 1, s"expansion incomplete: $nbr")
   }
 
+  test("digest-first UNCAPPED mode equals the member-level plan (the " +
+       "dup-mass dispatch arm), jaccard and containment") {
+    // the dispatch fixture: heavy exact-duplicate mass (the regime where
+    // digestArmUncapped routes exact mode through the family collapse)
+    val family = "identicalzz familyzz contentzz sequencezz alphazz betazz gammazz deltazz"
+    val extra = Seq(
+      (100L, family), (101L, family), (102L, family),
+      (103L, s"$family onemorewordzz"),
+      (104L, family)) // id above the neighbor: flips member vs rep order
+    val docs = hotShingleDocs.union(extra.toDF("doc_id", "text"))
+    val jd = Dedup.jaccardPairsDigestFirst(docs, 0.5, maxShingleDf = 0)
+      .as[(Long, Long, Double)].collect().toMap2
+    val jm = Dedup.jaccardPairsMembers(docs, 0.5, maxShingleDf = 0)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(jd == jm,
+      s"uncapped jaccard digest != members:\n only digest: ${jd.toSet -- jm.toSet}" +
+      s"\n only members: ${jm.toSet -- jd.toSet}")
+    assert(jd.get((100L, 104L)).contains(1.0), "within-family pair present")
+    val cd = Dedup.containmentPairsDigestFirst(docs, 0.6, maxShingleDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val cm = Dedup.containmentPairsMembers(docs, 0.6, maxShingleDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(cd == cm,
+      s"uncapped containment digest != members:\n only digest: ${cd.keySet -- cm.keySet}" +
+      s"\n only members: ${cm.keySet -- cd.keySet}")
+    // the dispatch itself picks the digest arm on this dup-saturated corpus
+    assert(Dedup.digestArmUncapped(docs), "dup mass ~1/3 must dispatch digest-first")
+  }
+
   test("digest-first capped containment equals the member-level plan, " +
        "orientation-aware expansion included") {
     // family (100–102) + a SUBSUMING neighbor 103 (family text + extra

@@ -268,6 +268,30 @@ class DedupSpec extends SparkSpec {
       s"prefix/suffix sharers: ${stats(5L)} ${stats(6L)}")
   }
 
+  test("dup-span stats from materialized spans: parquet round-trip of the x64 " +
+       "output feeds the gate losslessly (production layout)") {
+    def toks(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}zz")
+      .mkString(" ")
+    val blockA = toks("ovla", 22)
+    val docs = Seq(
+      (0L, s"$blockA ${toks("pad", 10)}"),
+      (1L, s"${toks("head", 6)} $blockA"),
+      (2L, toks("clean", 30))).toDF("doc_id", "text")
+    val recompute = graft.operators.Dedup.dupSpanStats(docs)
+      .orderBy("doc_id").collect()
+    // the production shape: spans materialized once (here: a real parquet
+    // write + read-back, so the frame has no lineage back to the corpus),
+    // then fed to the stats overload
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    graft.operators.Dedup.exactSubstrSpans(docs).write
+      .mode("overwrite").parquet(dir)
+    val fromMaterialized = graft.operators.Dedup
+      .dupSpanStatsFrom(spark.read.parquet(dir), docs)
+      .orderBy("doc_id").collect()
+    assert(fromMaterialized.toSeq == recompute.toSeq)
+  }
+
   test("dedup report: clone losses accounted exactly per method") {
     // docs 0 and 5 of the shared fixture are byte-identical → the exact
     // method drops exactly one doc and its token count; minhash drops at

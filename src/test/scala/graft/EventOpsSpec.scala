@@ -16,6 +16,27 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("e5b sketch-only row: estimates equal e5's sketch and satisfy its " +
+       "5%-of-exact error contract") {
+    val sketch = EventOps.approxDistinctUsersSketchOnly(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(sketch.nonEmpty)
+    // same sketch as the e5 verifier row computes: the hash-checked e5
+    // oracle (exact count + bound flag) therefore covers these values
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(sketch.keySet == exact.keySet)
+    for ((t, est) <- sketch)
+      assert(math.abs(est - exact(t)) <= math.max(exact(t) * 0.05, 1.0),
+        s"$t: estimate $est vs exact ${exact(t)} outside the e5 bound")
+    // and the e5 row itself agrees that the bound holds
+    val e5 = EventOps.approxDistinctUsers(spark, sf0001)
+      .as[(String, Long, Boolean)].collect()
+    assert(e5.forall(_._3), s"e5 approx_ok must be uniformly true: ${e5.toSeq}")
+  }
+
   test("retention cohorts partition the user base with bounded return counts") {
     val got = EventOps.retentionCohorts(spark, sf0001)
       .as[(String, Long, Long, Long)].collect()

@@ -341,6 +341,37 @@ class PlanSpec extends SparkSpec {
     assert(first83.toSeq == full83.toSeq)
   }
 
+  test("persisted semantic-decontam index (x86c): probe matches the inline IVF " +
+       "pass without retraining; registered row memo-hits on re-call") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val evalSet = emb.where(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdecon_idx").toString
+    VectorSearch.writeSemanticDecontamIndex(evalSet, dir, nCells = 8, iters = 2)
+    val lloydBefore = VectorSearch.lloydRuns.get()
+    val persisted = VectorSearch
+      .probeSemanticDecontamIndex(spark, dir, corpus, threshold = 0.4, nprobe = 3)
+      .orderBy("vec_id").collect()
+    assert(persisted.nonEmpty)
+    assert(VectorSearch.lloydRuns.get() == lloydBefore,
+      s"probe retrained k-means: $lloydBefore -> ${VectorSearch.lloydRuns.get()}")
+    // lossless persistence: verdicts identical to a fresh train-and-assign
+    val inline = VectorSearch.semanticDecontaminateIvf(corpus, evalSet,
+      threshold = 0.4, nCells = 8, nprobe = 3, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(persisted.toSeq == inline.toSeq)
+    // the registered serving row: second call must memo-hit (no retrain)
+    val first = VectorSearch.qSemanticDecontamProbeOnly(spark, sf0001)
+      .orderBy("vec_id").collect()
+    val lloydServe = VectorSearch.lloydRuns.get()
+    val second = VectorSearch.qSemanticDecontamProbeOnly(spark, sf0001)
+      .orderBy("vec_id").collect()
+    assert(VectorSearch.lloydRuns.get() == lloydServe,
+      s"x86c re-call retrained: $lloydServe -> ${VectorSearch.lloydRuns.get()}")
+    assert(second.toSeq == first.toSeq)
+  }
+
   test("no registered query plans a cartesian product or an unjustified nested-loop join") {
     // A BroadcastNestedLoopJoin is scale-safe only when its build side is a
     // deliberately broadcast handful of rows (a 1-row query vector, a ≤k-row
@@ -408,9 +439,12 @@ class PlanSpec extends SparkSpec {
       "x86_semantic_decontam", // the 1-row broadcast eval-matrix frame; the
                              // corpus streams once against it (PropertySpec
                              // asserts no corpus rows cross an exchange)
-      "x86b_semantic_decontam_ivf" // the IVF family's broadcast centroid
+      "x86b_semantic_decontam_ivf", // the IVF family's broadcast centroid
                              // frame (as in x37); candidates meet in a
                              // cell equi-join
+      "x86c_semantic_decontam_probe" // x86b's probe half verbatim (the
+                             // centroid frame read from the persisted
+                             // index instead of trained inline)
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
