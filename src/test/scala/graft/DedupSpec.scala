@@ -702,9 +702,11 @@ class DedupSpec extends SparkSpec {
     val inline = rows(Dedup.qIncrementalDedup(spark, sf0001))
     val persisted = rows(Dedup.qIncrementalDedupPersisted(spark, sf0001))
     assert(inline.nonEmpty && persisted == inline)
-    // the partitioned band layout prunes at file listing when probing
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_lsh_index_" + Integer.toHexString(sf0001.hashCode)).getPath
+    // the partitioned band layout prunes at file listing when probing;
+    // resolve the artifact path the way the operator does (the previous
+    // hand-built legacy path only worked while a stale pre-sessionScopedDir
+    // directory lingered in tmp)
+    val dir = graft.operators.Artifacts.sessionScopedDir(spark, "lsh_index", sf0001)
     val pruned = spark.read.parquet(dir + "/bands").where(col("band_idx") === 0)
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("band_idx"),
