@@ -31,7 +31,8 @@ object Bench {
         "x55_cluster_topics", "x57_hard_negatives", "x68_ivf_cell_stats",
         "x82_ivf_persisted", "x83_ivfpq_persisted",
         "x82b_ivf_probe", "x83b_ivfpq_probe", "x86_semantic_decontam",
-        "x86b_semantic_decontam_ivf", "x86c_semantic_decontam_probe"),
+        "x86b_semantic_decontam_ivf", "x86c_semantic_decontam_probe",
+        "x88_pq_refine"),
       "x-quality" -> Seq("x9_lang_id", "x10_quality", "x11_token_counts",
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",

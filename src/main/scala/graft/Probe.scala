@@ -18,6 +18,12 @@ object Probe {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reps=0: print the executed plan instead of timing (dev plan audits)
+    if (reps == 0) {
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       // materialize the query's own plan (Bench.execRows semantics) — a

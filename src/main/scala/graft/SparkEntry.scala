@@ -177,6 +177,7 @@ object SparkEntry {
     "x50_pq_codes"     -> (VectorSearch.qPqCodes _),
     "x51_pq_adc_topk"  -> (VectorSearch.qPqAdcTopK _),
     "x52_ivfpq_topk"   -> (VectorSearch.qIvfPqTopK _),
+    "x88_pq_refine"    -> (VectorSearch.qPqAdcRefineTopK _),
     "x83_ivfpq_persisted" -> (VectorSearch.qIvfPqTopKPersisted _),
     "x83b_ivfpq_probe" -> (VectorSearch.qIvfPqProbeOnly _),
     "x53_dsir_weights" -> (Dsir.qDsirWeights _),
@@ -864,6 +865,9 @@ object SparkEntry {
     // x51: same chains + per-subspace query→codeword LUTs; the scan is m
     // LUT joins on the code, never the original vectors
     "x51_pq_adc_topk"  -> graft.oracles.TrainSql.pqAdcSql(),
+    // x88: x51's ADC query over-fetched to a 50-row shortlist, rejoined to
+    // the raw vectors and re-sorted by exact distance (the refine stage)
+    "x88_pq_refine"    -> graft.oracles.TrainSql.pqAdcRefineSql(),
     // x52: coarse chain + residual PQ chains + per-cell LUTs, scan
     // restricted to probed cells
     "x52_ivfpq_topk"   -> graft.oracles.TrainSql.ivfPqSql(),

@@ -852,6 +852,41 @@ object VectorSearch {
       .limit(kTop)
   }
 
+  /** PQ-ADC with an exact-rerank refine stage (the `RefineFlat` wrapper of
+    * the FAISS serving stack; Jégou 2011 §VI's reranking): the ADC scan is
+    * a lossy shortlist generator — codes can rank a true neighbor just
+    * below the cut — so production search over-fetches a `shortlist` of
+    * R ≫ k candidates by ADC distance, joins ONLY those R back to their
+    * full-precision vectors, and re-sorts by exact distance to the query.
+    *
+    * The 100 TB shape: the expensive corpus-wide scan still reads m small
+    * ints per row ([[pqAdcTopK]]'s plan, unchanged), and the refine stage
+    * touches R raw vectors — model-sized, fetched through a broadcast
+    * hash join against the shortlist (the corpus side is scanned, the
+    * R-row shortlist ships to every executor; no shuffle). Returns the
+    * `kTop` nearest by exact squared distance (6-dp rounded, vec_id
+    * tie-break), with the shortlist's ADC distance carried for recall
+    * diagnostics.
+    */
+  def pqAdcRefineTopK(embeddings: DataFrame, queryVecId: Long,
+                      kTop: Int = 10, shortlist: Int = 50, m: Int = 4,
+                      k: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val short = pqAdcTopK(embeddings, queryVecId, shortlist, m, k, iters)
+    val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).as[Array[Double]].head()
+    val qFrame = broadcast(Seq(Tuple1(q.toSeq)).toDF("__q"))
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(short.select("vec_id", "label", "adc_dist")), "vec_id")
+      .crossJoin(qFrame)
+      .select(col("vec_id"), col("label"), col("adc_dist"),
+        round(element_at(org.apache.spark.sql.graftext.SqDistsExpr
+          .sqDistsCol(col("v"), array(col("__q"))), 1), 6).as("exact_dist"))
+      .orderBy(asc("exact_dist"), asc("vec_id"))
+      .limit(kTop)
+  }
+
   /** IVF-PQ search (the IVFADC index of Jégou 2011 §V — the layout FAISS
     * ships as `IVFx,PQy`): a coarse k-means quantizer buckets vectors into
     * cells, PQ codebooks train on the RESIDUALS (vector − cell centroid —
@@ -1179,6 +1214,9 @@ object VectorSearch {
 
   def qPqAdcTopK(spark: SparkSession, sfDir: String): DataFrame =
     pqAdcTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
+
+  def qPqAdcRefineTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqAdcRefineTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)
 
   def qIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqTopK(Tables.embeddings(spark, sfDir), queryVecId = 0L)

@@ -2038,6 +2038,25 @@ object TrainSql {
        |ORDER BY adc_dist, b.vec_id LIMIT $kTop""".stripMargin
   }
 
+  /** PQ-ADC + exact-rerank refine oracle
+    * ([[graft.operators.VectorSearch.pqAdcRefineTopK]], x88): the x51
+    * query verbatim over-fetched to `shortlist` rows as a nested-WITH CTE
+    * (the ragRetrieveSql composition pattern), joined back to the raw
+    * vectors for the exact squared distance to the query, re-sorted.
+    */
+  def pqAdcRefineSql(queryVecId: Long = 0L, kTop: Int = 10,
+                     shortlist: Int = 50, m: Int = 4, k: Int = 16,
+                     iters: Int = 3, dim: Int = 64): String = {
+    val short = pqAdcSql(queryVecId, shortlist, m, k, iters, dim)
+    s"""WITH short AS ($short),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT v FROM ev WHERE vec_id = $queryVecId)
+       |SELECT s.vec_id, s.label, s.adc_dist,
+       |       round(${sqDist("e.v", "q.v", dim)}, 6) AS exact_dist
+       |FROM short s JOIN ev e USING (vec_id) CROSS JOIN qv q
+       |ORDER BY exact_dist, s.vec_id LIMIT $kTop""".stripMargin
+  }
+
   /** IVF-PQ oracle ([[graft.operators.VectorSearch.ivfPqTopK]], x52): the
     * x14 coarse Lloyd chain, residuals vs the assigned centroid, the m PQ
     * chains retargeted at the residual CTE, probe cells by exact

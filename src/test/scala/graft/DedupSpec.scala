@@ -451,6 +451,40 @@ class DedupSpec extends SparkSpec {
       s"ADC uncorrelated with exact ranks: ${adc.map(_._1).map(ranked.indexOf).toSeq}")
   }
 
+  test("PQ refine: a corpus-wide shortlist recovers the exact top-k, and a " +
+       "50-shortlist rerank dominates plain ADC by exact distance") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    val q = all(0L)
+    def exactD(id: Long): Double =
+      all(id).zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator sorts by (round6(exact), vec_id) — mirror that exactly
+    val bruteTop = (all - 0L).keysIterator.toSeq
+      .sortBy(id => (round6(exactD(id)), id)).take(10)
+    val full = VectorSearch.pqAdcRefineTopK(emb, 0L, kTop = 10,
+      shortlist = all.size)
+      .select("vec_id", "exact_dist").as[(Long, Double)].collect()
+    assert(full.map(_._1).toSeq == bruteTop,
+      s"corpus-wide shortlist must be the exact top-k: ${full.toSeq}")
+    full.foreach { case (id, d) =>
+      assert(math.abs(d - round6(exactD(id))) < 1e-9, s"exact_dist off for $id")
+    }
+    // ADC top-10 is a prefix of the ADC 50-shortlist, so refine minimizes
+    // exact distance over a SUPERSET of plain ADC's picks — its sorted
+    // exact distances must dominate pairwise
+    val adcIds = VectorSearch.pqAdcTopK(emb, 0L, kTop = 10)
+      .select("vec_id").as[Long].collect()
+    val refined = VectorSearch.pqAdcRefineTopK(emb, 0L, kTop = 10)
+      .select("vec_id", "exact_dist").as[(Long, Double)].collect()
+    val dAdc = adcIds.map(exactD).sorted
+    val dRef = refined.map(r => exactD(r._1)).sorted
+    assert(dRef.zip(dAdc).forall { case (r, a) => r <= a + 1e-12 },
+      s"refine must dominate ADC: ${dRef.toSeq} vs ${dAdc.toSeq}")
+  }
+
   test("PQ-ADC retrieves cluster-mates exactly on separable data") {
     // 3 well-separated clusters of 8, tight intra-cluster noise: codebook
     // cells align with clusters, so ADC must return the query's 7 mates
