@@ -20,7 +20,7 @@ object Bench {
         "x45_minhash_dedup", "x45b_minhash_dedup_iter",
         "x45c_minhash_dedup_digest", "x60_dedup_report",
         "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats",
-        "x77_substr_decontaminate",
+        "x77_substr_decontaminate", "x89_remove_dup_spans",
         "x66_incremental_dedup", "x67_novelty_curve",
         "x70_incremental_persisted", "x71_family_sizes",
         "x76_minhash_calibration", "x78_lsh_bucket_stats"),

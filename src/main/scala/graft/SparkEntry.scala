@@ -160,6 +160,7 @@ object SparkEntry {
     "x45c_minhash_dedup_digest" -> (Dedup.qMinhashDedupDigestFirst _),
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
+    "x89_remove_dup_spans" -> (Dedup.qRemoveDupSpans _),
     "x77_substr_decontaminate" -> (Dedup.qSubstrDecontaminate _),
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
@@ -835,6 +836,9 @@ object SparkEntry {
     "x45c_minhash_dedup_digest" -> graft.oracles.TrainSql.minhashDedupIterSql(),
     "x64_exact_substr" -> graft.oracles.TrainSql.exactSubstrSpansSql(),
     "x65_dup_span_stats" -> graft.oracles.TrainSql.dupSpanStatsSql(),
+    // x89: the span family's transform — islands excised from the token
+    // stream, survivors re-joined in position order
+    "x89_remove_dup_spans" -> graft.oracles.TrainSql.removeDupSpansSql(),
     "x77_substr_decontaminate" -> graft.oracles.TrainSql.substrDecontaminateSql(),
     "x66_incremental_dedup" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // x70 runs the identical computation through a persisted parquet index,

@@ -1818,6 +1818,52 @@ object TrainSql {
        |             greatest(len(tl.t), 1), 6) >= $dropThreshold AS would_drop
        |FROM toksl tl LEFT JOIN cov c ON c.doc_id = tl.doc_id""".stripMargin
 
+  /** x89 oracle ([[graft.operators.Dedup.removeDupSpans]]): the x64 span
+    * CTEs, the x65 island merge kept as intervals, token positions
+    * filtered by NOT EXISTS against the document's own islands, and the
+    * survivors re-joined in position order.
+    */
+  def removeDupSpansSql(windowTokens: Int = 20): String =
+    s"""WITH spans AS (${exactSubstrSpansSql(windowTokens)}),
+       |iv AS (SELECT doc_id, span_start AS s,
+       |              span_start + span_tokens - 1 AS e FROM spans),
+       |pm AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (
+       |                PARTITION BY doc_id ORDER BY s
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS fresh
+       |  FROM iv),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         sum(fresh) OVER (PARTITION BY doc_id ORDER BY s) AS island
+       |  FROM pm),
+       |islands AS (
+       |  SELECT doc_id, min(s) AS i0, max(e) AS i1
+       |  FROM isl GROUP BY doc_id, island),
+       |toksl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
+       |                     w -> w NOT IN ($stop)) AS t
+       |  FROM documents),
+       |tokpos AS (
+       |  SELECT doc_id, i AS pos, t[i + 1] AS tok
+       |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toksl)),
+       |keptpos AS (
+       |  SELECT tp.doc_id, tp.pos, tp.tok
+       |  FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM islands z
+       |                    WHERE z.doc_id = tp.doc_id
+       |                      AND tp.pos BETWEEN z.i0 AND z.i1)),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM keptpos GROUP BY doc_id)
+       |SELECT tl.doc_id, CAST(len(tl.t) AS BIGINT) AS n_tokens,
+       |       coalesce(a.n_kept, 0) AS n_kept,
+       |       coalesce(a.clean_text, '') AS clean_text
+       |FROM toksl tl LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** w12 oracle ([[graft.streaming.DocStream.replayNearDupAdmission]]):
     * greedy near-dup admission in doc_id (arrival) order over the x3 LSH
     * pair graph — kept(d) ⟺ no KEPT earlier neighbor. This is the

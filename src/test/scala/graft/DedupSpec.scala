@@ -292,6 +292,42 @@ class DedupSpec extends SparkSpec {
     assert(fromMaterialized.toSeq == recompute.toSeq)
   }
 
+  test("remove dup spans: planted runs excised with order preserved, clean " +
+       "docs verbatim, and drops reconcile with the x65 coverage") {
+    def toks(tag: String, n: Int) = (0 until n)
+      .map(i => s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}zz")
+      .mkString(" ")
+    val shared = toks("shared", 24)
+    val docs = (Seq(
+      (0L, s"${toks("alpha", 8)} $shared ${toks("beta", 8)}"),
+      (1L, s"${toks("gamma", 5)} $shared ${toks("delta", 11)}"),
+      (2L, toks("unique", 40))) ++ {
+      // true interval overlap (the x65 fixture): union must excise 32,
+      // not a double-counted 44
+      val s32 = toks("ess", 32).split(" ")
+      Seq((4L, s32.mkString(" ")),
+        (5L, s"${s32.take(22).mkString(" ")} ${toks("fin", 10)}"),
+        (6L, s"${toks("pre", 10)} ${s32.drop(10).mkString(" ")}"))
+    }).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDupSpans(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 0: the 24 shared tokens cut, alpha+beta survive in order
+    assert(out(0L) == ((0L, 40L, 16L,
+      s"${toks("alpha", 8)} ${toks("beta", 8)}")), s"doc0: ${out(0L)}")
+    assert(out(1L)._3 == 16L && !out(1L)._4.contains("sharedaa"),
+      s"doc1: ${out(1L)}")
+    // clean doc passes through verbatim (token-joined)
+    assert(out(2L) == ((2L, 40L, 40L, toks("unique", 40))), s"doc2: ${out(2L)}")
+    // doc 4 fully covered by the overlapping spans → empty output
+    assert(out(4L) == ((4L, 32L, 0L, "")), s"doc4: ${out(4L)}")
+    // cross-operator reconciliation: dropped tokens == x65's dup_tokens
+    val cov = graft.operators.Dedup.dupSpanStats(docs)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    out.values.foreach { case (id, n, k, _) =>
+      assert(n - k == cov(id), s"doc $id: dropped ${n - k} vs x65 ${cov(id)}")
+    }
+  }
+
   test("dedup report: clone losses accounted exactly per method") {
     // docs 0 and 5 of the shared fixture are byte-identical → the exact
     // method drops exactly one doc and its token count; minhash drops at
