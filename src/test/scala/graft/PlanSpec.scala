@@ -442,9 +442,14 @@ class PlanSpec extends SparkSpec {
       "x86b_semantic_decontam_ivf", // the IVF family's broadcast centroid
                              // frame (as in x37); candidates meet in a
                              // cell equi-join
-      "x86c_semantic_decontam_probe" // x86b's probe half verbatim (the
+      "x86c_semantic_decontam_probe", // x86b's probe half verbatim (the
                              // centroid frame read from the persisted
                              // index instead of trained inline)
+      "x88_pq_refine"        // x51's codebooks/LUT frames for the shortlist
+                             // + the 1-row query-vector frame the refine
+                             // stage's exact distance reads; the shortlist
+                             // rejoin itself is a broadcast HASH join on
+                             // vec_id (plan-audited in NOTES round 9)
     )
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
