@@ -21,6 +21,7 @@ object Bench {
         "x45c_minhash_dedup_digest", "x60_dedup_report",
         "x63_quality_keep", "x64_exact_substr", "x65_dup_span_stats",
         "x77_substr_decontaminate", "x89_remove_dup_spans",
+        "x90_span_stats_persisted",
         "x66_incremental_dedup", "x67_novelty_curve",
         "x70_incremental_persisted", "x71_family_sizes",
         "x76_minhash_calibration", "x78_lsh_bucket_stats"),
@@ -184,40 +185,86 @@ object Bench {
     // at the artifact.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
-    def runPass(pass: Int): Map[String, Double] = {
-      var prevFamily = ""
-      selected.map { case (name, fn) =>
-        val family = cohortOf(name)
-        if (family != prevFamily) {
-          if (prevFamily.nonEmpty) { spark.catalog.clearCache(); System.gc() }
-          prevFamily = family
-          loadSamples += ((pass, family, osBean.getSystemLoadAverage))
-        }
-        name -> timeOnce(fn)
-      }.toMap
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal JVM would print "0,123" and break the JSON contract
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    // One pass = for each cohort (registry cohort order preserved): caches
+    // cleared at the boundary, then a COLD sweep (every query once, timed
+    // — the cohort's shared frames are built by their first consumers)
+    // followed immediately by a WARM sweep (every query once, timed — the
+    // incremental cost over the now-materialized frames). Round 9 timed
+    // only the cold sweep, so per-query numbers conflated "this query's
+    // incremental cost" with "this cohort's shared-frame cost" depending
+    // on registry order (x44_hybrid_search read 3.94 s for what is a
+    // ~1.2 s query once the retrieval cohort's frames exist). The warm
+    // sweep makes per-query numbers mean ONE thing, and the cold−warm
+    // difference is reported per cohort as `cohort_build` — the run-once
+    // price a deployment pays when the corpus changes, not per query.
+    val cohortOrder = selected.map { case (n, _) => cohortOf(n) }.distinct
+    val byCohort = cohortOrder.map(c =>
+      c -> selected.filter { case (n, _) => cohortOf(n) == c })
+    case class Pass(cold: Map[String, Double], warm: Map[String, Double],
+                    build: Map[String, Double])
+    def runPass(pass: Int): Pass = {
+      val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val build = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      for ((family, qs) <- byCohort) {
+        spark.catalog.clearCache(); System.gc()
+        loadSamples += ((pass, family, osBean.getSystemLoadAverage))
+        for ((name, fn) <- qs) cold(name) = timeOnce(fn)
+        for ((name, fn) <- qs) warm(name) = timeOnce(fn)
+        // clamped at 0: a cohort with no shared frames measures only
+        // scan-locality jitter between its two sweeps
+        build(family) = math.max(0.0,
+          qs.map(q => cold(q._1)).sum - qs.map(q => warm(q._1)).sum)
+      }
+      Pass(cold.toMap, warm.toMap, build.toMap)
     }
     // Interleaved median-of-3: run the WHOLE suite three times (cohort
-    // order preserved within each pass; caches cleared between passes as
-    // at cohort boundaries) and take per-query medians ACROSS passes.
-    // Round 8 ran each query's three repeats back-to-back, so a sustained
-    // external load window poisoned all three and the recorded min no
-    // longer bounded the noise floor (driver x65: 13.25 s with min 13.14
-    // vs 2.25 s idle). Interleaving separates a query's repeats by a full
-    // suite pass (~40 s+), so transient load distributes across unrelated
-    // queries instead of concentrating on one cohort; the median absorbs
-    // any single poisoned pass. SPARK_GRAFT_REPEAT>1 (dev knob) keeps raw
-    // consecutive single-shot timings per iteration.
+    // order preserved within each pass; caches cleared at every cohort
+    // boundary) and take per-query medians ACROSS passes. Round 8 ran each
+    // query's three repeats back-to-back, so a sustained external load
+    // window poisoned all three and the recorded min no longer bounded the
+    // noise floor (driver x65: 13.25 s with min 13.14 vs 2.25 s idle).
+    // Interleaving separates a query's repeats by a full suite pass, so
+    // transient load distributes across unrelated queries instead of
+    // concentrating on one cohort; the median absorbs any single poisoned
+    // pass — and since round 10 the sidecar carries the FULL per-pass raw
+    // matrices (warm and cold), so a poisoned pass is per-query
+    // diagnosable from the artifact alone. SPARK_GRAFT_REPEAT>1 (dev knob)
+    // keeps raw consecutive single-shot timings per iteration.
+    var extraJson = ""
+    var buildTotalMed = 0.0
     val (results, passTotals): (Seq[(String, (Double, Double))], Seq[Double]) =
       if (repeat == 1) {
-        val passResults = (1 to 3).map { p =>
-          if (p > 1) { spark.catalog.clearCache(); System.gc() }
-          runPass(p)
-        }
+        val passes = (1 to 3).map(runPass)
         val med = selected.map { case (name, _) =>
-          val ts = passResults.map(_(name)).sorted
+          val ts = passes.map(_.warm(name)).sorted
           name -> (ts(1), ts(0))
         }
-        (med, passResults.map(_.values.sum))
+        val buildMed = cohortOrder.map { c =>
+          c -> passes.map(_.build(c)).sorted.apply(1)
+        }
+        buildTotalMed = buildMed.map(_._2).sum
+        def rawJson(of: Pass => Map[String, Double], keys: Seq[String]) =
+          keys.map(k => "\"" + k + "\":[" +
+            passes.map(p => sec(of(p)(k))).mkString(",") + "]")
+            .mkString("{", ",", "}")
+        val qNames = selected.map(_._1)
+        val buildMedJson = buildMed
+          .map { case (c, b) => "\"" + c + "\":" + sec(b) }
+          .mkString("{", ",", "}")
+        val warmTotalsJson = passes.map(p => sec(p.warm.values.sum))
+          .mkString("[", ",", "]")
+        extraJson =
+          s""","queries_raw":${rawJson(_.warm, qNames)}""" +
+          s""","queries_cold_raw":${rawJson(_.cold, qNames)}""" +
+          s""","cohort_build":${rawJson(_.build, cohortOrder)}""" +
+          s""","cohort_build_median":$buildMedJson""" +
+          s""","pass_totals_warm":$warmTotalsJson"""
+        (med, passes.map(_.cold.values.sum))
       } else {
         var prevFamily = ""
         val raw = selected.flatMap { case (name, fn) =>
@@ -235,30 +282,32 @@ object Bench {
         (raw, Seq(raw.map(_._2._1).sum))
       }
     loadSamples += ((if (repeat == 1) 3 else 1, "end", osBean.getSystemLoadAverage))
-    // Locale.ROOT: the f-interpolator uses the default locale, which on a
-    // comma-decimal JVM would print "0,123" and break the JSON contract
-    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v))
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + sec(med) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + sec(mn) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    // headline total = Σ per-query warm medians + Σ per-cohort build
+    // medians: the full suite cost, decomposed so neither side hides in
+    // the other (incremental_total and build_total are emitted alongside)
+    val incrementalTotal = results.map(_._2._1).sum
+    val total = incrementalTotal + buildTotalMed
     val totalMin = results.map(_._2._2).sum
     // The driver keeps only the tail of stdout, so the expensive per-query
     // map goes to an EARLIER line + a sidecar file, and the LAST line is a
-    // compact totals object (~150 chars) that always survives truncation.
+    // compact totals object (~200 chars) that always survives truncation.
     val memoNote = memoWarmed.filter(_ => warmDir.nonEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // the stat label must describe what was actually measured: the dev
-    // knob SPARK_GRAFT_REPEAT>1 switches every timing to raw single shots
-    val stat = if (repeat == 1) "median_of_3_interleaved" else "single_shot"
+    // the stat label must describe what was actually measured: since round
+    // 10 per-query medians are WARM (incremental over the cohort's shared
+    // frames, with the build cost in cohort_build); the dev knob
+    // SPARK_GRAFT_REPEAT>1 switches every timing to raw cold single shots
+    val stat = if (repeat == 1) "median_of_3_interleaved_warm" else "single_shot"
     val loadJson = loadSamples.map { case (p, c, l) =>
       s"""{"pass":$p,"cohort":"$c","load":${sec(l)}}"""
     }.mkString("[", ",", "]")
     val passTotalsJson = passTotals.map(sec).mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"$extraJson}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -266,7 +315,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","total_min":${sec(totalMin)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","total_min":${sec(totalMin)},"incremental_total":${sec(incrementalTotal)},"build_total":${sec(buildTotalMed)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

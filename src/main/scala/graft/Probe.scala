@@ -18,10 +18,18 @@ object Probe {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // reps=0: print the executed plan instead of timing (dev plan audits)
+    // reps=0: print the executed plan instead of timing (dev plan audits).
+    // Execute FIRST: under adaptive query execution the pre-run
+    // executedPlan is only the initial AdaptiveSparkPlan — runtime
+    // re-optimizations (e.g. a sort-merge join AQE converts to broadcast
+    // once it sees the real build-side size) exist only after a run, and
+    // a plan audit that misses them would mis-grade the join strategy.
+    // After execRows the same tree prints `isFinalPlan=true` with the plan
+    // the engine actually ran.
     if (reps == 0) {
-      println(SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.executedPlan.toString)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      Bench.execRows(df)
+      println(df.queryExecution.executedPlan.toString)
       spark.stop(); return
     }
     for (i <- 1 to reps) {

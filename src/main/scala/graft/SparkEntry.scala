@@ -161,6 +161,7 @@ object SparkEntry {
     "x64_exact_substr" -> (Dedup.qExactSubstrSpans _),
     "x65_dup_span_stats" -> (Dedup.qDupSpanStats _),
     "x89_remove_dup_spans" -> (Dedup.qRemoveDupSpans _),
+    "x90_span_stats_persisted" -> (Dedup.qDupSpanStatsPersisted _),
     "x77_substr_decontaminate" -> (Dedup.qSubstrDecontaminate _),
     "x66_incremental_dedup" -> (Dedup.qIncrementalDedup _),
     "x70_incremental_persisted" -> (Dedup.qIncrementalDedupPersisted _),
@@ -839,6 +840,11 @@ object SparkEntry {
     // x89: the span family's transform — islands excised from the token
     // stream, survivors re-joined in position order
     "x89_remove_dup_spans" -> graft.oracles.TrainSql.removeDupSpansSql(),
+    // x90 feeds the gate from the session's PERSISTED span table
+    // (write-once parquet), so it shares x65's oracle verbatim: the hash
+    // proves the written artifact carries the in-session computation's
+    // full fidelity
+    "x90_span_stats_persisted" -> graft.oracles.TrainSql.dupSpanStatsSql(),
     "x77_substr_decontaminate" -> graft.oracles.TrainSql.substrDecontaminateSql(),
     "x66_incremental_dedup" -> graft.oracles.TrainSql.incrementalDedupSql(),
     // x70 runs the identical computation through a persisted parquet index,

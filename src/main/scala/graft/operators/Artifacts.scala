@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scratch locations for persisted index artifacts built by registered
-  * queries (the LSH index of x70, the IVF/IVF-PQ indexes of x82/x83).
+  * queries (the LSH index of x70, the IVF/IVF-PQ indexes of x82/x83, the
+  * span table of x90).
   */
 object Artifacts {
 
@@ -32,6 +33,66 @@ object Artifacts {
       "graft_" + spark.sparkContext.applicationId)
     cleanupOnExit(root)
     new java.io.File(root, s"${kind}_${safe}_$digest").getPath
+  }
+
+  /** Build-at-most-once-per-session serving artifacts (the x82b/x83b/x86c
+    * probe rows and the x90 span table): real on-disk indexes a long-lived
+    * service holds, so the registered query times the PROBE, not the build
+    * chain. Ordering-safe by construction: whichever registered query (or
+    * spec) asks first builds the artifact inside its own call; later
+    * callers memo-hit. The key folds in [[Caches.planMemoKey]]'s file
+    * fingerprint (name, length, mtime of every corpus file), so a
+    * rewritten corpus misses the memo and rebuilds instead of serving a
+    * stale artifact; an unverifiable fingerprint disables memoization
+    * (rebuild every call — correct, just no longer probe-only). Dir kinds
+    * must be DISTINCT from any full-cycle query's (x82/x83 overwrite their
+    * artifact every run — sharing a path would race a rewrite against a
+    * memo-hit read).
+    */
+  private val servedMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+  private val servedNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[operators] def servedDir(spark: SparkSession, kind: String,
+                                   corpus: DataFrame, fallbackKey: String)
+                                  (build: String => Unit): String = {
+    val pk = Caches.planMemoKey(corpus)
+    // The artifact directory folds in the corpus FINGERPRINT, not just
+    // (kind, sfDir): after an in-place corpus rewrite the new fingerprint
+    // must rebuild into a FRESH path — writing into the old one would
+    // mutate the artifact an earlier memo entry (or a lazily-held probe
+    // frame over it) still serves.
+    def buildAt(suffix: String = ""): String = {
+      val dir = sessionScopedDir(spark, kind, fallbackKey + "|" + pk + suffix)
+      build(dir); dir
+    }
+    // Unverifiable fingerprint -> no memo entry, so two concurrent callers
+    // would otherwise BOTH build into the same (kind, fallbackKey+"|")
+    // directory and interleave a rewrite with a concurrent read — the
+    // exact hazard the distinct-dirs rule guards against for x82/x83. A
+    // per-call nonce gives every un-memoized build its own directory;
+    // correctness was already "rebuild every call", this just stops the
+    // builds from sharing a path.
+    if (pk.isEmpty) buildAt("|nonce=" + servedNonce.incrementAndGet())
+    else {
+      // Per-key future so the multi-second build never runs while holding
+      // a ConcurrentHashMap bin lock (computeIfAbsent would serialize
+      // unrelated same-bin builds and forbid re-entry): losers of the
+      // putIfAbsent race — and later callers — block on the winner's
+      // future only. A failed build removes its future so the next caller
+      // retries instead of joining a poisoned entry.
+      val fut = new java.util.concurrent.CompletableFuture[String]()
+      val prior = servedMemo.putIfAbsent(kind + "|" + pk, fut)
+      if (prior != null) prior.join()
+      else
+        try { fut.complete(buildAt()); fut.join() }
+        catch {
+          case t: Throwable =>
+            servedMemo.remove(kind + "|" + pk, fut)
+            fut.completeExceptionally(t)
+            throw t
+        }
+    }
   }
 
   private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

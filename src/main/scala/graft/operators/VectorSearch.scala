@@ -873,7 +873,12 @@ object VectorSearch {
                       k: Int = 16, iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val short = pqAdcTopK(embeddings, queryVecId, shortlist, m, k, iters)
+    // a shortlist narrower than kTop could never deliver kTop rows —
+    // clamp so the "kTop nearest by exact distance" contract holds for
+    // any argument combination (shortlist == kTop degenerates to an
+    // exact re-sort of the ADC top-k, still well-defined)
+    val fetch = math.max(shortlist, kTop)
+    val short = pqAdcTopK(embeddings, queryVecId, fetch, m, k, iters)
     val q: Array[Double] = embeddings.where(col("vec_id") === queryVecId)
       .select(asDouble(col("embedding"))).as[Array[Double]].head()
     val qFrame = broadcast(Seq(Tuple1(q.toSeq)).toDF("__q"))
@@ -1253,62 +1258,14 @@ object VectorSearch {
     * index is built at most once per JVM per (kind, corpus fingerprint) —
     * like trained centroids or [[Bpe]]'s merge table, it is the durable
     * model state a long-lived ANN service holds, so the registered query
-    * times the PROBE, not the training chain. Ordering-safe by
-    * construction: whichever registered query (or spec) asks first builds
-    * the artifact inside its own call; later callers memo-hit. The key
-    * folds in [[Caches.planMemoKey]]'s file fingerprint (name, length,
-    * mtime of every corpus file), so a rewritten corpus misses the memo
-    * and rebuilds instead of serving a stale index; an unverifiable
-    * fingerprint disables memoization (rebuild every call — correct,
-    * just no longer probe-only). Dir kinds are DISTINCT from the
-    * full-cycle queries' (x82/x83 overwrite their artifact every run —
-    * sharing a path would race a rewrite against a memo-hit read).
+    * times the PROBE, not the training chain. The memo/fingerprint
+    * machinery lives in [[Artifacts.servedDir]] (shared with the x90 span
+    * table); this alias keeps the local call sites.
     */
-  private val servedIndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.CompletableFuture[String]]()
-  private val servedNonce = new java.util.concurrent.atomic.AtomicLong(0L)
-
   private def servedIndexDir(spark: SparkSession, kind: String,
                              corpus: DataFrame, fallbackKey: String)
-                            (build: String => Unit): String = {
-    val pk = Caches.planMemoKey(corpus)
-    // The artifact directory folds in the corpus FINGERPRINT, not just
-    // (kind, sfDir): after an in-place corpus rewrite the new fingerprint
-    // must rebuild into a FRESH path — writing into the old one would
-    // mutate the artifact an earlier memo entry (or a lazily-held probe
-    // frame over it) still serves.
-    def buildAt(suffix: String = ""): String = {
-      val dir = Artifacts.sessionScopedDir(spark, kind, fallbackKey + "|" + pk + suffix)
-      build(dir); dir
-    }
-    // Unverifiable fingerprint -> no memo entry, so two concurrent callers
-    // would otherwise BOTH build into the same (kind, fallbackKey+"|")
-    // directory and interleave a rewrite with a concurrent read — the
-    // exact hazard the distinct-dirs rule guards against for x82/x83. A
-    // per-call nonce gives every un-memoized build its own directory;
-    // correctness was already "rebuild every call", this just stops the
-    // builds from sharing a path.
-    if (pk.isEmpty) buildAt("|nonce=" + servedNonce.incrementAndGet())
-    else {
-      // Per-key future so the multi-second index build never runs while
-      // holding a ConcurrentHashMap bin lock (computeIfAbsent would
-      // serialize unrelated same-bin builds and forbid re-entry): losers
-      // of the putIfAbsent race — and later callers — block on the
-      // winner's future only. A failed build removes its future so the
-      // next caller retries instead of joining a poisoned entry.
-      val fut = new java.util.concurrent.CompletableFuture[String]()
-      val prior = servedIndexMemo.putIfAbsent(kind + "|" + pk, fut)
-      if (prior != null) prior.join()
-      else
-        try { fut.complete(buildAt()); fut.join() }
-        catch {
-          case t: Throwable =>
-            servedIndexMemo.remove(kind + "|" + pk, fut)
-            fut.completeExceptionally(t)
-            throw t
-        }
-    }
-  }
+                            (build: String => Unit): String =
+    Artifacts.servedDir(spark, kind, corpus, fallbackKey)(build)
 
   /** x82b: the SERVING half of x82 — the batched probe against an IVF
     * index built at most once per session (see [[servedIndexDir]]).

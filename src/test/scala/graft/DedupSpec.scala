@@ -292,6 +292,29 @@ class DedupSpec extends SparkSpec {
     assert(fromMaterialized.toSeq == recompute.toSeq)
   }
 
+  test("span-table serving row (x90): first call writes the spans table at " +
+       "most once per corpus, re-call memo-hits without rewriting, results " +
+       "equal the in-session x65 path") {
+    import graft.operators.Dedup
+    // first call may build (0 or 1+ writes depending on whether an earlier
+    // test already populated the memo for this corpus fingerprint)
+    val first = Dedup.qDupSpanStatsPersisted(spark, sf0001)
+      .orderBy("doc_id").collect()
+    assert(first.nonEmpty)
+    // re-call must serve from the memoized artifact: zero new writes
+    val writesBefore = Dedup.spanTableWrites.get()
+    val second = Dedup.qDupSpanStatsPersisted(spark, sf0001)
+      .orderBy("doc_id").collect()
+    assert(Dedup.spanTableWrites.get() == writesBefore,
+      s"x90 re-call rewrote the span table: $writesBefore -> " +
+        s"${Dedup.spanTableWrites.get()}")
+    assert(second.toSeq == first.toSeq)
+    // the persisted layout is lossless vs the in-session shared-cache path
+    val inSession = Dedup.qDupSpanStats(spark, sf0001)
+      .orderBy("doc_id").collect()
+    assert(first.toSeq == inSession.toSeq)
+  }
+
   test("remove dup spans: planted runs excised with order preserved, clean " +
        "docs verbatim, and drops reconcile with the x65 coverage") {
     def toks(tag: String, n: Int) = (0 until n)
@@ -519,6 +542,20 @@ class DedupSpec extends SparkSpec {
     val dRef = refined.map(r => exactD(r._1)).sorted
     assert(dRef.zip(dAdc).forall { case (r, a) => r <= a + 1e-12 },
       s"refine must dominate ADC: ${dRef.toSeq} vs ${dAdc.toSeq}")
+  }
+
+  test("PQ refine clamps a shortlist narrower than kTop (the kTop contract " +
+       "holds for any argument combination)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val clamped = VectorSearch.pqAdcRefineTopK(emb, 0L, kTop = 10, shortlist = 3)
+      .select("vec_id").as[Long].collect()
+    assert(clamped.length == 10,
+      s"shortlist=3 silently truncated the top-10: ${clamped.length} rows")
+    // clamping means shortlist<=kTop degenerates to shortlist==kTop — an
+    // exact re-sort of the ADC top-k
+    val atK = VectorSearch.pqAdcRefineTopK(emb, 0L, kTop = 10, shortlist = 10)
+      .select("vec_id").as[Long].collect()
+    assert(clamped.toSeq == atK.toSeq)
   }
 
   test("PQ-ADC retrieves cluster-mates exactly on separable data") {
