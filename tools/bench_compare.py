@@ -11,14 +11,27 @@ import json
 import sys
 
 
+def load(path):
+    """Accept a per-query sidecar (queries + optional cohort_build_median),
+    a merged totals object (queries + value), or a driver BENCH_r file
+    (parsed.queries). Returns (queries, total)."""
+    d = json.load(open(path))
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    q = d["queries"]
+    total = d.get("value",
+                  sum(q.values()) + sum(d.get("cohort_build_median",
+                                              {}).values()))
+    return q, total
+
+
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
-    oq, nq = old["queries"], new["queries"]
-    print(f"old total {old['value']:.1f}s/{len(oq)}q   "
-          f"new total {new['value']:.1f}s/{len(nq)}q")
+    oq, old_total = load(old_path)
+    nq, new_total = load(new_path)
+    print(f"old total {old_total:.1f}s/{len(oq)}q   "
+          f"new total {new_total:.1f}s/{len(nq)}q")
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:
