@@ -8,12 +8,13 @@ ints/strings, tolerant-then-exact hashing for floats).
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [only1,only2,...]
 
-sf0.1 note: DuckDB instance memory is not fully returned to the OS while
-the process lives, so a full 205-query sweep at sf0.1 can cascade into
-spurious "Out of Memory Error" failures after the heavy closure oracles
-(x45b, x47, p1...) even with a fresh connection per query. Re-run the
-FAILed names via the third argument in a fresh process (chunks of ~10) —
-every such failure so far has been residue, not a mismatch.
+DuckDB holds instance memory for the life of the process, so a long sweep
+in ONE process cascades into spurious "Out of Memory Error" failures at
+sf0.1 after the heavy closure oracles (p1/p1b each run ~17-20 min and
+poison everything after them). The sweep therefore runs CHUNKED by
+default: fresh subprocess per ~3 names, the known-heavy oracles isolated
+in their own. Set ORACLE_CHUNK=<n> to change the chunk size, or
+ORACLE_CHUNK=0 to force the old single-process inline sweep.
 """
 import json
 import sys
@@ -74,10 +75,66 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+# oracles that need a whole process to themselves (minutes of runtime and
+# gigabytes of residue each at sf0.1)
+HEAVY = {"p1_pipeline", "p1b_pipeline_graded"}
+
+
+def chunked_main(sf_dir: str, out_dir: str, names: list[str],
+                 pre_fail: int = 0) -> None:
+    """Run the sweep as fresh `--inline` subprocesses of ~ORACLE_CHUNK names
+    each (HEAVY names isolated), aggregating the per-query result lines —
+    one command, no OOM residue, no manual re-check pass."""
+    import os
+    import re
+    import subprocess
+    size = int(os.environ.get("ORACLE_CHUNK", "3"))
+    chunks: list[list[str]] = []
+    light = [n for n in names if n not in HEAVY]
+    for i in range(0, len(light), size):
+        chunks.append(light[i:i + size])
+    chunks += [[n] for n in names if n in HEAVY]
+    n_ok, n_fail, n_rows_only = 0, pre_fail, 0
+    for chunk in chunks:
+        proc = subprocess.run(
+            [sys.executable, __file__, sf_dir, out_dir, ",".join(chunk),
+             "--inline"],
+            capture_output=True, text=True)
+        body = proc.stdout.splitlines()
+        for line in body:
+            if re.match(r"== \d+/\d+ oracle-checked", line):
+                continue  # per-chunk summary; we print the aggregate
+            print(line)
+        n_ok += sum(1 for l in body if l.startswith("[ok]"))
+        n_fail += sum(1 for l in body if l.startswith("[FAIL]"))
+        n_rows_only += sum(1 for l in body if l.startswith("[rows-only]"))
+        if proc.returncode != 0:
+            n_fail += 1
+            print(f"[FAIL] chunk {','.join(chunk)}: subprocess rc="
+                  f"{proc.returncode}: {proc.stderr.strip()[-500:]}")
+        sys.stdout.flush()
+    print(f"== {n_ok}/{n_ok + n_fail} oracle-checked ok, "
+          f"{n_rows_only} rows-only ==")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     # optional third arg: comma-separated query names (re-check a subset)
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    inline = "--inline" in sys.argv[4:] or \
+        int(__import__("os").environ.get("ORACLE_CHUNK", "3")) == 0
+    if not inline:
+        oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+        names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+        if only is not None:
+            names = [n for n in names if n in only]
+        scope = only if only is not None else set(oracle)
+        miss = sorted(n for n in scope
+                      if n in oracle and n not in set(names))
+        for m in miss:
+            print(f"[FAIL] {m}: oracle present but no spark output")
+        chunked_main(sf_dir, out_dir, names, pre_fail=len(miss))
+        return
 
     # one FRESH connection per query: a shared connection accumulates
     # buffer/temp memory across 200+ oracles and at sf0.1 eventually turns
