@@ -38,7 +38,8 @@ object Bench {
         "x12_fingerprints", "x13_domain_stats", "x16_repetition",
         "x17_redact_pii", "x18_chunks", "x22_c4_filter", "x23_gopher_rules",
         "x25_unigram_lm", "x27_ngram_rep", "x29_line_dedup",
-        "x31_ccnet_buckets", "x39_quality_distill", "x40_normalize",
+        "x31_ccnet_buckets", "x39_quality_distill", "x39b_quality_distill_aq",
+        "x40_normalize",
         "x43_bigram_lm", "x56_kmv_distinct", "x58_source_overlap",
         "x59_interp_bigram", "x69_source_drift", "x79_worst_spans",
         "x81_term_zipf"),
@@ -306,8 +307,13 @@ object Bench {
       s"""{"pass":$p,"cohort":"$c","load":${sec(l)}}"""
     }.mkString("[", ",", "]")
     val passTotalsJson = passTotals.map(sec).mkString("[", ",", "]")
+    // key names carry the measurement semantics (ADVICE r10): per-query
+    // numbers are WARM medians since round 10, so the min-sum is
+    // `incremental_total_min` and the per-pass cold-sweep sums are
+    // `pass_totals_cold` — the round-9 names (total_min / pass_totals)
+    // measured different quantities and are retired, not silently reused
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"$extraJson}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals_cold":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"$extraJson}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -315,7 +321,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","total_min":${sec(totalMin)},"incremental_total":${sec(incrementalTotal)},"build_total":${sec(buildTotalMed)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","incremental_total_min":${sec(totalMin)},"incremental_total":${sec(incrementalTotal)},"build_total":${sec(buildTotalMed)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -146,6 +146,7 @@ object SparkEntry {
     "x25_unigram_lm"   -> (TextQuality.qUnigramLogprob _),
     "x31_ccnet_buckets" -> (TextQuality.qCcnetBuckets _),
     "x39_quality_distill" -> (Classifier.qQualityDistill _),
+    "x39b_quality_distill_aq" -> (Classifier.qQualityDistillAq _),
     "x40_normalize"    -> (TextQuality.qNormalize _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
@@ -816,6 +817,12 @@ object SparkEntry {
     // 8 dp per update on both engines (the Lloyd/TextRank determinism
     // recipe applied to model training)
     "x39_quality_distill" -> graft.oracles.TrainSql.qualityDistillSql(),
+    // x39b: the same distillation with the 100 TB label cut — a
+    // quantile_cont(0.5) broadcast threshold instead of the global ntile
+    // window (Classifier.lmLabelsQuantile's Scaladoc carries the
+    // agreement and determinism argument)
+    "x39b_quality_distill_aq" ->
+      graft.oracles.TrainSql.qualityDistillSql(quantileLabels = true),
     "x40_normalize"    -> graft.oracles.TrainSql.normalizeSql,
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x41_phrase_search" ->

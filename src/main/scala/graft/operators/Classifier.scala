@@ -256,12 +256,71 @@ object Classifier {
         when(col("half") === 1, 1.0d).otherwise(0.0d).as("y"))
   }
 
+  /** [[lmLabels]]' 100 TB form — the label cut every other hot-path family
+    * already registers an alternative for (x2→x2b, x86→x86b): y = 1 iff
+    * the document's score clears the corpus MEDIAN, computed by ONE
+    * interpolated-percentile aggregate and broadcast as a scalar
+    * threshold, instead of `ntile(2)` over a single-partition global
+    * window. The aggregate's state is a count per DISTINCT score — the
+    * scores are 6-dp rounded ([[TextQuality.unigramLogprob]]), so the
+    * state is bounded by the score range × 10⁶ (corpus-size-INDEPENDENT;
+    * in practice thousands of keys), partial-aggregated map-side like any
+    * histogram. That bounded domain is why the exact interpolated
+    * `percentile` is used rather than `approx_percentile`: same scale
+    * shape (constant-size mergeable state), but the sketch's choice of
+    * boundary element is accuracy-parameter-dependent, which would break
+    * the cross-engine determinism contract every registered row carries.
+    *
+    * Agreement with the ntile cut ([[medianCutLabels]] spec-pinned, both
+    * parities): ntile(2) DESC puts the top ⌈n/2⌉ scored docs in half 1;
+    * with T = interpolated median (type-7: the mean of the two middle
+    * values for even n, the middle value for odd n), `score >= T` selects
+    * exactly those ⌈n/2⌉ docs whenever the values adjacent to the median
+    * position are distinct — for even n, T falls strictly between the two
+    * middle values; for odd n, T equals the middle value, which ntile
+    * also places in half 1. Ties AT the median are the one divergence:
+    * ntile splits a tied run by doc_id, the threshold keeps the whole run
+    * (the defensible behavior — identical scores get identical labels).
+    *
+    * Cross-engine determinism of the threshold compare: both engines
+    * interpolate lo + 0.5·(hi − lo) over the identical 6-dp-rounded
+    * doubles, and even a ULP-level formula difference cannot flip a
+    * comparison — every score sorts ≤ lo or ≥ hi of the middle pair,
+    * while T lies in [lo, hi].
+    */
+  private[graft] def lmLabelsQuantile(docs: DataFrame): DataFrame =
+    medianCutLabels(docs,
+      TextQuality.unigramLogprob(docs).select("doc_id", "mean_logprob"))
+
+  /** The threshold-cut label rule, factored over an explicit
+    * `(doc_id, mean_logprob)` frame so the spec can pin the
+    * ntile-agreement property on controlled score sets (even n, odd n,
+    * ties). Unscored documents (absent from `scored`) label 0, as in
+    * [[lmLabels]].
+    */
+  private[graft] def medianCutLabels(docs: DataFrame,
+                                     scored: DataFrame): DataFrame = {
+    // the scored frame is read twice (threshold aggregate — eager — then
+    // the label join); checkpointing pins the score pass to run once. The
+    // threshold is ONE scalar to the driver — the broadcast-a-scalar
+    // pattern, not a collect of data.
+    val sc = Caches.checkpointed(scored)
+    val tRow = sc.agg(expr("percentile(mean_logprob, 0.5D)")).head()
+    val t = if (tRow.isNullAt(0)) Double.PositiveInfinity else tRow.getDouble(0)
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("mean_logprob") >= t, 1.0d).otherwise(0.0d).as("y"))
+  }
+
   /** Convenience: label via the LM filter, train, and classify the same
     * corpus (the in-engine demonstration; a production pipeline trains
     * once and broadcasts the weights to score every shard).
+    * `quantileLabels = true` swaps the ntile(2) label cut for the
+    * broadcast-threshold median cut ([[lmLabelsQuantile]], x39b).
     */
   def qualityDistill(docs: DataFrame, lr: Double = DefaultLr,
-                     iters: Int = DefaultIters): DataFrame = {
+                     iters: Int = DefaultIters,
+                     quantileLabels: Boolean = false): DataFrame = {
     // checkpoint labels AND the hashed feature frame once up front: both
     // arms read them (training folds them into the doc-major frame;
     // classify re-joins for scoring), so the tokenize+hash+normalize
@@ -269,7 +328,8 @@ object Classifier {
     // re-plannable concrete partitions; the classify arm reads both
     // lazily after — released at scope exit when the caller runs inside
     // Caches.withScope
-    val labels = Caches.checkpointed(lmLabels(docs))
+    val labels = Caches.checkpointed(
+      if (quantileLabels) lmLabelsQuantile(docs) else lmLabels(docs))
     val hashed = Caches.checkpointed(hashedFeatures(docs))
     val w = trainOnFeatures(hashed, labels, docs.count().toDouble, lr, iters)
     classifyFeatures(hashed, labels, w)
@@ -277,4 +337,13 @@ object Classifier {
 
   def qQualityDistill(spark: SparkSession, sfDir: String): DataFrame =
     qualityDistill(Tables.documents(spark, sfDir))
+
+  /** x39b: the distillation with the scale-path label cut. On corpora
+    * whose middle scores are distinct the labels — and therefore the
+    * trained weights and every output row — equal x39's exactly; the
+    * oracle re-derives them independently through DuckDB's
+    * `quantile_cont`.
+    */
+  def qQualityDistillAq(spark: SparkSession, sfDir: String): DataFrame =
+    qualityDistill(Tables.documents(spark, sfDir), quantileLabels = true)
 }

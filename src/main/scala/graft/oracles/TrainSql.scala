@@ -1051,7 +1051,27 @@ object TrainSql {
     * identical 6-dp-rounded values), unscored documents label 0.
     */
   def qualityDistillSql(lr: Double = 2.0, iters: Int = 10,
-                        buckets: Int = 64): String = {
+                        buckets: Int = 64,
+                        quantileLabels: Boolean = false): String = {
+    // x39b swaps the ntile(2) halves for a quantile_cont(0.5) threshold —
+    // the interpolated median over the same 6-dp-rounded scores, y = 1 iff
+    // score >= T (ties at the median all keep label 1; unscored docs 0).
+    // Both engines interpolate the identical middle pair, and every score
+    // sorts outside (lo, hi), so the compare is ULP-robust (Classifier
+    // Scaladoc).
+    val labelCtes =
+      if (quantileLabels)
+        """thr AS (SELECT quantile_cont(mean_logprob, 0.5) AS t FROM sc),
+          |lab AS MATERIALIZED (SELECT d.doc_id,
+          |               CASE WHEN sc.mean_logprob >= thr.t THEN 1.0 ELSE 0.0 END AS y
+          |        FROM documents d LEFT JOIN sc USING (doc_id), thr),""".stripMargin
+      else
+        """halves AS (
+          |  SELECT doc_id, ntile(2) OVER (ORDER BY mean_logprob DESC, doc_id) AS half
+          |  FROM sc),
+          |lab AS MATERIALIZED (SELECT d.doc_id,
+          |               CASE WHEN h.half = 1 THEN 1.0 ELSE 0.0 END AS y
+          |        FROM documents d LEFT JOIN halves h USING (doc_id)),""".stripMargin
     // every w$t is referenced twice (directly and via g$t → s$t), so an
     // inlining planner would expand the chain 2^iters times — MATERIALIZED
     // pins each step to run once (the deeper-than-Lloyd chain needs it)
@@ -1088,12 +1108,7 @@ object TrainSql {
        |           AS mean_logprob
        |  FROM dtc JOIN model USING (word), tot
        |  GROUP BY doc_id),
-       |halves AS (
-       |  SELECT doc_id, ntile(2) OVER (ORDER BY mean_logprob DESC, doc_id) AS half
-       |  FROM sc),
-       |lab AS MATERIALIZED (SELECT d.doc_id,
-       |               CASE WHEN h.half = 1 THEN 1.0 ELSE 0.0 END AS y
-       |        FROM documents d LEFT JOIN halves h USING (doc_id)),
+       |$labelCtes
        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
        |w0 AS (SELECT CAST(range AS INT) AS j, 0.0 AS wt FROM range(0, ${buckets + 1})),
        |$iterCtes,

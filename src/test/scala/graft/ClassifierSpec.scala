@@ -51,6 +51,48 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("median-cut labels equal the ntile cut on the corpus (x39b ≡ x39)") {
+    val scored = graft.operators.TextQuality.unigramLogprob(docs)
+      .select("doc_id", "mean_logprob").as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }
+    // the agreement property's precondition: the values straddling the
+    // ntile boundary (top ⌈n/2⌉ vs the rest) are distinct on this corpus
+    val k = (scored.length + 1) / 2
+    assert(scored(k - 1)._2 != scored(k)._2,
+      "fixture corpus must have distinct scores at the median boundary")
+    val ntile = Classifier.lmLabels(docs).as[(Long, Double)].collect().toMap
+    val cut = Classifier.lmLabelsQuantile(docs).as[(Long, Double)].collect().toMap
+    assert(cut == ntile,
+      "broadcast-threshold labels must equal the ntile cut when the median " +
+        "boundary values are distinct")
+  }
+
+  test("median cut agrees with ntile at both parities; median ties keep the run") {
+    def ntileRule(ids: Seq[Long], sc: Seq[(Long, Double)]): Map[Long, Double] = {
+      val top = sc.sortBy { case (id, s) => (-s, id) }
+        .take((sc.length + 1) / 2).map(_._1).toSet
+      ids.map(id => id -> (if (top(id)) 1.0 else 0.0)).toMap
+    }
+    def cut(ids: Seq[Long], sc: Seq[(Long, Double)]): Map[Long, Double] =
+      Classifier.medianCutLabels(ids.toDF("doc_id"),
+          sc.toDF("doc_id", "mean_logprob"))
+        .as[(Long, Double)].collect().toMap
+    // 6L is unscored (a zero-token doc): label 0 on both paths
+    val even = Seq(1L -> -1.5, 2L -> -2.25, 3L -> -3.0, 4L -> -4.5)
+    val odd = even :+ (5L -> -5.125)
+    val evenIds = even.map(_._1) :+ 6L
+    val oddIds = odd.map(_._1) :+ 6L
+    assert(cut(evenIds, even) == ntileRule(evenIds, even),
+      "even n: T falls strictly between the distinct middle pair")
+    assert(cut(oddIds, odd) == ntileRule(oddIds, odd),
+      "odd n: T equals the middle value, which both paths label 1")
+    // ties AT the median: the threshold keeps the whole tied run (equal
+    // scores get equal labels), where ntile would split the run by doc_id
+    val tied = Seq(1L -> -1.0, 2L -> -2.0, 3L -> -2.0, 4L -> -4.0)
+    assert(cut(tied.map(_._1), tied) ==
+      Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("zero-token documents still score via the bias feature") {
     val mixed = Seq((0L, "alpha beta gamma delta epsilon words enough here"),
       (1L, ""), (2L, "12 34 !!")).toDF("doc_id", "text")

@@ -320,6 +320,51 @@ class DedupGuardSpec extends SparkSpec {
     assert(capped.exists { case (a, b, h) => a == 100L && b == 101L && h == 0L })
   }
 
+  /** Fixture for the LSH arm-equality spec: a 10-strong byte-identical
+    * family, a near-duplicate neighbor of it (one trailing token changed
+    * over a 30-token text, so the rep pair collides in some band), clean
+    * singletons, and an identical empty-text pair (sub-3-token docs
+    * shingle to the whole text, so even empty twins carry a signature and
+    * must pair on both arms).
+    */
+  private def lshArmDocs: DataFrame = {
+    val t1 = (0 until 30).map(i => s"sharedzz${letters(i % 26)}body").mkString(" ")
+    val t2 = t1.split(" ").dropRight(1).mkString(" ") + " changedzztail"
+    val fam = (0 until 10).map(i => (i.toLong, t1))
+    val near = Seq((50L, t2))
+    val singles = (60 until 66).map(i =>
+      (i.toLong, s"${uniq(i)} ${uniq(i + 7)} ${uniq(i + 14)} ${uniq(i + 21)} ${uniq(i + 28)}"))
+    val sigless = Seq((80L, ""), (81L, ""))
+    (fam ++ near ++ singles ++ sigless).toDF("doc_id", "text")
+  }
+
+  test("LSH digest-first arm equals the member-level plan (uncapped and capped)") {
+    val docs = lshArmDocs
+    def run(f: => DataFrame): Set[(Long, Long, Double)] =
+      f.as[(Long, Long, Double)].collect().toSet
+    val members = run(Dedup.minhashLshPairsMembers(docs, 0.5, 0))
+    // the fixture must actually exercise cross-family rep expansion: the
+    // near-dup neighbor pairs with EVERY family member at member level
+    assert((0 until 10).forall(i => members.exists {
+      case (a, b, _) => a == i.toLong && b == 50L
+    }), s"near-dup must pair with all family members, got $members")
+    assert(members.contains((80L, 81L, 1.0)),
+      "empty twins shingle to the whole text and pair at est 1.0")
+    assert(run(Dedup.minhashLshPairsDigestFirst(docs, 0.5, 0)) == members,
+      "uncapped: digest-first output must equal member-level exactly")
+    for (cap <- Seq(5, 15)) {
+      val capM = run(Dedup.minhashLshPairsMembers(docs, 0.5, cap))
+      assert(run(Dedup.minhashLshPairsDigestFirst(docs, 0.5, cap)) == capM,
+        s"capped at $cap: member-weighted drop set must reproduce capBuckets'")
+    }
+    // the dup-mass probe routes this family-heavy corpus to the digest arm
+    // and leaves a clean corpus on the member arm
+    assert(Dedup.digestArmUncapped(docs), "twins-heavy corpus routes digest")
+    assert(!Dedup.digestArmUncapped(
+      lshArmDocs.where(col("doc_id").between(50L, 79L))),
+      "singleton corpus stays member-level")
+  }
+
   test("span-match matrix is bounded by maxTokensPerDoc² per pair") {
     // worst case: one token repeated L times matches positionally L² ways
     val text = Seq.fill(300)("repzz").mkString(" ")
