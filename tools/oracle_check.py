@@ -76,15 +76,19 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 # oracles that need a whole process to themselves (minutes of runtime and
-# gigabytes of residue each at sf0.1)
-HEAVY = {"p1_pipeline", "p1b_pipeline_graded"}
+# gigabytes of residue each at sf0.1). x47's full RAG replay (Lloyd chain
+# over derived chunk embeddings) joined the set in r11 after OOM'ing a
+# shared chunk and poisoning its chunk-mates.
+HEAVY = {"p1_pipeline", "p1b_pipeline_graded", "x47_rag_retrieve"}
 
 
 def chunked_main(sf_dir: str, out_dir: str, names: list[str],
                  pre_fail: int = 0) -> None:
     """Run the sweep as fresh `--inline` subprocesses of ~ORACLE_CHUNK names
     each (HEAVY names isolated), aggregating the per-query result lines —
-    one command, no OOM residue, no manual re-check pass."""
+    one command, no OOM residue, no manual re-check pass. Any OOM casualty
+    from an UNANTICIPATED heavy oracle is retried solo before the summary,
+    so a new memory hog costs one retry line, never a failed sweep."""
     import os
     import re
     import subprocess
@@ -94,25 +98,37 @@ def chunked_main(sf_dir: str, out_dir: str, names: list[str],
     for i in range(0, len(light), size):
         chunks.append(light[i:i + size])
     chunks += [[n] for n in names if n in HEAVY]
-    n_ok, n_fail, n_rows_only = 0, pre_fail, 0
-    for chunk in chunks:
+    results: dict[str, str] = {}  # name -> its final result line
+    extra_fails = 0
+    def run(chunk: list[str]) -> None:
+        nonlocal extra_fails
         proc = subprocess.run(
             [sys.executable, __file__, sf_dir, out_dir, ",".join(chunk),
              "--inline"],
             capture_output=True, text=True)
-        body = proc.stdout.splitlines()
-        for line in body:
+        for line in proc.stdout.splitlines():
             if re.match(r"== \d+/\d+ oracle-checked", line):
                 continue  # per-chunk summary; we print the aggregate
+            m = re.match(r"\[(?:ok|FAIL|rows-only)\] ([^:]+):", line)
+            if m:
+                results[m.group(1)] = line
             print(line)
-        n_ok += sum(1 for l in body if l.startswith("[ok]"))
-        n_fail += sum(1 for l in body if l.startswith("[FAIL]"))
-        n_rows_only += sum(1 for l in body if l.startswith("[rows-only]"))
         if proc.returncode != 0:
-            n_fail += 1
+            extra_fails += 1
             print(f"[FAIL] chunk {','.join(chunk)}: subprocess rc="
                   f"{proc.returncode}: {proc.stderr.strip()[-500:]}")
         sys.stdout.flush()
+    for chunk in chunks:
+        run(chunk)
+    ooms = sorted(n for n, l in results.items()
+                  if l.startswith("[FAIL]") and "Out of Memory" in l)
+    for n in ooms:
+        print(f"[retry-solo] {n}: chunk hit a DuckDB OOM; re-running isolated")
+        run([n])
+    n_ok = sum(1 for l in results.values() if l.startswith("[ok]"))
+    n_rows_only = sum(1 for l in results.values() if l.startswith("[rows-only]"))
+    n_fail = pre_fail + extra_fails + \
+        sum(1 for l in results.values() if l.startswith("[FAIL]"))
     print(f"== {n_ok}/{n_ok + n_fail} oracle-checked ok, "
           f"{n_rows_only} rows-only ==")
 
