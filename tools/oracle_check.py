@@ -157,6 +157,11 @@ def main():
     # every later query into a spurious "Out of Memory Error" cascade
     def connect():
         con = duckdb.connect()
+        # the comparison sorts both frames, so result order is free to
+        # drop — and preserving it is what pinned x47's full-replay
+        # oracle above DuckDB's 100 GiB ceiling at sf0.1 (OOM with
+        # spilling never engaging); unordered it runs in ~2 min
+        con.execute("SET preserve_insertion_order=false")
         for t in TABLES:
             p = Path(sf_dir) / f"{t}.parquet"
             if p.exists():
