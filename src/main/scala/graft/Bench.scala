@@ -103,10 +103,20 @@ object Bench {
         else spark.read.parquet(s"$sfDir/$t.parquet").count()
       } catch { case _: Throwable => () }
     // Dev-only knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2 limits
-    // the set; SPARK_GRAFT_REPEAT=n times each query n times (steady-state
+    // the set; SPARK_GRAFT_EXCLUDE=q1,q2 drops names (the complement —
+    // long sweeps that skip a few adjudicated brute-force diagnostics);
+    // SPARK_GRAFT_REPEAT=n times each query n times (steady-state
     // vs first-run costs).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE").map(_.split(",").toSet)
+      .getOrElse(Set.empty[String])
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // SPARK_GRAFT_PASSES (dev knob, default 3 = the driver contract):
+    // interleaved suite passes. 1 = one cold+warm sweep per cohort — the
+    // 100× capstone mode, where a second full pass costs another hour and
+    // the cold/warm decomposition (not cross-pass noise rejection) is the
+    // object of measurement.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     // Deterministic cohort order: queries that share cached intermediates
     // run together (n10's thresholded edge list feeds n11/p1; the Dedup
     // shingle frame feeds x2/x3/x4), so every CacheManager-deduped
@@ -114,7 +124,7 @@ object Bench {
     // whichever query the map iterator happened to yield first.
     val selected = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (cohortOf(name), name) }
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !exclude(name) }
     // Pre-warm: run every selected query once against a small sibling SF
     // before timing. The suite's cold numbers are dominated by one-time
     // per-plan costs — Janino compilation of generated stages and C2 JIT
@@ -207,15 +217,58 @@ object Bench {
       c -> selected.filter { case (n, _) => cohortOf(n) == c })
     case class Pass(cold: Map[String, Double], warm: Map[String, Double],
                     build: Map[String, Double])
+    // Incremental per-cohort emission + resume (dev knob, unset in driver
+    // runs): SPARK_GRAFT_COHORT_JSONL=path appends one JSON line per
+    // (pass, cohort) AS EACH COHORT COMPLETES — a multi-hour 100× sweep
+    // that gets killed still yields every finished cohort's numbers (round
+    // 11 lost two full capstone attempts to exactly this). On restart with
+    // the same knob, completed (pass, cohort) lines whose query set still
+    // matches are loaded instead of re-run, so the sweep RESUMES where it
+    // died and the final summary is computed over the union. Partial lines
+    // (killed mid-write) and stale cohorts (query set changed) are
+    // silently re-run.
+    val cohortJsonl = sys.env.get("SPARK_GRAFT_COHORT_JSONL")
+    def mapJson(m: Map[String, Double], keys: Seq[String]): String =
+      keys.map(k => "\"" + k + "\":" + sec(m(k))).mkString("{", ",", "}")
+    val resumed: Map[(Int, String), (Map[String, Double], Map[String, Double])] =
+      cohortJsonl.filter(p => new java.io.File(p).isFile).map { p =>
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        scala.io.Source.fromFile(p).getLines().flatMap { line =>
+          scala.util.Try {
+            val j = org.json4s.jackson.JsonMethods.parse(line)
+            ((j \ "pass").extract[Int], (j \ "cohort").extract[String]) ->
+              ((j \ "cold").extract[Map[String, Double]],
+                (j \ "warm").extract[Map[String, Double]])
+          }.toOption
+        }.toMap
+      }.getOrElse(Map.empty)
     def runPass(pass: Int): Pass = {
       val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val build = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       for ((family, qs) <- byCohort) {
-        spark.catalog.clearCache(); System.gc()
-        loadSamples += ((pass, family, osBean.getSystemLoadAverage))
-        for ((name, fn) <- qs) cold(name) = timeOnce(fn)
-        for ((name, fn) <- qs) warm(name) = timeOnce(fn)
+        val names = qs.map(_._1)
+        resumed.get((pass, family)).filter { case (c, w) =>
+          c.keySet == names.toSet && w.keySet == names.toSet
+        } match {
+          case Some((c, w)) =>
+            for (n <- names) { cold(n) = c(n); warm(n) = w(n) }
+          case None =>
+            spark.catalog.clearCache(); System.gc()
+            val load = osBean.getSystemLoadAverage
+            loadSamples += ((pass, family, load))
+            for ((name, fn) <- qs) cold(name) = timeOnce(fn)
+            for ((name, fn) <- qs) warm(name) = timeOnce(fn)
+            cohortJsonl.foreach { p =>
+              val coldJ = mapJson(cold.toMap, names)
+              val warmJ = mapJson(warm.toMap, names)
+              val line = s"""{"metric":"cohort","pass":$pass,"cohort":"$family","load":${sec(load)},"cold":$coldJ,"warm":$warmJ,"sf":"$sfDir"}""" + "\n"
+              java.nio.file.Files.write(java.nio.file.Paths.get(p),
+                line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+            }
+        }
         // clamped at 0: a cohort with no shared frames measures only
         // scan-locality jitter between its two sweeps
         build(family) = math.max(0.0,
@@ -240,13 +293,16 @@ object Bench {
     var buildTotalMed = 0.0
     val (results, passTotals): (Seq[(String, (Double, Double))], Seq[Double]) =
       if (repeat == 1) {
-        val passes = (1 to 3).map(runPass)
+        val passes = (1 to nPasses).map(runPass)
+        // upper median generalizes the 3-pass index-1 pick to any pass
+        // count (nPasses=1 — the long-sweep capstone mode — reads index 0)
+        def med3(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
         val med = selected.map { case (name, _) =>
-          val ts = passes.map(_.warm(name)).sorted
-          name -> (ts(1), ts(0))
+          val ts = passes.map(_.warm(name))
+          name -> (med3(ts), ts.min)
         }
         val buildMed = cohortOrder.map { c =>
-          c -> passes.map(_.build(c)).sorted.apply(1)
+          c -> med3(passes.map(_.build(c)))
         }
         buildTotalMed = buildMed.map(_._2).sum
         def rawJson(of: Pass => Map[String, Double], keys: Seq[String]) =
@@ -282,7 +338,7 @@ object Bench {
         }
         (raw, Seq(raw.map(_._2._1).sum))
       }
-    loadSamples += ((if (repeat == 1) 3 else 1, "end", osBean.getSystemLoadAverage))
+    loadSamples += ((if (repeat == 1) nPasses else 1, "end", osBean.getSystemLoadAverage))
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + sec(med) }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + sec(mn) }
@@ -302,7 +358,8 @@ object Bench {
     // 10 per-query medians are WARM (incremental over the cohort's shared
     // frames, with the build cost in cohort_build); the dev knob
     // SPARK_GRAFT_REPEAT>1 switches every timing to raw cold single shots
-    val stat = if (repeat == 1) "median_of_3_interleaved_warm" else "single_shot"
+    val stat =
+      if (repeat == 1) s"median_of_${nPasses}_interleaved_warm" else "single_shot"
     val loadJson = loadSamples.map { case (p, c, l) =>
       s"""{"pass":$p,"cohort":"$c","load":${sec(l)}}"""
     }.mkString("[", ",", "]")

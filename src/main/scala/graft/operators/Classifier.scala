@@ -304,6 +304,20 @@ object Classifier {
     // the label join); checkpointing pins the score pass to run once. The
     // threshold is ONE scalar to the driver — the broadcast-a-scalar
     // pattern, not a collect of data.
+    //
+    // The lazy alternative (r12, tried and measured): riding the 1-row
+    // percentile aggregate into the label job as a broadcast cross join
+    // removes this materialization ONLY if AQE reuses the score shuffle
+    // stage between the two branches — and it does not. On a bare
+    // groupBy-agg subtree the reuse works once the join's inferred
+    // isnotnull(doc_id) is mirrored onto the threshold branch, but
+    // unigramLogprob's real subtree reads the shared termCounts cache,
+    // and the two branches' InMemoryTableScans canonicalize differently
+    // (inferred not-null predicate sets/order differ per consumer), so
+    // the stage is computed TWICE — a full extra tokenize+join+agg score
+    // pass, strictly worse at scale than checkpointing the narrow
+    // (doc_id, double) frame. Measured via executedPlan: 0 reused stages
+    // in both lazy variants; see NOTES r12.
     val sc = Caches.checkpointed(scored)
     val tRow = sc.agg(expr("percentile(mean_logprob, 0.5D)")).head()
     val t = if (tRow.isNullAt(0)) Double.PositiveInfinity else tRow.getDouble(0)

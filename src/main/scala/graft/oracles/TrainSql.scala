@@ -1963,6 +1963,16 @@ object TrainSql {
     * fusion. Embedding coordinates round to 6 dp at construction on both
     * sides — that is what makes a trained-quantizer pipeline over derived
     * vectors hash-reproducible across engines.
+    *
+    * Every multiply-referenced stage is MATERIALIZED (r12): unlike the
+    * raw-embeddings chains, the Lloyd base here is itself a 6-CTE derived
+    * pipeline (chunk → count → IDF → hash-fold → densify), and with plain
+    * CTEs DuckDB's inlining re-expands that pipeline under each of the
+    * chain's references — the whole-oracle cost that made x47 the sf0.1
+    * sweep's 122 s / OOM-adjacent outlier. The materialized frames are
+    * all small (≈n_chunks rows of 64-double lists, 16-row centroid
+    * tables), so pinning them trades MBs for the exponential
+    * re-computation.
     */
   def ragRetrieveSql(query: String = graft.operators.SemanticSearch.DefaultQuery,
                      chunkSize: Int = 32, overlap: Int = 8, dim: Int = 64,
@@ -1981,21 +1991,21 @@ object TrainSql {
        |         list_filter(regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),
        |                     w -> w NOT IN ($stop)) AS t
        |  FROM documents),
-       |chunks AS (
+       |chunks AS MATERIALIZED (
        |  SELECT doc_id * $stride + start // $step AS vec_id, doc_id AS label,
        |         t[start + 1 : start + $chunkSize] AS ctk
        |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), $step)) AS start
        |        FROM ctoks)),
-       |ccounts AS (
+       |ccounts AS MATERIALIZED (
        |  SELECT vec_id, label, token, count(*) AS cnt
        |  FROM (SELECT vec_id, label, unnest(ctk) AS token FROM chunks)
        |  GROUP BY 1, 2, 3),
        |nch AS (SELECT count(*) AS n_chunks FROM chunks),
-       |cidf AS (
+       |cidf AS MATERIALIZED (
        |  SELECT token, ln(n_chunks * 1.0 / (df + 1)) AS idf
        |  FROM (SELECT token, count(*) AS df FROM ccounts GROUP BY 1)
        |  CROSS JOIN nch),
-       |cwj AS (
+       |cwj AS MATERIALIZED (
        |  SELECT vec_id, label,
        |         CAST(${md5Long60Sql("token")} % $dim AS INTEGER) AS j,
        |         round(sum(cnt * idf), 6) AS wj
@@ -2007,7 +2017,7 @@ object TrainSql {
        |          FROM (SELECT DISTINCT vec_id, label FROM cwj)) s
        |    LEFT JOIN cwj w ON w.vec_id = s.vec_id AND w.j = s.j)
        |  GROUP BY 1, 2),
-       |cemb AS (SELECT vec_id, label, v FROM cvec
+       |cemb AS MATERIALIZED (SELECT vec_id, label, v FROM cvec
        |         WHERE list_max(list_transform(v, x -> abs(x))) > 0),
        |qcnt(token, cnt) AS (VALUES $qcntVals),
        |qwj AS (
@@ -2018,8 +2028,9 @@ object TrainSql {
        |  SELECT list(coalesce(w.wj, 0.0) ORDER BY s.j) AS qv
        |  FROM (SELECT unnest(range(0, $dim)) AS j) s
        |  LEFT JOIN qwj w ON w.j = s.j),
-       |${lloydChain(nCells, iters, dim, vSrc = "SELECT vec_id, label, v FROM cemb")},
-       |${assignCte(s"c$iters", "fin", dim)},
+       |${lloydChain(nCells, iters, dim, vSrc = "SELECT vec_id, label, v FROM cemb",
+                     mat = true)},
+       |${assignCte(s"c$iters", "fin", dim, mat = true)},
        |pr AS (
        |  SELECT cell FROM (
        |    SELECT c.cell, ${sqDist("q.qv", "c.c", dim)} AS dist

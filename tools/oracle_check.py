@@ -76,10 +76,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 # oracles that need a whole process to themselves (minutes of runtime and
-# gigabytes of residue each at sf0.1). x47's full RAG replay (Lloyd chain
-# over derived chunk embeddings) joined the set in r11 after OOM'ing a
-# shared chunk and poisoning its chunk-mates.
-HEAVY = {"p1_pipeline", "p1b_pipeline_graded", "x47_rag_retrieve"}
+# gigabytes of residue each at sf0.1). x47's full RAG replay joined the
+# set in r11 after OOM'ing a shared chunk; in r12 its oracle MATERIALIZED
+# the multiply-referenced chunk-embedding pipeline stages (the inlining
+# re-expansion was the whole cost: 122 s / OOM-adjacent -> 14 s / 1.4 GB
+# peak) and it rejoined the normal chunks. A future surprise of the same
+# class costs one auto-retry-solo line, not a poisoned sweep.
+HEAVY = {"p1_pipeline", "p1b_pipeline_graded"}
 
 
 def chunked_main(sf_dir: str, out_dir: str, names: list[str],
@@ -99,36 +102,49 @@ def chunked_main(sf_dir: str, out_dir: str, names: list[str],
         chunks.append(light[i:i + size])
     chunks += [[n] for n in names if n in HEAVY]
     results: dict[str, str] = {}  # name -> its final result line
-    extra_fails = 0
     def run(chunk: list[str]) -> None:
-        nonlocal extra_fails
+        # Exactly-once accounting per oracle (r11 ADVICE): every name in
+        # the chunk ends this call with a result line in `results` —
+        # parsed from the subprocess if it printed one, synthesized as a
+        # FAIL if the subprocess died without reporting it (kernel OOM /
+        # crash kills the whole chunk with rc!=0 and NO per-oracle lines,
+        # which the old chunk-level counter neither retried nor counted
+        # per name). Retries overwrite the same key, so an oracle is
+        # never double-counted across chunk + solo passes.
         proc = subprocess.run(
             [sys.executable, __file__, sf_dir, out_dir, ",".join(chunk),
              "--inline"],
             capture_output=True, text=True)
+        reported = set()
         for line in proc.stdout.splitlines():
             if re.match(r"== \d+/\d+ oracle-checked", line):
                 continue  # per-chunk summary; we print the aggregate
             m = re.match(r"\[(?:ok|FAIL|rows-only)\] ([^:]+):", line)
             if m:
                 results[m.group(1)] = line
+                reported.add(m.group(1))
             print(line)
         if proc.returncode != 0:
-            extra_fails += 1
-            print(f"[FAIL] chunk {','.join(chunk)}: subprocess rc="
-                  f"{proc.returncode}: {proc.stderr.strip()[-500:]}")
+            err = proc.stderr.strip()[-300:].replace("\n", " ")
+            for n in chunk:
+                if n not in reported:
+                    line = (f"[FAIL] {n}: no result line (chunk subprocess "
+                            f"rc={proc.returncode}: {err})")
+                    results[n] = line
+                    print(line)
         sys.stdout.flush()
     for chunk in chunks:
         run(chunk)
-    ooms = sorted(n for n, l in results.items()
-                  if l.startswith("[FAIL]") and "Out of Memory" in l)
-    for n in ooms:
-        print(f"[retry-solo] {n}: chunk hit a DuckDB OOM; re-running isolated")
+    retry = sorted(n for n, l in results.items()
+                   if l.startswith("[FAIL]") and
+                   ("Out of Memory" in l or "no result line" in l))
+    for n in retry:
+        print(f"[retry-solo] {n}: chunk died or hit a DuckDB OOM; "
+              f"re-running isolated")
         run([n])
     n_ok = sum(1 for l in results.values() if l.startswith("[ok]"))
     n_rows_only = sum(1 for l in results.values() if l.startswith("[rows-only]"))
-    n_fail = pre_fail + extra_fails + \
-        sum(1 for l in results.values() if l.startswith("[FAIL]"))
+    n_fail = pre_fail + sum(1 for l in results.values() if l.startswith("[FAIL]"))
     print(f"== {n_ok}/{n_ok + n_fail} oracle-checked ok, "
           f"{n_rows_only} rows-only ==")
 
