@@ -36,10 +36,16 @@ object Probe {
       val t0 = System.nanoTime()
       // materialize the query's own plan (Bench.execRows semantics) — a
       // count() on top lets column pruning delete projection-only compute
-      val n = Bench.execRows(SparkEntry.queries(name)(spark, sfDir))
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = Bench.execRows(df)
       val path = graft.operators.Duplicates.lastComponentsPath
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n" +
         (if (path.nonEmpty) s" componentsPath=$path" else ""))
+      // SPARK_GRAFT_PRINT_PLAN=1: executed plan after the LAST rep too —
+      // warm-run plans differ from cold (cache substitution changes join
+      // strategies), and reps=0 can only show the cold one
+      if (i == reps && sys.env.get("SPARK_GRAFT_PRINT_PLAN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

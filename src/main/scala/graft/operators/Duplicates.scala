@@ -67,7 +67,30 @@ object Duplicates {
     *    keeps the shuffle proportional to true term co-occurrence.
     */
   def pairSimilarities(docs: DataFrame, threshold: Double = 0.8,
-                       dfCapFraction: Double = 1.0): DataFrame = {
+                       dfCapFraction: Double = 1.0): DataFrame =
+    // Dup-mass dispatch FIRST (r12, the [[Dedup.digestArmUncapped]] move
+    // applied to N19): on a duplicate-heavy corpus both member-level
+    // strategies self-destruct in the EXAMINATION count, not just the
+    // output — the kernel scans all n²/2 member pairs and the inverted
+    // index fans out O(f²) rows per byte-identical family — while the
+    // digest collapse makes pair generation rep-quadratic + output-
+    // proportional with IDENTICAL output (the 100× twins capstone measured
+    // the member kernel at 475k docs examining ~1.1e11 pairs for ~44 min;
+    // the rep kernel examines ~1.1e7). Exact mode only (dfCapFraction 1.0
+    // — a member-level df cap is a different statistic than a rep-level
+    // one); the probe itself is one linear aggregate over the shared
+    // digest frame, and `SPARK_GRAFT_PAIRS_ARM` forces arms as in Dedup.
+    if (dfCapFraction >= 1.0 && Dedup.digestArmUncapped(docs))
+      pairSimilaritiesDigestFirst(docs, threshold)
+    else pairSimilaritiesMembers(docs, threshold, dfCapFraction)
+
+  /** The member-level plan (no digest collapse): the kernel-vs-sparse
+    * cost dispatch below, and the equality reference the digest-first arm
+    * is spec-checked against.
+    */
+  private[graft] def pairSimilaritiesMembers(docs: DataFrame,
+                                             threshold: Double = 0.8,
+                                             dfCapFraction: Double = 1.0): DataFrame = {
     // One tokenize pass feeds the dispatch statistics and whichever
     // strategy wins (the kernel alone needs two more passes over tf —
     // vocabulary and vectors — so the cache pays for itself immediately).
@@ -86,6 +109,69 @@ object Duplicates {
     // result into any later plan that canonically matches (the reference
     // caches its IDF corpus and TF vectors for the same reason).
     Caches.shared(pairs)
+  }
+
+  /** [[pairSimilarities]]' digest-first arm (the [[Dedup]] x2/x3 move
+    * applied to TF-cosine pairs): byte-identical families collapse to one
+    * representative, the member-level kernel/sparse dispatch runs on the
+    * rep corpus, and the member pair list is reconstructed exactly:
+    *
+    *  - within-family pairs: identical text ⟹ identical TF vector ⟹
+    *    cosine 1.0 after 6-dp rounding (the raw ratio is 1 ± a few ulp),
+    *    emitted directly — but only for families whose rep HAS a TF row
+    *    (zero-token and null-text documents have no vector and are
+    *    pairless on the member arm too), and only when 1.0 clears the
+    *    threshold;
+    *  - cross-family pairs: members carry exactly their rep's vector, so
+    *    the (a, b) edge exists iff the (rep_a, rep_b) edge does, with the
+    *    same rounded similarity — rep pairs expand through two members
+    *    joins, output-proportional.
+    *
+    * [[components]] has used this collapse for its edges since r9; this
+    * arm gives the PAIR outputs (n6 and anything reusing its cached edge
+    * list) the same 100 TB story, chosen by the same dup-mass probe.
+    */
+  private[graft] def pairSimilaritiesDigestFirst(docs: DataFrame,
+                                                 threshold: Double): DataFrame = {
+    val (_, members, repDocs) = Dedup.digestFamilies(docs)
+    val repPairs = pairSimilaritiesMembers(repDocs, threshold)
+    // Two scale guards on the expansion, both measured on the r12 100×
+    // capstone fixture (524k rep pairs × 100-strong families ⇒ ~5.2e9
+    // member pairs — the OUTPUT is quadratic in family size by
+    // definition, so only generation may be materialized, never pinned):
+    //  - the rep-level inputs are tiny (≤ a few MB), so AQE coalesces
+    //    their shuffles to ~1 partition and the 10⁴-fold join fan-out
+    //    lands on ONE task; explicit repartition (REPARTITION_BY_NUM is
+    //    exempt from AQE coalescing) spreads the expansion before it
+    //    happens. Downstream shuffles see the post-expansion sizes and
+    //    plan themselves correctly;
+    //  - no Caches.shared on the expanded frame: caching an output-
+    //    proportional blow-up costs more than regenerating it from the
+    //    cached rep pairs + digest families (which ARE shared).
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val m = members.select(col("rep_id"), col("doc_id"))
+    // by r1 alone: that satisfies the first join's distribution
+    // requirement whether or not the members side broadcasts, so the
+    // expansion always starts from nParts balanced tasks; the second
+    // join's input carries post-expansion stats and plans itself
+    val rp = repPairs
+      .select(col("id1").as("r1"), col("id2").as("r2"), col("sim"))
+      .repartition(nParts, col("r1"))
+    val cross = rp
+      .join(m.select(col("rep_id").as("r1"), col("doc_id").as("a")), "r1")
+      .join(m.select(col("rep_id").as("r2"), col("doc_id").as("b")), "r2")
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("sim"))
+    if (threshold > 1.0) return cross
+    // reps with ≥1 term row — reuses the members arm's shared TF frame
+    val termedReps = Caches.shared(tfSum(repDocs))
+      .select(col("doc_id").as("rep_id")).distinct()
+    val wm = m.join(termedReps, "rep_id").repartition(nParts, col("rep_id"))
+    val within = wm.select(col("rep_id"), col("doc_id").as("id1"))
+      .join(wm.select(col("rep_id"), col("doc_id").as("id2")), "rep_id")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(1.0d).as("sim"))
+    cross.unionByName(within)
   }
 
   /** The inverted-index (sparse) strategy for [[pairSimilarities]]. */
@@ -176,6 +262,17 @@ object Duplicates {
     val n = ids.length
     val d = vecs.headOption.map(_.length).getOrElse(0)
     val parts = math.max(spark.sparkContext.defaultParallelism * 4, 8)
+    // Reject-certain fast path: HALF_UP at 6 dp can raise a value by at
+    // most 5e-7, so round6(x) >= θ requires x >= θ − 5e-7 — any pair whose
+    // raw cosine sits below θ − 1e-6 (margin for the double→shortest-
+    // decimal conversion, which moves the value by < 1 ulp ≪ 5e-7 on
+    // [−1, 1]) is rejected WITHOUT constructing a BigDecimal. The exact
+    // HALF_UP rounding then runs only on the candidates near or above the
+    // threshold — output-proportional, not pair-proportional. The r12 100×
+    // capstone measured why this matters: at 475k docs × 67-term vocab the
+    // kernel examines ~1.1e11 pairs, and a per-pair BigDecimal allocation
+    // was ~10× the cost of the 67-mult dot product itself.
+    val rejectBelow = threshold - 1e-6
     spark.range(0, n.toLong, 1, parts).as[Long].mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
       it.flatMap { iL =>
@@ -186,10 +283,13 @@ object Duplicates {
           var dot = 0.0; var k = 0
           val vj = vecs(j)
           while (k < d) { dot += vi(k) * vj(k); k += 1 }
-          val sim = BigDecimal(dot / (ni * norms(j)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (sim >= threshold) Iterator.single((ids(i), ids(j), sim))
-          else Iterator.empty
+          val raw = dot / (ni * norms(j))
+          if (raw >= rejectBelow) {
+            val sim = BigDecimal(raw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) Iterator.single((ids(i), ids(j), sim))
+            else Iterator.empty
+          } else Iterator.empty
         }
       }
     }.toDF("id1", "id2", "sim")
@@ -264,7 +364,9 @@ object Duplicates {
       lastComponentsPath = "collect"
       return expandRepLabels(docs, members, repDocs, unionFindLabels(repDocs, hit))
     }
-    val pairs = Caches.checkpointed(pairSimilarities(repDocs, threshold)
+    // repDocs are already digest-collapsed — call the member arm directly
+    // rather than re-probing dup mass over the rep corpus
+    val pairs = Caches.checkpointed(pairSimilaritiesMembers(repDocs, threshold)
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
     val repLabels =
       if (pairs.count() <= maxCollectEdges) {
@@ -310,7 +412,7 @@ object Duplicates {
                                        maxCollectEdges: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val pairs = Caches.checkpointed(pairSimilarities(docs, threshold)
+    val pairs = Caches.checkpointed(pairSimilaritiesMembers(docs, threshold)
       .select(col("id1").cast("long").as("id1"), col("id2").cast("long").as("id2")))
     val result =
       if (pairs.count() <= maxCollectEdges) unionFindLabels(docs, pairs.as[(Long, Long)].collect())

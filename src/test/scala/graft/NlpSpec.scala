@@ -127,6 +127,35 @@ class NlpSpec extends SparkSpec {
     assert(digestFirst(5L) == 0L)
   }
 
+  test("digest-first PAIR list equals the member-level plan — within at 1.0, " +
+       "cross inherits the rep sim, zero-term twins pairless") {
+    // the r12 dispatch (n6's 100 TB arm): same regimes as the components
+    // spec, asserted on the PAIR output itself
+    val extra = Seq(
+      (100L, "glacier moraine cirque arete tarn"),
+      (101L, "glacier moraine cirque arete tarn"),
+      (102L, "glacier moraine cirque arete tarn"),
+      (103L, "glacier moraine cirque arete tarn ridge"),
+      (200L, "!!! ??"), (201L, "!!! ??")).toDF("doc_id", "text")
+    val docs = sampleDocs.unionByName(extra)
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      f.as[(Long, Long, Double)].collect().toSet
+    val members = run(Duplicates.pairSimilaritiesMembers(docs, 0.8))
+    val digest = run(Duplicates.pairSimilaritiesDigestFirst(docs, 0.8))
+    assert(digest == members,
+      s"digest-first != member-level: ${digest -- members} / ${members -- digest}")
+    // the within-family pairs surface at exactly 1.0 on both arms
+    assert(Seq((100L, 101L), (100L, 102L), (101L, 102L)).forall(p =>
+      members.contains((p._1, p._2, 1.0))), s"family pairs missing: $members")
+    // cross-family: every family member pairs with the near-dup neighbor
+    // at the SAME sim (the rep pair's), present and equal across arms
+    val crossPairs = members.filter { case (a, b, _) => b == 103L && a >= 100L && a <= 102L }
+    assert(crossPairs.size == 3 && crossPairs.map(_._3).size == 1,
+      s"all three member pairs must exist and share the rep sim: $crossPairs")
+    // zero-term twins never pair (no TF vector on either arm)
+    assert(!members.exists { case (a, b, _) => a == 200L || b == 201L })
+  }
+
   // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---
 
   test("relevance scores bounded [0,1]; multiword keywords never add density") {
