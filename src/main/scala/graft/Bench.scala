@@ -183,9 +183,23 @@ object Bench {
     // measured query — timed numbers should reflect the query, not
     // session history. JVM-level model memos survive (they are not
     // CacheManager entries).
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Failure-tracking (r12): a query that THROWS still records its
+    // elapsed time (the suite must keep moving), but the failure itself
+    // must stay visible — a SIGTERM'd session races through the remaining
+    // registry with every query failing in milliseconds, and round 12's
+    // first capstone kill wrote five such cohorts into the resume JSONL,
+    // which the relaunch then trusted as completed. Failed names are
+    // carried into the cohort lines (resume rejects any line with a
+    // non-empty `failed`) and echoed to stderr.
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { execRows(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+      try { execRows(fn(spark, sfDir)) } catch { case e: Throwable =>
+        failedNames += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(200)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Self-diagnosing sweeps: sample the OS 1-minute load average at every
@@ -236,10 +250,15 @@ object Bench {
         scala.io.Source.fromFile(p).getLines().flatMap { line =>
           scala.util.Try {
             val j = org.json4s.jackson.JsonMethods.parse(line)
-            ((j \ "pass").extract[Int], (j \ "cohort").extract[String]) ->
-              ((j \ "cold").extract[Map[String, Double]],
-                (j \ "warm").extract[Map[String, Double]])
-          }.toOption
+            // a line carrying failures is not a completed cohort — re-run
+            // it (absent `failed` = pre-r12 line, treated as clean)
+            val failed = (j \ "failed").extractOrElse[List[String]](Nil)
+            if (failed.nonEmpty) None
+            else Some(
+              ((j \ "pass").extract[Int], (j \ "cohort").extract[String]) ->
+                ((j \ "cold").extract[Map[String, Double]],
+                  (j \ "warm").extract[Map[String, Double]]))
+          }.toOption.flatten
         }.toMap
       }.getOrElse(Map.empty)
     def runPass(pass: Int): Pass = {
@@ -257,12 +276,14 @@ object Bench {
             spark.catalog.clearCache(); System.gc()
             val load = osBean.getSystemLoadAverage
             loadSamples += ((pass, family, load))
-            for ((name, fn) <- qs) cold(name) = timeOnce(fn)
-            for ((name, fn) <- qs) warm(name) = timeOnce(fn)
+            failedNames.clear()
+            for ((name, fn) <- qs) cold(name) = timeOnce(name, fn)
+            for ((name, fn) <- qs) warm(name) = timeOnce(name, fn)
             cohortJsonl.foreach { p =>
               val coldJ = mapJson(cold.toMap, names)
               val warmJ = mapJson(warm.toMap, names)
-              val line = s"""{"metric":"cohort","pass":$pass,"cohort":"$family","load":${sec(load)},"cold":$coldJ,"warm":$warmJ,"sf":"$sfDir"}""" + "\n"
+              val failedJ = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+              val line = s"""{"metric":"cohort","pass":$pass,"cohort":"$family","load":${sec(load)},"failed":$failedJ,"cold":$coldJ,"warm":$warmJ,"sf":"$sfDir"}""" + "\n"
               java.nio.file.Files.write(java.nio.file.Paths.get(p),
                 line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
@@ -332,7 +353,7 @@ object Bench {
             loadSamples += ((1, family, osBean.getSystemLoadAverage))
           }
           (1 to repeat).map { i =>
-            val t1 = timeOnce(fn)
+            val t1 = timeOnce(name, fn)
             (if (i == 1) name else s"$name#$i") -> (t1, t1)
           }
         }
