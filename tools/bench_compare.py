@@ -90,6 +90,8 @@ def load(path):
 
 
 def main() -> None:
+    if len(sys.argv) < 3 or sys.argv[1] in ("-h", "--help"):
+        sys.exit("usage: bench_compare.py <old.json> <new.json> [top_n]")
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     oq, old_total = load(old_path)

@@ -6,6 +6,11 @@ cohort JSONL (SPARK_GRAFT_COHORT_JSONL) against a 1x per-query sidecar
 Usage: python3 tools/capstone_table.py <cohorts.jsonl> <baseline_sidecar.json>
        [outlier_ratio]
 
+Resume-aware: unparseable (partial) lines and lines with a non-empty
+`failed` list are skipped, and when a (pass, cohort) key repeats (kill +
+re-run), only the LAST clean line counts — matching Bench's own resume
+loader.
+
 Only queries present in BOTH files enter the comparison (the capstone may
 exclude adjudicated brute-force diagnostics), so the 1x sums are over the
 same query set as the scaled sums. Build = cold - warm per cohort (single
@@ -23,7 +28,27 @@ def main():
     base = json.load(open(base_path))
     base_q = base["queries"]
     base_build = base.get("cohort_build_median", {})
-    rows = [json.loads(l) for l in open(jsonl)]
+    # Mirror Bench's resume semantics over the raw JSONL: killed/resumed
+    # sweeps legitimately contain a partial trailing line, lines with a
+    # non-empty `failed` list (fast-fail millisecond timings), and a clean
+    # re-run line for the same (pass, cohort) key — keep only the last
+    # clean line per key so failures and duplicates never enter the sums.
+    by_key = {}
+    for ln in open(jsonl):
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            r = json.loads(ln)
+        except json.JSONDecodeError:
+            print(f"<!-- skipped unparseable line (partial write?) -->")
+            continue
+        if r.get("failed"):
+            print(f"<!-- {r.get('cohort')}: skipped line with failures: "
+                  f"{','.join(r['failed'])} -->")
+            continue
+        by_key[(r.get("pass"), r.get("cohort"))] = r
+    rows = list(by_key.values())
     print(f"| cohort | 1x warm | 100x warm | ratio | 1x build | 100x build |")
     print("|---|---|---|---|---|---|")
     tot1 = totN = 0.0
