@@ -191,12 +191,19 @@ object Bench {
     // which the relaunch then trusted as completed. Failed names are
     // carried into the cohort lines (resume rejects any line with a
     // non-empty `failed`) and echoed to stderr.
+    // failedNames resets per cohort (it feeds the cohort JSONL line);
+    // allFailed accumulates across the whole run and lands in the final
+    // JSON as "failed":[...] — without it a driver-contract run (cohort
+    // knob unset) publishes fast-fail garbage timings with no
+    // machine-readable marker, visible only on stderr
     val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val allFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { execRows(fn(spark, sfDir)) } catch { case e: Throwable =>
         failedNames += name
+        allFailed += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
           s"${String.valueOf(e.getMessage).take(200)}")
       }
@@ -251,9 +258,14 @@ object Bench {
           scala.util.Try {
             val j = org.json4s.jackson.JsonMethods.parse(line)
             // a line carrying failures is not a completed cohort — re-run
-            // it (absent `failed` = pre-r12 line, treated as clean)
+            // it (absent `failed` = pre-r12 line, treated as clean); a
+            // line recorded against a DIFFERENT scale dir is someone
+            // else's sweep — the knob's workflow spans 1x and 100x runs,
+            // and importing cross-scale timings would be silent garbage
+            // (absent `sf` = unknown provenance, also re-run)
             val failed = (j \ "failed").extractOrElse[List[String]](Nil)
-            if (failed.nonEmpty) None
+            val sfOk = (j \ "sf").extractOpt[String].contains(sfDir)
+            if (failed.nonEmpty || !sfOk) None
             else Some(
               ((j \ "pass").extract[Int], (j \ "cohort").extract[String]) ->
                 ((j \ "cold").extract[Map[String, Double]],
@@ -385,13 +397,16 @@ object Bench {
       s"""{"pass":$p,"cohort":"$c","load":${sec(l)}}"""
     }.mkString("[", ",", "]")
     val passTotalsJson = passTotals.map(sec).mkString("[", ",", "]")
+    // empty in healthy runs; non-empty means every named query's timings
+    // in this artifact are elapsed-to-failure, not query cost
+    val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // key names carry the measurement semantics (ADVICE r10): per-query
     // numbers are WARM medians since round 10, so the min-sum is
     // `incremental_total_min` and the per-pass cold-sweep sums are
     // `pass_totals_cold` — the round-9 names (total_min / pass_totals)
     // measured different quantities and are retired, not silently reused
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals_cold":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"sf":"$sfDir"$extraJson}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals_cold":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"failed":$failedJson,"sf":"$sfDir"$extraJson}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {
@@ -399,7 +414,7 @@ object Bench {
         java.nio.file.Paths.get(sidecar),
         perQueryLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","incremental_total_min":${sec(totalMin)},"incremental_total":${sec(incrementalTotal)},"build_total":${sec(buildTotalMed)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"$stat","exec":"materialize_rows","incremental_total_min":${sec(totalMin)},"incremental_total":${sec(incrementalTotal)},"build_total":${sec(buildTotalMed)},"nqueries":${results.size},"queries_file":"$sidecar","memo_warmed":$memoNote,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -737,10 +737,47 @@ class DedupSpec extends SparkSpec {
 
   test("minhash calibration: the planted identical pair reports " +
        "est = exact = 1 with zero error") {
-    val out = Dedup.minhashCalibration(sampleDocs)
+    val out = Dedup.minhashCalibrationMembers(sampleDocs, 0.5)
       .select("est_bucket", "n_pairs", "mean_est", "mean_exact", "mae")
       .as[(Double, Long, Double, Double, Double)].collect().toSeq
     assert(out == Seq((1.0, 1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("minhash calibration digest-first arm: rep-weighted buckets equal " +
+       "the member enumeration; the dispatch picks it on dup-heavy input") {
+    import spark.implicits._
+    // regimes: a 3-strong byte-identical family (100-102) + a near-dup
+    // cross neighbor (103, shingle Jaccard 3/4) whose rep pair must expand
+    // at weight 3; token-free byte twins (200, 201 — sign via the
+    // whole-text fallback shingle, so unlike the TF-cosine op they DO pair
+    // at est = exact = 1); the fixture's planted exact duplicate (0, 5)
+    val extra = Seq(
+      (100L, "glacier moraine cirque arete tarn"),
+      (101L, "glacier moraine cirque arete tarn"),
+      (102L, "glacier moraine cirque arete tarn"),
+      (103L, "glacier moraine cirque arete tarn ridge"),
+      (200L, "!!! ??"), (201L, "!!! ??")).toDF("doc_id", "text")
+    val docs = sampleDocs.unionByName(extra)
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Double, Long, Double, Double, Double)] =
+      f.select("est_bucket", "n_pairs", "mean_est", "mean_exact", "mae")
+        .as[(Double, Long, Double, Double, Double)].collect().toSet
+    val members = run(Dedup.minhashCalibrationMembers(docs, 0.5))
+    val digest = run(Dedup.minhashCalibrationDigestFirst(docs, 0.5))
+    assert(digest == members,
+      s"rep-weighted != member enumeration: ${digest -- members} / ${members -- digest}")
+    // dup mass 1 - 8/12 = 0.33: the public dispatch routes digest-first
+    assert(run(Dedup.minhashCalibration(docs)) == digest)
+    // the 1.0 bucket carries every within-family pair: C(3,2) + (0,5) +
+    // the token-free twins = 5, all at est = exact = 1
+    assert(members.contains((1.0, 5L, 1.0, 1.0, 0.0)), s"got: $members")
+    // the cross rep pair (100, 103) expanded at family weight 3 — a
+    // sub-1.0 bucket whose pair count is the member-level 3, not 1
+    val crossBuckets = members.filter(_._1 < 1.0)
+    assert(crossBuckets.map(_._2).sum == 3L,
+      s"cross candidates must weight by fam size: $crossBuckets")
+    crossBuckets.foreach { case (_, _, _, meanExact, _) =>
+      assert(math.abs(meanExact - 0.75) < 1e-9) // 3 shared / 4 union shingles
+    }
   }
 
   test("ingest admission (p4): verdicts fire in gate order on a planted shard") {

@@ -152,8 +152,10 @@ class NlpSpec extends SparkSpec {
     val crossPairs = members.filter { case (a, b, _) => b == 103L && a >= 100L && a <= 102L }
     assert(crossPairs.size == 3 && crossPairs.map(_._3).size == 1,
       s"all three member pairs must exist and share the rep sim: $crossPairs")
-    // zero-term twins never pair (no TF vector on either arm)
-    assert(!members.exists { case (a, b, _) => a == 200L || b == 201L })
+    // zero-term twins never pair (no TF vector on either arm) — check
+    // BOTH endpoints for BOTH ids (200 can appear as id2, 201 as id1)
+    val zeroTerm = Set(200L, 201L)
+    assert(!members.exists { case (a, b, _) => zeroTerm(a) || zeroTerm(b) })
   }
 
   // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---
