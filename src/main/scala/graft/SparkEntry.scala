@@ -89,6 +89,7 @@ object SparkEntry {
     "n5_rank"         -> (Relevance.qRank _),
     "n13_bm25"        -> (Relevance.qBm25 _),
     "n6_dup_pairs"    -> (Duplicates.qDupPairs _),
+    "n6b_pair_summary" -> (Duplicates.qPairSummary _),
     "n7_near_dups"    -> (Duplicates.qNearDups _),
     "n8_priority"     -> (Priority.qClassify _),
     "n9_priority_distribution" -> (Priority.qDistribution _),
@@ -702,6 +703,7 @@ object SparkEntry {
     "n5_rank"      -> graft.oracles.NlpSql.rankQuerySql,
     "n13_bm25"     -> graft.oracles.NlpSql.bm25Sql(graft.operators.Relevance.Keywords),
     "n6_dup_pairs" -> graft.oracles.NlpSql.dupPairsSql(),
+    "n6b_pair_summary" -> graft.oracles.NlpSql.dupPairSummarySql(),
     "n7_near_dups" -> graft.oracles.NlpSql.nearDupsSql(),
     "n8_priority"  -> graft.oracles.NlpSql.prioritySql,
     "n9_priority_distribution" -> graft.oracles.NlpSql.priorityDistributionSql,

@@ -556,6 +556,74 @@ object Duplicates {
   def qDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     pairSimilarities(Tables.documents(spark, sfDir))
 
+  /** N19 summary form (n6b): per similarity bucket, how many duplicate
+    * pairs the corpus holds — the question most n6 consumers actually ask
+    * (the r12 100× capstone measured n6's TRUE answer at 4.74·10⁹ member
+    * pair ROWS; a curation team deciding a dedup threshold wants the
+    * histogram, not the list). Buckets are dyadic 1/32 steps (exact in
+    * doubles in both engines, ~7 buckets over the default θ = 0.8 band)
+    * with weighted pair count, mean/min/max similarity.
+    *
+    * Scale shape: dup-mass-dispatched like [[pairSimilarities]], but the
+    * digest-first arm never expands to member pairs at all — cross-family
+    * rep pairs aggregate at weight fam_n1·fam_n2 and within-family mass
+    * enters analytically as C(fam_n, 2) pairs at sim 1.0 (identical text
+    * ⟹ identical TF vector; only termed reps, matching the pair arm), so
+    * the blow-up the pair list must materialize by definition is never
+    * generated: the cost is the rep-level kernel + a families-sized
+    * aggregate, output ≤ the bucket count.
+    */
+  def pairSummary(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    if (Dedup.digestArmUncapped(docs)) pairSummaryDigestFirst(docs, threshold)
+    else pairSummaryMembers(docs, threshold)
+
+  /** The member-level histogram (one row per member pair, weight 1) — the
+    * reference arm the weighted form is spec-pinned against, and the plan
+    * the DuckDB oracle expresses.
+    */
+  private[graft] def pairSummaryMembers(docs: DataFrame,
+                                        threshold: Double): DataFrame =
+    bucketPairs(pairSimilaritiesMembers(docs, threshold)
+      .select(col("sim"), lit(1L).as("w")))
+
+  /** [[pairSummary]]'s digest-first arm: [[pairSimilaritiesDigestFirst]]
+    * minus the member expansion — the weights carry what the expansion
+    * would have enumerated.
+    */
+  private[graft] def pairSummaryDigestFirst(docs: DataFrame,
+                                            threshold: Double): DataFrame = {
+    val (fams, _, repDocs) = Dedup.digestFamilies(docs)
+    val famN = fams.select(col("rep_id"), col("fam_n"))
+    val cross = pairSimilaritiesMembers(repDocs, threshold)
+      .join(famN.select(col("rep_id").as("id1"), col("fam_n").as("n1")), "id1")
+      .join(famN.select(col("rep_id").as("id2"), col("fam_n").as("n2")), "id2")
+      .select(col("sim"), (col("n1") * col("n2")).as("w"))
+    if (threshold > 1.0) return bucketPairs(cross)
+    // within-family mass: only termed reps (zero-token/null-text docs have
+    // no TF vector and are pairless on the member arm too)
+    val termedReps = Caches.shared(tfSum(repDocs))
+      .select(col("doc_id").as("rep_id")).distinct()
+    val within = famN.join(termedReps, "rep_id")
+      .where(col("fam_n") >= 2)
+      .select(lit(1.0d).as("sim"),
+        // integer div: '/' on longs is double division (the x62 lesson)
+        expr("fam_n * (fam_n - 1) div 2").as("w"))
+    bucketPairs(cross.unionByName(within))
+  }
+
+  /** Dyadic 1/32 bucket aggregation over `(sim, w)` rows; with w ≡ 1 this
+    * is the plain per-pair histogram the DuckDB oracle expresses.
+    */
+  private def bucketPairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy((floor(col("sim") * 32) / 32).as("sim_bucket"))
+      .agg(sum("w").as("n_pairs"),
+        round(sum(col("w") * col("sim")) / sum("w").cast("double"), 6)
+          .as("mean_sim"),
+        min("sim").as("min_sim"), max("sim").as("max_sim"))
+
+  def qPairSummary(spark: SparkSession, sfDir: String): DataFrame =
+    pairSummary(Tables.documents(spark, sfDir))
+
   def qComponents(spark: SparkSession, sfDir: String): DataFrame =
     components(Tables.documents(spark, sfDir))
 

@@ -185,6 +185,21 @@ object NlpSql {
        |JOIN norms nb ON id2 = nb.doc_id
        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= $threshold""".stripMargin
 
+  /** n6b ([[graft.operators.Duplicates.pairSummary]]): the n6 pair list
+    * folded to its dyadic 1/32 similarity histogram. The oracle enumerates
+    * member pairs (the sf0.01 corpus is dup-light so Spark's dispatch runs
+    * the same member plan); the digest-first weighted form is spec-pinned
+    * against this enumeration on a twin-heavy fixture.
+    */
+  def dupPairSummarySql(threshold: Double = 0.8): String =
+    s"""WITH pairs AS (${dupPairsSql(threshold)})
+       |SELECT floor(sim * 32) / 32 AS sim_bucket,
+       |       count(*) AS n_pairs,
+       |       round(avg(sim), 6) AS mean_sim,
+       |       min(sim) AS min_sim,
+       |       max(sim) AS max_sim
+       |FROM pairs GROUP BY 1""".stripMargin
+
   /** Shared closure CTEs: duplicate pairs ≥ θ → undirected edges →
     * transitive reachability (recursive CTE) → per-doc min-label component.
     * Mirrors [[graft.operators.Duplicates.components]] exactly: the edge

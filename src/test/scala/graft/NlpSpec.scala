@@ -158,6 +158,34 @@ class NlpSpec extends SparkSpec {
     assert(!members.exists { case (a, b, _) => zeroTerm(a) || zeroTerm(b) })
   }
 
+  test("pair summary (n6b): rep-weighted histogram equals the member " +
+       "enumeration, bucket by bucket, without expanding pairs") {
+    val extra = Seq(
+      (100L, "glacier moraine cirque arete tarn"),
+      (101L, "glacier moraine cirque arete tarn"),
+      (102L, "glacier moraine cirque arete tarn"),
+      (103L, "glacier moraine cirque arete tarn ridge"),
+      (200L, "!!! ??"), (201L, "!!! ??")).toDF("doc_id", "text")
+    val docs = sampleDocs.unionByName(extra)
+    def hist(df: org.apache.spark.sql.DataFrame): Set[(Double, Long, Double, Double, Double)] =
+      df.select("sim_bucket", "n_pairs", "mean_sim", "min_sim", "max_sim")
+        .as[(Double, Long, Double, Double, Double)].collect().toSet
+    val weighted = hist(Duplicates.pairSummaryDigestFirst(docs, 0.8))
+    val enumerated = hist(Duplicates.pairSummaryMembers(docs, 0.8))
+    assert(weighted == enumerated,
+      s"weighted != enumerated: ${weighted -- enumerated} / ${enumerated -- weighted}")
+    // dup mass 0.33 on this fixture: the public dispatch takes the
+    // weighted arm
+    assert(hist(Duplicates.pairSummary(docs, 0.8)) == weighted)
+    // total pair mass matches the n6 pair list exactly
+    val nPairs = Duplicates.pairSimilaritiesMembers(docs, 0.8).count()
+    assert(weighted.toSeq.map(_._2).sum == nPairs)
+    // the 1.0 bucket holds the within-family mass: C(3,2) + the fixture's
+    // planted duplicate (0, 5) = 4 pairs (zero-term twins excluded)
+    val top = weighted.find(_._1 == 1.0).get
+    assert(top._2 >= 4L && top._4 == 1.0 && top._5 == 1.0)
+  }
+
   // --- relevance scores (tests/test_relevance_scorer.py:102-110) ---
 
   test("relevance scores bounded [0,1]; multiword keywords never add density") {
