@@ -100,7 +100,100 @@ object VectorSearch {
     * and the oracle exactly.
     */
   def nearDuplicatePairsBlocked(embeddings: DataFrame, threshold: Double = 0.45,
-                                nBlocks: Int = 16): DataFrame = {
+                                nBlocks: Int = 16): DataFrame =
+    if (embDigestArm(embeddings))
+      nearDuplicatePairsBlockedDigestFirst(embeddings, threshold, nBlocks)
+    else nearDuplicatePairsBlockedMembers(embeddings, threshold, nBlocks)
+
+  /** Byte-identical-embedding families, the vector-space analog of
+    * [[Dedup.digestFamilies]]: exact-duplicate documents carry exact-
+    * duplicate embeddings, so a dup-heavy corpus (the very thing the dedup
+    * pack exists for) floods every O(n²)-examination vector op with
+    * byte-twin mass that one linear digest shuffle can collapse first.
+    * Returns (fams `(digest, rep_id, fam_n)`, members
+    * `(vec_id, rep_id, fam_n)`, repEmb = the rep rows of the input).
+    * Null embeddings get a per-row digest (each its own singleton family),
+    * matching the member plans, which never pair them.
+    */
+  private[graft] def embFamilies(embeddings: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val digests = Caches.shared(embeddings.select(col("vec_id"),
+      coalesce(md5(col("embedding").cast("string").cast("binary")),
+        concat(lit("null:"), col("vec_id"))).as("digest")))
+    val fams = Caches.shared(digests.groupBy("digest")
+      .agg(min("vec_id").as("rep_id"), count(lit(1)).as("fam_n")))
+    val members = Caches.shared(
+      digests.join(fams, "digest").select("vec_id", "rep_id", "fam_n"))
+    val repEmb = embeddings.join(fams.select(col("rep_id").as("vec_id")), "vec_id")
+    (fams, members, repEmb)
+  }
+
+  /** Dup-mass arm dispatch for the vector pair ops, mirroring
+    * [[Dedup.digestArmUncapped]] (same 0.05 mass threshold, same
+    * `SPARK_GRAFT_PAIRS_ARM` dev-knob override): one linear aggregate
+    * over the suite-shared digest frame decides whether the byte-twin
+    * collapse pays before any signatures/blocks/cells are built.
+    */
+  private[graft] def embDigestArm(embeddings: DataFrame): Boolean =
+    Dedup.pairsArmForced.getOrElse {
+      val (fams, _, _) = embFamilies(embeddings)
+      val row = fams.agg(count(lit(1)), sum("fam_n")).head()
+      val nFams = row.getLong(0)
+      val nVecs = if (row.isNullAt(1)) 0L else row.getLong(1)
+      nVecs > 0 && 1.0 - nFams.toDouble / nVecs >= 0.05
+    }
+
+  /** [[nearDuplicatePairsBlocked]]'s digest-first arm (the n6 r12 move in
+    * vector space): the blocked O(n²·d) kernel runs on unique vectors
+    * only, and the member pair list is reconstructed exactly —
+    *
+    *  - within-family pairs: identical vectors ⟹ raw cosine 1 ± a few
+    *    ulp ⟹ 6-dp-rounded sim exactly 1.0, EXCEPT zero-norm vectors,
+    *    whose kernel convention is sim 0.0 — the per-family literal is
+    *    `1.0 if norm > 0 else 0.0`, then the same ≥ threshold cut as the
+    *    kernel applies;
+    *  - cross-family pairs inherit their rep pair's sim through two
+    *    members joins (identical inputs ⟹ identical kernel value).
+    *
+    * Same expansion guards as the text arm: explicit repartition of the
+    * rep-level inputs (AQE would coalesce the tiny pre-fan-out shuffles
+    * to one task), and the output-proportional blow-up is generated,
+    * never cached.
+    */
+  private[graft] def nearDuplicatePairsBlockedDigestFirst(
+      embeddings: DataFrame, threshold: Double, nBlocks: Int): DataFrame = {
+    val (_, members, repEmb) = embFamilies(embeddings)
+    val nParts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val m = members.select(col("rep_id"), col("vec_id"))
+    val rp = nearDuplicatePairsBlockedMembers(repEmb, threshold, nBlocks)
+      .select(col("id1").as("r1"), col("id2").as("r2"), col("sim"))
+      .repartition(nParts, col("r1"))
+    val cross = rp
+      .join(m.select(col("rep_id").as("r1"), col("vec_id").as("a")), "r1")
+      .join(m.select(col("rep_id").as("r2"), col("vec_id").as("b")), "r2")
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("sim"))
+    val withinSim = when(
+      aggregate(asDouble(col("embedding")), lit(0.0d), (acc, x) => acc + x * x) > 0,
+      lit(1.0d)).otherwise(lit(0.0d))
+    val wm = m
+      .join(repEmb.select(col("vec_id").as("rep_id"), withinSim.as("wsim")), "rep_id")
+      .where(col("wsim") >= threshold)
+      .repartition(nParts, col("rep_id"))
+    val within = wm.select(col("rep_id"), col("vec_id").as("id1"), col("wsim"))
+      .join(wm.select(col("rep_id"), col("vec_id").as("id2")), "rep_id")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("wsim").as("sim"))
+    cross.unionByName(within)
+  }
+
+  /** The member-level blocked plan — the reference arm the digest-first
+    * reconstruction is spec-pinned against, and the plan the DuckDB
+    * oracle expresses.
+    */
+  private[graft] def nearDuplicatePairsBlockedMembers(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      nBlocks: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col("vec_id"),
@@ -503,7 +596,17 @@ object VectorSearch {
     * with corpus size, keeping per-cell work bounded.
     */
   def semanticDedup(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5,
-                    threshold: Double = 0.45): DataFrame = {
+                    threshold: Double = 0.45): DataFrame =
+    if (embDigestArm(embeddings))
+      semanticDedupDigestFirst(embeddings, nCells, iters, threshold)
+    else semanticDedupMembers(embeddings, nCells, iters, threshold)
+
+  /** The member-level plan — within-cell pairs over every vector; the
+    * reference arm the digest-first verdict derivation is spec-pinned
+    * against, and the plan the DuckDB oracle expresses.
+    */
+  private[graft] def semanticDedupMembers(embeddings: DataFrame, nCells: Int,
+                                          iters: Int, threshold: Double): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
     val withCell = assignCells(embeddings, centroids, withLabel = false)
     val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
@@ -514,6 +617,51 @@ object VectorSearch {
     withCell.select(col("vec_id"), col("cell"))
       .join(pruned.withColumn("__pruned", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"), col("__pruned").isNull.as("kept"))
+  }
+
+  /** [[semanticDedup]]'s digest-first arm: centroid TRAINING stays on the
+    * FULL member set (linear in corpus size and bit-identical to the
+    * member arm — training on reps would move centroids by the twin mass
+    * and change cells), but the quadratic within-cell pair join runs on
+    * unique vectors only. Member verdicts derive exactly:
+    *
+    *  - a member's cell is its rep's cell (identical vector, identical
+    *    argmin — [[assignCells]] is deterministic);
+    *  - the REP's verdict is the rep-level one: rep R is pruned iff some
+    *    same-cell vector with a smaller id clears the threshold, and any
+    *    such member m' ∈ F' implies rep(F') ≤ m' < R with the SAME sim
+    *    (identical vectors), so the rep-level pair (rep(F'), R) witnesses
+    *    it — and conversely;
+    *  - a NON-rep member is pruned iff its own family prunes it: its rep
+    *    is a same-cell smaller-id partner at sim 1.0 (zero-norm: 0.0), so
+    *    `kept = withinSim < threshold`. No cross-family witness can
+    *    matter: if withinSim < threshold then either the vector is
+    *    zero-norm (every cross sim is 0.0 < threshold for positive
+    *    thresholds, and for threshold ≤ 0 withinSim 0.0 ≥ threshold
+    *    prunes anyway) or threshold > 1.0 (nothing prunes anything).
+    */
+  private[graft] def semanticDedupDigestFirst(embeddings: DataFrame, nCells: Int,
+                                              iters: Int, threshold: Double): DataFrame = {
+    val (_, members, repEmb) = embFamilies(embeddings)
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val withCell = assignCells(repEmb, centroids, withLabel = false)
+    val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
+      .join(withCell.select(col("vec_id").as("id2"), col("v").as("v2"), col("cell")), Seq("cell"))
+      .where(col("id1") < col("id2") &&
+        round(cosineSim(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    val withinSim = when(
+      aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x) > 0,
+      lit(1.0d)).otherwise(lit(0.0d))
+    val repVerdict = withCell
+      .join(pruned.withColumn("__pruned", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id").as("rep_id"), col("cell"),
+        col("__pruned").isNull.as("rep_kept"), withinSim.as("wsim"))
+    members.select(col("vec_id"), col("rep_id"))
+      .join(repVerdict, "rep_id")
+      .select(col("vec_id"), col("cell"),
+        when(col("vec_id") === col("rep_id"), col("rep_kept"))
+          .otherwise(col("wsim") < threshold).as("kept"))
   }
 
   /** Embedding-space decontamination: the semantic complement of the

@@ -155,6 +155,53 @@ class DedupSpec extends SparkSpec {
     assert(got5 == brute)
   }
 
+  test("vector digest-first arms equal the member plans: blocked pairs " +
+       "expand exactly, semantic dedup verdicts derive exactly") {
+    // regimes: a 3-strong byte-identical vector family (100-102) with a
+    // near neighbor (103, cos 0.96); an orthogonal singleton (104);
+    // zero-norm byte twins (200, 201 — kernel sim convention 0.0, so they
+    // never pair at positive thresholds and are never pruned); a few
+    // distinct background vectors. dup mass 1 - 8/11 = 0.27 -> digest arm.
+    val emb = Seq(
+      (0L, "a", Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, "b", Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, "c", Seq(0.5, 0.5, 0.5, 0.0)),
+      (100L, "f", Seq(0.6, 0.8, 0.0, 0.0)),
+      (101L, "f", Seq(0.6, 0.8, 0.0, 0.0)),
+      (102L, "f", Seq(0.6, 0.8, 0.0, 0.0)),
+      (103L, "g", Seq(0.8, 0.6, 0.0, 0.0)),
+      (104L, "h", Seq(0.0, 0.0, 1.0, 0.0)),
+      (200L, "z", Seq(0.0, 0.0, 0.0, 0.0)),
+      (201L, "z", Seq(0.0, 0.0, 0.0, 0.0)),
+      (300L, "i", Seq(0.0, 0.0, 0.6, 0.8))).toDF("vec_id", "label", "embedding")
+    // blocked near-dup pairs
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val mem = pairs(VectorSearch.nearDuplicatePairsBlockedMembers(emb, 0.45, 4))
+    val dig = pairs(VectorSearch.nearDuplicatePairsBlockedDigestFirst(emb, 0.45, 4))
+    assert(dig == mem, s"digest != member: ${dig -- mem} / ${mem -- dig}")
+    assert(pairs(VectorSearch.nearDuplicatePairsBlocked(emb, 0.45, 4)) == dig,
+      "public dispatch must take the digest arm on this fixture")
+    assert(Seq((100L, 101L), (100L, 102L), (101L, 102L)).forall(p =>
+      mem.contains((p._1, p._2, 1.0))), s"family pairs at 1.0 missing: $mem")
+    val cross = mem.filter { case (a, b, _) => a >= 100L && a <= 102L && b == 103L }
+    assert(cross.size == 3 && cross.map(_._3).size == 1,
+      s"family x neighbor pairs must share the rep sim: $cross")
+    val zero = Set(200L, 201L)
+    assert(!mem.exists { case (a, b, _) => zero(a) || zero(b) },
+      "zero-norm twins never pair at positive thresholds")
+    // semantic dedup
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Boolean)] =
+      df.as[(Long, Int, Boolean)].collect().toSet
+    val vMem = verdicts(VectorSearch.semanticDedupMembers(emb, 4, 2, 0.45))
+    val vDig = verdicts(VectorSearch.semanticDedupDigestFirst(emb, 4, 2, 0.45))
+    assert(vDig == vMem, s"verdicts differ: ${vDig -- vMem} / ${vMem -- vDig}")
+    assert(verdicts(VectorSearch.semanticDedup(emb, 4, 2, 0.45)) == vDig)
+    val kept = vMem.map(r => r._1 -> r._3).toMap
+    // non-rep twins pruned by their rep; zero-norm twins never pruned
+    assert(!kept(101L) && !kept(102L) && kept(200L) && kept(201L))
+  }
+
   test("LSH ANN results are a subset-quality approximation of brute force") {
     val exact = VectorSearch.annTopK(Tables.embeddings(spark, sf0001), 0L, 10)
       .select("vec_id").as[Long].collect().toSet
