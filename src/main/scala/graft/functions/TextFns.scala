@@ -36,8 +36,21 @@ object TextFns {
     */
   val WordPattern = "\\b[a-z]{3,}\\b"
 
-  /** All word tokens (duplicates preserved — TF needs them), stopwords removed. */
+  /** All word tokens (duplicates preserved — TF needs them), stopwords
+    * removed. The stopword cut is the engine's hottest lambda (it runs
+    * once per word of every document under every text operator), so it is
+    * the fused [[org.apache.spark.sql.graftext.SetFilterExpr]] kernel —
+    * one hash probe per word instead of an interpreted lambda scanning
+    * the ~94-entry list. [[tokensHof]] keeps the composable form as the
+    * equality-spec reference.
+    */
   def tokens(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit(WordPattern), lit(0))
+    org.apache.spark.sql.graftext.SetFilterExpr.withoutSet(words, Stopwords)
+  }
+
+  /** The pre-kernel HOF form of [[tokens]] — the spec reference. */
+  private[graft] def tokensHof(text: Column): Column = {
     val words = regexp_extract_all(lower(text), lit(WordPattern), lit(0))
     filter(words, w => !array_contains(lit(Stopwords.toArray), w))
   }

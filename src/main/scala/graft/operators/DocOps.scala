@@ -269,7 +269,7 @@ object DocOps {
     val pos = Seq("fast", "small"); val neg = Seq("slow", "big")
     val toks = TextFns.tokens(col("text"))
     val cnt = (lex: Seq[String]) =>
-      size(filter(toks, w => array_contains(lit(lex.toArray), w)))
+      size(org.apache.spark.sql.graftext.SetFilterExpr.inSet(toks, lex))
     Tables.documents(spark, sfDir)
       .select(col("lang"), cnt(pos).as("p"), cnt(neg).as("n"), size(toks).as("t"))
       .groupBy("lang")

@@ -41,7 +41,7 @@ object TextQuality {
       allWords(col("text")).as("__words"))
     val words = col("__words")
     val hitCols = LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(words, w => array_contains(lit(ms.toArray), w)))
+      lang -> size(org.apache.spark.sql.graftext.SetFilterExpr.inSet(words, ms))
     }
     val maxHits = greatest(hitCols.map(_._2): _*)
     // when-chain in list (alphabetical) order: the first language reaching
@@ -72,7 +72,7 @@ object TextQuality {
     val words = TextFns.wordCount(text)
     val punctRatio = col("__punct").cast("double") / greatest(nChars, lit(1))
     val allW = col("__aw")
-    val stopHits = size(filter(allW, w => array_contains(lit(TextFns.Stopwords.toArray), w)))
+    val stopHits = size(org.apache.spark.sql.graftext.SetFilterExpr.inSet(allW, TextFns.Stopwords))
     val stopRatio = stopHits.cast("double") / greatest(size(allW), lit(1))
     val q =
       least(nChars.cast("double") / 500.0, lit(1.0)) * 0.25 +

@@ -125,6 +125,24 @@ object GraftFunctions {
       foldableLong(children(3), "minhash_sig", "prime"))
   }
 
+  private def buildSetFilter(children: Seq[Expression]): Expression = {
+    require(children.length == 3, "set_filter takes (arr, words, keep)")
+    val words = children(1)
+    require(words.foldable, "set_filter: words must be a literal array")
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val ws = (words.dataType, words.eval()) match {
+      case (ArrayType(StringType, _), a: ArrayData) =>
+        (0 until a.numElements()).map(i =>
+          if (a.isNullAt(i)) null else a.getUTF8String(i).toString)
+      case (t, v) => throw new IllegalArgumentException(
+        s"set_filter: words must be a string-array literal, got $v: $t")
+    }
+    val keep = children(2)
+    require(keep.foldable, "set_filter: keep must be a boolean literal")
+    SetFilterExpr(children.head, ws.filter(_ != null),
+      keep.eval().asInstanceOf[Boolean])
+  }
+
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
@@ -178,7 +196,11 @@ object GraftFunctions {
       (FunctionIdentifier("minhash_sig"),
         info(classOf[MinHashSigExpr], "minhash_sig",
           "minhash_sig(hs, as, bs, prime) - MinHash signature of an array<bigint> hash set"),
-        buildMinhashSig))
+        buildMinhashSig),
+      (FunctionIdentifier("set_filter"),
+        info(classOf[SetFilterExpr], "set_filter",
+          "set_filter(arr, words, keep) - elements of arr (not) in the literal word set"),
+        buildSetFilter))
 
   /** Register on an already-built session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =
