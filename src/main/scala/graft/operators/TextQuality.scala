@@ -434,6 +434,22 @@ object TextQuality {
     * share the doc_id partitioning.
     */
   def ngramRepetition(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graftext.NgramRepStatsExpr
+          .ngramRepStats(TextFns.tokens(col("text")), n).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("doc_id"), col("__s.n_grams").as("n_grams"),
+        round(col("__s.top_cnt") / col("__s.n_grams"), 6).as("top_frac"),
+        round((col("__s.n_grams") - col("__s.n_distinct")) / col("__s.n_grams"), 6)
+          .as("dup_frac"))
+
+  /** The pre-kernel exploded plan of [[ngramRepetition]] — one row per
+    * gram through two corpus-wide shuffles for a per-document statistic;
+    * retained as the equality-spec reference (counts group by
+    * `xxhash64(gram)`, ≡ the kernel's exact-string counts absent 64-bit
+    * collisions).
+    */
+  private[graft] def ngramRepetitionExploded(docs: DataFrame, n: Int = 2): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         explode(CorpusPrep.ngramsFromTokens(col("__toks"), n)).as("g"))

@@ -143,6 +143,12 @@ object GraftFunctions {
       keep.eval().asInstanceOf[Boolean])
   }
 
+  private def buildNgramRepStats(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "ngram_rep_stats takes (tokens, n)")
+    NgramRepStatsExpr(children.head,
+      foldableLong(children(1), "ngram_rep_stats", "n").toInt)
+  }
+
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
@@ -200,7 +206,11 @@ object GraftFunctions {
       (FunctionIdentifier("set_filter"),
         info(classOf[SetFilterExpr], "set_filter",
           "set_filter(arr, words, keep) - elements of arr (not) in the literal word set"),
-        buildSetFilter))
+        buildSetFilter),
+      (FunctionIdentifier("ngram_rep_stats"),
+        info(classOf[NgramRepStatsExpr], "ngram_rep_stats",
+          "ngram_rep_stats(tokens, n) - struct(n_grams, top_cnt, n_distinct) of the n-grams"),
+        buildNgramRepStats))
 
   /** Register on an already-built session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =
