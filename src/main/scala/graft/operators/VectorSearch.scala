@@ -173,12 +173,19 @@ object VectorSearch {
       .join(m.select(col("rep_id").as("r2"), col("vec_id").as("b")), "r2")
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"), col("sim"))
-    val withinSim = when(
-      aggregate(asDouble(col("embedding")), lit(0.0d), (acc, x) => acc + x * x) > 0,
-      lit(1.0d)).otherwise(lit(0.0d))
+    // NaN-poisoned vectors: the member kernel's Scala cosine is NaN and
+    // `s >= cut` is FALSE in Java semantics — the pair is dropped. Spark
+    // SQL orders NaN GREATEST (`NaN > 0` is true, `NaN >= threshold` is
+    // true), so without an explicit isnan gate the digest arm would emit
+    // those within pairs at 1.0. Gate on the sum of squares: any NaN
+    // component poisons it to NaN, matching the kernel's drop exactly.
+    val sumSq =
+      aggregate(asDouble(col("embedding")), lit(0.0d), (acc, x) => acc + x * x)
+    val withinSim = when(sumSq > 0, lit(1.0d)).otherwise(lit(0.0d))
     val wm = m
-      .join(repEmb.select(col("vec_id").as("rep_id"), withinSim.as("wsim")), "rep_id")
-      .where(col("wsim") >= threshold)
+      .join(repEmb.select(col("vec_id").as("rep_id"), withinSim.as("wsim"),
+        isnan(sumSq).as("wnan")), "rep_id")
+      .where(!col("wnan") && col("wsim") >= threshold)
       .repartition(nParts, col("rep_id"))
     val within = wm.select(col("rep_id"), col("vec_id").as("id1"), col("wsim"))
       .join(wm.select(col("rep_id"), col("vec_id").as("id2")), "rep_id")

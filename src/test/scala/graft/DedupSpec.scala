@@ -825,6 +825,37 @@ class DedupSpec extends SparkSpec {
     crossBuckets.foreach { case (_, _, _, meanExact, _) =>
       assert(math.abs(meanExact - 0.75) < 1e-9) // 3 shared / 4 union shingles
     }
+    // degenerate threshold > 1.0: the member arm's est cut admits nothing,
+    // so the digest arm's within-family mass must stay out too
+    assert(run(Dedup.minhashCalibrationDigestFirst(docs, 1.5)) ==
+      run(Dedup.minhashCalibrationMembers(docs, 1.5)),
+      "minEstJaccard > 1.0 must empty BOTH arms")
+    assert(run(Dedup.minhashCalibrationDigestFirst(docs, 1.5)).isEmpty)
+  }
+
+  test("vector digest-first arm drops NaN-poisoned byte-twin families " +
+       "exactly like the member kernel") {
+    import spark.implicits._
+    // Spark SQL orders NaN greatest (NaN >= t is TRUE), while the member
+    // kernel's Scala `s >= cut` on a NaN cosine is FALSE — the digest
+    // arm's within-family gate must side with the kernel.
+    val emb = Seq(
+      (100L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (101L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (102L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (400L, Seq(Double.NaN, 1.0, 0.0, 0.0)),
+      (401L, Seq(Double.NaN, 1.0, 0.0, 0.0)),
+      (402L, Seq(Double.NaN, 1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.5, 0.5, 0.5, 0.0))).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val mem = pairs(VectorSearch.nearDuplicatePairsBlockedMembers(emb, 0.45, 4))
+    val dig = pairs(VectorSearch.nearDuplicatePairsBlockedDigestFirst(emb, 0.45, 4))
+    assert(dig == mem, s"NaN handling diverges: ${dig -- mem} / ${mem -- dig}")
+    assert(!mem.exists { case (a, b, _) => a >= 400L || b >= 400L },
+      "NaN-poisoned pairs must be dropped on both arms")
+    assert(mem.contains((100L, 101L, 1.0)), "healthy family still pairs")
   }
 
   test("ingest admission (p4): verdicts fire in gate order on a planted shard") {

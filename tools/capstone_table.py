@@ -34,6 +34,7 @@ def main():
     # re-run line for the same (pass, cohort) key — keep only the last
     # clean line per key so failures and duplicates never enter the sums.
     by_key = {}
+    seen_cohorts = set()
     for ln in open(jsonl):
         ln = ln.strip()
         if not ln:
@@ -43,12 +44,19 @@ def main():
         except json.JSONDecodeError:
             print(f"<!-- skipped unparseable line (partial write?) -->")
             continue
+        seen_cohorts.add(r.get("cohort"))
         if r.get("failed"):
             print(f"<!-- {r.get('cohort')}: skipped line with failures: "
                   f"{','.join(r['failed'])} -->")
             continue
         by_key[(r.get("pass"), r.get("cohort"))] = r
     rows = list(by_key.values())
+    # A cohort whose every line failed would otherwise vanish silently and
+    # the table read as complete while covering fewer cohorts — same for a
+    # baseline cohort with no scaled line at all. Warn VISIBLY + exit 1.
+    clean_cohorts = {r["cohort"] for r in rows}
+    dropped = sorted(seen_cohorts - clean_cohorts - {None})
+    missing = sorted(set(base.get("cohort_build_median", {})) - seen_cohorts)
     print(f"| cohort | 1x warm | 100x warm | ratio | 1x build | 100x build |")
     print("|---|---|---|---|---|---|")
     tot1 = totN = 0.0
@@ -72,12 +80,22 @@ def main():
             if base_q[n] > 0 and r["warm"][n] / base_q[n] >= outlier_ratio:
                 outliers.append((r["warm"][n] / base_q[n], n,
                                  base_q[n], r["warm"][n]))
+    for c in dropped:
+        print(f"| {c} | — | — | NO CLEAN LINE (all failed) | — | — |")
+    for c in missing:
+        print(f"| {c} | — | — | ABSENT FROM JSONL | — | — |")
     if tot1 > 0:
         print(f"| TOTAL | {tot1:.1f} | {totN:.1f} | {totN / tot1:.1f}x | | |")
+    if dropped or missing:
+        print(f"\nWARNING: incomplete capstone — "
+              f"dropped={','.join(dropped) or 'none'} "
+              f"missing={','.join(missing) or 'none'}")
     if outliers:
         print(f"\nper-query warm outliers (>= {outlier_ratio:g}x):")
         for ratio, n, v1, vN in sorted(outliers, reverse=True):
             print(f"- {n}: {v1:.2f} -> {vN:.2f} s ({ratio:.1f}x)")
+    if dropped or missing:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
