@@ -49,7 +49,8 @@ object Bench {
         "x49_split_novelty", "x53_dsir_weights", "x54_dsir_sample",
         "x62_packing_efficiency", "x84_corpus_diff", "x85_corpus_manifest",
         "x87_training_order"),
-      "x-retrieval" -> Seq("x41_phrase_search", "x44_hybrid_search",
+      "x-retrieval" -> Seq("x41_phrase_search", "x41b_phrase_probe",
+        "x44_hybrid_search", "x44b_hybrid_probe",
         "x46_bpe_merges", "x47_rag_retrieve", "x48_bpe_segment", "x61_prf_bm25",
         "x72_wp_vocab", "x73_wp_segment", "x74_unigram_viterbi",
         "x75_tokenizer_report", "x80_unigram_em"))
@@ -58,6 +59,21 @@ object Bench {
 
   private[graft] def cohortOf(name: String): String =
     xCohorts.getOrElse(name, name.takeWhile(_.isLetter))
+
+  /** Rows whose query entry REPLAYS a stream to completion on every call
+    * (readStream → sink → processAllAvailable). For these the cold/warm
+    * decomposition does not apply: the "warm" sweep re-consumes the whole
+    * stream again — there is no materialized frame to be warm OVER — so
+    * warm ≈ cold up to noise and warm > cold carries no meaning. The set
+    * is emitted as `"replay"` in the cohort JSONL and the sidecar so the
+    * artifact explains itself, and these rows are EXCLUDED from the
+    * cohort_build (cold − warm) sums, which would otherwise absorb replay
+    * noise as phantom build cost.
+    */
+  private[graft] val replayRows: Set[String] = Set(
+    "w8_stream_daily", "w9_stream_enriched", "w11_stream_quality",
+    "w12_neardup_admission", "w13_kmv_stream",
+    "w14_substr_decontam_stream", "w15_incremental_admission")
 
   /** Execute a query's OWN physical plan and materialize every output
     * row. `df.count()` plans a count-aggregate OVER the query, and column
@@ -295,7 +311,9 @@ object Bench {
               val coldJ = mapJson(cold.toMap, names)
               val warmJ = mapJson(warm.toMap, names)
               val failedJ = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-              val line = s"""{"metric":"cohort","pass":$pass,"cohort":"$family","load":${sec(load)},"failed":$failedJ,"cold":$coldJ,"warm":$warmJ,"sf":"$sfDir"}""" + "\n"
+              val replayJ = names.filter(replayRows)
+                .map("\"" + _ + "\"").mkString("[", ",", "]")
+              val line = s"""{"metric":"cohort","pass":$pass,"cohort":"$family","load":${sec(load)},"failed":$failedJ,"replay":$replayJ,"cold":$coldJ,"warm":$warmJ,"sf":"$sfDir"}""" + "\n"
               java.nio.file.Files.write(java.nio.file.Paths.get(p),
                 line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
@@ -303,9 +321,12 @@ object Bench {
             }
         }
         // clamped at 0: a cohort with no shared frames measures only
-        // scan-locality jitter between its two sweeps
+        // scan-locality jitter between its two sweeps. Replay rows are
+        // excluded: their "warm" is another full stream replay, so their
+        // cold−warm is pure noise, not build cost.
+        val nonReplay = qs.map(_._1).filterNot(replayRows)
         build(family) = math.max(0.0,
-          qs.map(q => cold(q._1)).sum - qs.map(q => warm(q._1)).sum)
+          nonReplay.map(cold(_)).sum - nonReplay.map(warm(_)).sum)
       }
       Pass(cold.toMap, warm.toMap, build.toMap)
     }
@@ -405,8 +426,12 @@ object Bench {
     // `incremental_total_min` and the per-pass cold-sweep sums are
     // `pass_totals_cold` — the round-9 names (total_min / pass_totals)
     // measured different quantities and are retired, not silently reused
+    // replay rows present in this run, so the sidecar carries its own
+    // warm-semantics caveat (see `replayRows`)
+    val replayJson = selected.map(_._1).filter(replayRows)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals_cold":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"failed":$failedJson,"sf":"$sfDir"$extraJson}"""
+      s"""{"metric":"per_query","unit":"sec","stat":"$stat","exec":"materialize_rows","queries":$qs,"queries_min":$qsMin,"pass_totals_cold":$passTotalsJson,"load_samples":$loadJson,"memo_warmed":$memoNote,"failed":$failedJson,"replay":$replayJson,"sf":"$sfDir"$extraJson}"""
     println(perQueryLine)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_QUERIES.json")
     try {

@@ -151,11 +151,13 @@ object SparkEntry {
     "x40_normalize"    -> (TextQuality.qNormalize _),
     "x32_token_budget" -> (CorpusPrep.qTokenBudget _),
     "x41_phrase_search" -> (SearchIndex.qPhraseSearch _),
+    "x41b_phrase_probe" -> (ServedSearch.qPhraseProbeOnly _),
     "x42_weighted_sample" -> (CorpusPrep.qWeightedSample _),
     "x43_bigram_lm"    -> (TextQuality.qBigramLm _),
     "x79_worst_spans"  -> (TextQuality.qWorstSpans _),
     "x59_interp_bigram" -> (TextQuality.qInterpBigramLm _),
     "x44_hybrid_search" -> (HybridSearch.qHybridSearch _),
+    "x44b_hybrid_probe" -> (ServedSearch.qHybridProbeOnly _),
     "x47_rag_retrieve" -> (Rag.qRagRetrieve _),
     "x45_minhash_dedup" -> (Dedup.qMinhashDedup _),
     "x45b_minhash_dedup_iter" -> (Dedup.qMinhashDedupIterative _),
@@ -829,6 +831,11 @@ object SparkEntry {
     "x32_token_budget" -> graft.oracles.TrainSql.tokenBudgetSql(1000L),
     "x41_phrase_search" ->
       graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
+    // x41b serves x41 from the persisted positional index (built once per
+    // corpus fingerprint) — same oracle: the hash proves the written index
+    // answers exactly what the inline build would
+    "x41b_phrase_probe" ->
+      graft.oracles.TrainSql.phraseSearchSql(operators.SearchIndex.DefaultPhrase),
     "x42_weighted_sample" -> graft.oracles.TrainSql.weightedSampleSql(),
     "x43_bigram_lm"    -> graft.oracles.TrainSql.bigramLmSql,
     "x79_worst_spans"  -> graft.oracles.TrainSql.worstSpansSql(),
@@ -836,6 +843,11 @@ object SparkEntry {
     // unigram; p mirrors the engine's operator order exactly
     "x59_interp_bigram" -> graft.oracles.TrainSql.interpBigramLmSql(),
     "x44_hybrid_search" -> graft.oracles.NlpSql.hybridSearchSql(
+      SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
+      SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,
+      SemanticSearch.VocabSize, SemanticSearch.Threshold),
+    // x44b serves x44 from the same persisted index — same oracle
+    "x44b_hybrid_probe" -> graft.oracles.NlpSql.hybridSearchSql(
       SemanticSearch.queryTf(SemanticSearch.DefaultQuery),
       SemanticSearch.tokenize(SemanticSearch.DefaultQuery).distinct,
       SemanticSearch.VocabSize, SemanticSearch.Threshold),

@@ -45,6 +45,15 @@ object HybridSearch {
       .select(col("doc_id"), row_number().over(semW).cast("long").as("sem_rank"))
     // the unpartitioned windows rank <= poolK rows each (post
     // TakeOrderedAndProject) — the single-partition exchange is 100 rows
+    fuse(lex, sem, rrfK, topK)
+  }
+
+  /** RRF fusion of two ranked pools `(doc_id, lex_rank)` / `(doc_id,
+    * sem_rank)` — shared with the served probe ([[ServedSearch]]) so both
+    * paths fuse identically.
+    */
+  private[operators] def fuse(lex: DataFrame, sem: DataFrame,
+                              rrfK: Int, topK: Int): DataFrame =
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
         round(
@@ -53,7 +62,6 @@ object HybridSearch {
           .as("rrf_score"))
       .orderBy(desc("rrf_score"), asc("doc_id"))
       .limit(topK)
-  }
 
   // --- query entry ---
 

@@ -192,15 +192,31 @@ object Summarizer {
   def qSentences(spark: SparkSession, sfDir: String): DataFrame =
     sentencesDf(Tables.documents(spark, sfDir))
 
+  /** N12/N13 as ONE shuffle-free pass: the per-document pair list comes
+    * off [[org.apache.spark.sql.graftext.SentencePairSimsExpr]] (one
+    * kernel invocation per document) instead of the corpus-wide
+    * (doc_id, token) self-join — the answer never leaves the document, so
+    * at 100 TB it must not cost corpus-wide token shuffles.
+    * [[sentenceSimilaritiesDf]] stays as the relational reference arm the
+    * kernel is spec-pinned against.
+    */
+  def sentenceSimilaritiesFused(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graftext.SentencePairSimsExpr
+          .sentencePairSims(col("text"), TextFns.WordPattern, TextFns.Stopwords))
+          .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.j").as("j"),
+        col("p.sim").as("sim"))
+
   /** The synthetic corpus has no sentence punctuation (each doc is one
     * long sentence), which would make the pairwise query vacuously empty —
     * so the registered entry first inserts a deterministic boundary every
     * 12 words (a pure regex both engines replicate), giving the
-    * inverted-index pair path real multi-sentence input to verify.
+    * sentence-pair path real multi-sentence input to verify.
     */
   def qSentenceSims(spark: SparkSession, sfDir: String): DataFrame = {
     val sentencified = Tables.documents(spark, sfDir).select(col("doc_id"),
       regexp_replace(col("text"), "((?:\\S+\\s+){12})", "$1. ").as("text"))
-    sentenceSimilaritiesDf(sentencified)
+    sentenceSimilaritiesFused(sentencified)
   }
 }

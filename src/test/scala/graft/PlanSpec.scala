@@ -411,6 +411,10 @@ class PlanSpec extends SparkSpec {
       "x43_bigram_lm",       // 1-row vocabulary-size aggregate onto the pair stream
       "x59_interp_bigram",   // 1-row token-total aggregate, same x43 pattern
       "x44_hybrid_search",   // semantic arm reuses n12's 1-row query-norm broadcast
+      "x44b_hybrid_probe",   // x44 served from the artifact: the 1-row stats
+                             // frame (n_docs, avgdl) and the 1-row query-norm
+                             // frame ride broadcasts; every postings/sidecar
+                             // join stays a doc/token-keyed equi join
       "x47_rag_retrieve",    // 1-row n_chunks aggregate (chunk-corpus IDF) + the
                              // IVF family's broadcast centroid frame, as in x37
       "x50_pq_codes",        // all m codebooks ride one broadcast 1-row frame

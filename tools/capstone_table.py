@@ -69,7 +69,12 @@ def main():
                   f"{','.join(skipped)} -->")
         w1 = sum(base_q[n] for n in names)
         wN = sum(r["warm"][n] for n in names)
-        bN = max(0.0, sum(r["cold"][n] for n in names) - wN)
+        # replay rows (streaming re-consume per call): their cold-warm is
+        # noise, not build cost — mirror Bench's cohort_build exclusion
+        replay = set(r.get("replay", []))
+        nonreplay = [n for n in names if n not in replay]
+        bN = max(0.0, sum(r["cold"][n] for n in nonreplay)
+                 - sum(r["warm"][n] for n in nonreplay))
         b1 = base_build.get(r["cohort"], float("nan"))
         tot1 += w1
         totN += wN
@@ -79,7 +84,8 @@ def main():
         for n in names:
             if base_q[n] > 0 and r["warm"][n] / base_q[n] >= outlier_ratio:
                 outliers.append((r["warm"][n] / base_q[n], n,
-                                 base_q[n], r["warm"][n]))
+                                 base_q[n], r["warm"][n],
+                                 " [replay]" if n in replay else ""))
     for c in dropped:
         print(f"| {c} | — | — | NO CLEAN LINE (all failed) | — | — |")
     for c in missing:
@@ -92,8 +98,8 @@ def main():
               f"missing={','.join(missing) or 'none'}")
     if outliers:
         print(f"\nper-query warm outliers (>= {outlier_ratio:g}x):")
-        for ratio, n, v1, vN in sorted(outliers, reverse=True):
-            print(f"- {n}: {v1:.2f} -> {vN:.2f} s ({ratio:.1f}x)")
+        for ratio, n, v1, vN, tag in sorted(outliers, reverse=True):
+            print(f"- {n}: {v1:.2f} -> {vN:.2f} s ({ratio:.1f}x){tag}")
     if dropped or missing:
         sys.exit(1)
 
