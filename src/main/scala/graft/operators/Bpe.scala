@@ -181,8 +181,13 @@ object Bpe {
       .select("merge_left", "merge_right").as[(String, String)].collect().toSeq
     val docWords = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("word"))
-    val segVocab = segment(wordTable(docs), merges)
-      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+    // the apply pass runs as the fused kernel (one imperative merge scan
+    // per vocabulary word) instead of [[segment]]'s interpreted
+    // 10-pass HOF fold — spec-pinned equal (BpeSpec); [[segment]] stays
+    // as the relational reference arm
+    val segVocab = wordTable(docs).select(col("word"),
+      size(org.apache.spark.sql.graftext.BpeSegmentExpr
+        .bpeSegment(col("word"), merges)).cast("long").as("n_pieces"))
     docWords.join(segVocab, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))

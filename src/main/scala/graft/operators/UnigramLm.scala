@@ -107,6 +107,49 @@ object UnigramLm {
       Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen),
       pieceLogProbs(docs, vocabSize, maxLen), maxLen)
 
+  /** Session-scoped memo of the collected seeded model (piece → logp) —
+    * the Viterbi kernel's reference object; [[Bpe]]'s merge-memo recipe.
+    * The logp doubles are COLLECTED from the [[pieceLogProbs]] frame, not
+    * recomputed driver-side, so the kernel adds the exact bits the
+    * relational arm adds.
+    */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  private def collectModel(lp: DataFrame): Seq[(String, Double)] = {
+    import lp.sparkSession.implicits._
+    lp.as[(String, Double)].collect().toSeq.sortBy(_._1)
+  }
+
+  /** The seeded model as a sorted driver-side `Seq` (model-sized: vocab +
+    * char backstop), memoized per corpus fingerprint.
+    */
+  def modelSeq(docs: DataFrame,
+               vocabSize: Int = Wordpiece.DefaultVocab,
+               maxLen: Int = Wordpiece.MaxPieceLen): Seq[(String, Double)] = {
+    val key0 = Caches.planMemoKey(docs)
+    val key = if (key0.nonEmpty) s"$key0|ug=$vocabSize,$maxLen" else ""
+    val hit = if (key.nonEmpty) modelMemo.get(key) else null
+    if (hit != null) return hit
+    val m = collectModel(pieceLogProbs(docs, vocabSize, maxLen))
+    if (key.nonEmpty) {
+      if (modelMemo.size >= 8) modelMemo.clear()
+      modelMemo.put(key, m)
+    }
+    m
+  }
+
+  /** [[viterbiFromModel]] via the fused DP kernel: `(word, cnt, v)` where
+    * `v = struct(n_pieces, score, pieces)`; null-`v` words (no in-vocab
+    * substring) are dropped like the relational arm's inner join.
+    */
+  private def viterbiFused(words: DataFrame, model: Seq[(String, Double)],
+                           maxLen: Int): DataFrame =
+    words.select(col("word"), col("cnt"),
+        org.apache.spark.sql.graftext.UnigramViterbiExpr
+          .unigramViterbi(col("word"), model, maxLen).as("v"))
+      .where(col("v").isNotNull)
+
   /** The Viterbi-optimal PIECES per word: the backwalk over the dp array.
     * From consumed length p, take the SMALLEST l whose candidate
     * (dp[p−l].score + logp, dp[p−l].negn − 1) equals dp[p] exactly —
@@ -155,8 +198,15 @@ object UnigramLm {
   def segmentCorpus(docs: DataFrame,
                     vocabSize: Int = Wordpiece.DefaultVocab,
                     maxLen: Int = Wordpiece.MaxPieceLen): DataFrame = {
-    val solved = viterbiWords(docs, vocabSize, maxLen)
-      .select("word", "n_pieces", "score")
+    // the DP runs as the fused kernel (one O(len·maxLen) array pass per
+    // vocabulary word) instead of the interpreted dpExpr fold —
+    // spec-pinned equal (UnigramLmSpec); [[viterbiWords]] stays as the
+    // relational reference arm
+    val solved = viterbiFused(
+        Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen),
+        modelSeq(docs, vocabSize, maxLen), maxLen)
+      .select(col("word"), col("v.n_pieces").as("n_pieces"),
+        col("v.score").as("score"))
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
       .where(length(col("word")) <= MaxWordLen)
       .join(solved, "word")
@@ -191,8 +241,15 @@ object UnigramLm {
              vocabSize: Int = Wordpiece.DefaultVocab,
              maxLen: Int = Wordpiece.MaxPieceLen): DataFrame = {
     val words = Bpe.wordTable(docs).where(length(col("word")) <= MaxWordLen)
-    val lp0 = pieceLogProbs(docs, vocabSize, maxLen)
-    val counted = viterbiPieces(words, lp0, maxLen)
+    // both Viterbi passes and the E-step backwalk ride the fused kernel;
+    // the re-estimated model's logp doubles are COLLECTED from the same
+    // Spark `log` the relational arm joins against (lp1 is per-call
+    // derived state, deliberately not memoized). The kernel's null
+    // `pieces` (unreachable under the RESTRICTED model) drop in the
+    // explode exactly like the arm's null backwalk.
+    val model0 = modelSeq(docs, vocabSize, maxLen)
+    val counted = viterbiFused(words, model0, maxLen)
+      .select(col("cnt"), explode(col("v.pieces")).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("freq"))
     val tot = counted.agg(sum("freq").as("total"))
     val lp1 = counted.crossJoin(broadcast(tot))
@@ -200,14 +257,14 @@ object UnigramLm {
         log(col("freq").cast("double") / col("total")).as("logp"))
     def summarize(iter: Int, solved: DataFrame): DataFrame =
       solved.agg(sum("cnt").as("nw"),
-          sum(col("cnt") * col("n_pieces")).as("ns"),
-          sum(col("cnt") * col("score")).as("ll"))
+          sum(col("cnt") * col("v.n_pieces")).as("ns"),
+          sum(col("cnt") * col("v.score")).as("ll"))
         .select(lit(iter.toLong).as("iteration"),
           col("nw").as("n_words"), col("ns").as("n_subwords"),
           round(col("ns").cast("double") / col("nw"), 6).as("fertility"),
           round(col("ll"), 4).as("total_loglik"))
-    summarize(0, viterbiFromModel(words, lp0, maxLen))
-      .unionByName(summarize(1, viterbiFromModel(words, lp1, maxLen)))
+    summarize(0, viterbiFused(words, model0, maxLen))
+      .unionByName(summarize(1, viterbiFused(words, collectModel(lp1), maxLen)))
   }
 
   def qEmStep(spark: SparkSession, sfDir: String): DataFrame =

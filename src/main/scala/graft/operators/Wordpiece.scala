@@ -35,16 +35,19 @@ object Wordpiece {
     */
   def pieceVocab(docs: DataFrame, vocabSize: Int = DefaultVocab,
                  maxLen: Int = MaxPieceLen): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = Bpe.wordTable(docs)
     val subs = words.select(col("cnt"),
         explode(substringsOf(col("word"), maxLen)).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("freq"))
-    val ranked = subs.withColumn("rank",
-      row_number().over(Window.orderBy(desc("freq"), asc("piece"))))
-    val top = ranked.where(col("rank") <= vocabSize)
+    // top-N as orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    // never a single-partition global sort of the whole substring set —
+    // the r14 scale fix; (freq, piece) is a total order so the cut is
+    // identical to the former row_number window) and the char backstop as
+    // an anti join against the vocab-sized top frame
+    val top = subs.orderBy(desc("freq"), asc("piece")).limit(vocabSize)
       .select(col("piece"), col("freq"), lit(true).as("in_top"))
-    val chars = ranked.where(length(col("piece")) === 1 && col("rank") > vocabSize)
+    val chars = subs.where(length(col("piece")) === 1)
+      .join(broadcast(top.select("piece")), Seq("piece"), "left_anti")
       .select(col("piece"), col("freq"), lit(false).as("in_top"))
     top.unionByName(chars)
   }
@@ -89,14 +92,47 @@ object Wordpiece {
       .select(col("word"), col("cnt"), split(col("acc"), " ").as("pieces"))
   }
 
+  /** Session-scoped memo of the collected piece vocabulary (the kernel's
+    * reference-object model), keyed like [[Bpe]]'s merge memo: the
+    * vocabulary is model-sized (`vocabSize` + char backstop) derived
+    * state a tokenizer service holds resident, and x73/x74/x75/x80 all
+    * segment under the SAME seed on an unchanged corpus.
+    */
+  private val vocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** The learned piece vocabulary collected to a sorted `Seq` — the model
+    * argument of the greedy-match and Viterbi kernels.
+    */
+  def vocabPieces(docs: DataFrame, vocabSize: Int = DefaultVocab,
+                  maxLen: Int = MaxPieceLen): Seq[String] = {
+    import docs.sparkSession.implicits._
+    val key0 = Caches.planMemoKey(docs)
+    val key = if (key0.nonEmpty) s"$key0|wp=$vocabSize,$maxLen" else ""
+    val hit = if (key.nonEmpty) vocabMemo.get(key) else null
+    if (hit != null) return hit
+    val v = pieceVocab(docs, vocabSize, maxLen)
+      .select("piece").as[String].collect().toSeq.sorted
+    if (key.nonEmpty) {
+      if (vocabMemo.size >= 8) vocabMemo.clear()
+      vocabMemo.put(key, v)
+    }
+    v
+  }
+
   /** Per-document subword statistics under the WordPiece tokenizer —
     * x48's shape (n_words, n_subwords, fertility) so the two tokenizers'
-    * quality metrics compare row-for-row.
+    * quality metrics compare row-for-row. The greedy match runs as the
+    * fused kernel (one hash-set-probing scan per vocabulary word) instead
+    * of [[segmentWords]]'s interpreted fold — spec-pinned equal
+    * (WordpieceSpec); [[segmentWords]] stays as the reference arm.
     */
   def segmentCorpus(docs: DataFrame, vocabSize: Int = DefaultVocab,
                     maxLen: Int = MaxPieceLen): DataFrame = {
-    val segVocab = segmentWords(docs, vocabSize, maxLen)
-      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+    val segVocab = Bpe.wordTable(docs).select(col("word"),
+      size(org.apache.spark.sql.graftext.WordpieceSegmentExpr
+        .wordpieceSegment(col("word"), vocabPieces(docs, vocabSize, maxLen),
+          maxLen)).cast("long").as("n_pieces"))
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
       .join(segVocab, "word")
       .groupBy("doc_id")

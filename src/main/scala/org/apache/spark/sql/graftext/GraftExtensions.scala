@@ -149,6 +149,80 @@ object GraftFunctions {
       foldableLong(children(1), "ngram_rep_stats", "n").toInt)
   }
 
+  private def buildSentencePairSims(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "sentence_pair_sims takes (text, pattern, stopwords)")
+    val pat = children(1)
+    require(pat.foldable, "sentence_pair_sims: pattern must be a literal")
+    val words = children(2)
+    require(words.foldable, "sentence_pair_sims: stopwords must be a literal array")
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val ws = (words.dataType, words.eval()) match {
+      case (ArrayType(StringType, _), a: ArrayData) =>
+        (0 until a.numElements()).flatMap(i =>
+          if (a.isNullAt(i)) None else Some(a.getUTF8String(i).toString))
+      case (t, v) => throw new IllegalArgumentException(
+        s"sentence_pair_sims: stopwords must be a string-array literal, got $v: $t")
+    }
+    SentencePairSimsExpr(children.head, pat.eval().toString, ws)
+  }
+
+  private def foldableStringArray(e: Expression, fn: String,
+                                  arg: String): Seq[String] = {
+    require(e.foldable, s"$fn: $arg must be a literal string array")
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    (e.dataType, e.eval()) match {
+      case (ArrayType(StringType, _), a: ArrayData) =>
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$fn: $arg must not contain nulls")
+          a.getUTF8String(i).toString
+        }
+      case (t, v) => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string-array literal, got $v: $t")
+    }
+  }
+
+  private def foldableDoubleArray(e: Expression, fn: String,
+                                  arg: String): Seq[Double] = {
+    require(e.foldable, s"$fn: $arg must be a literal double array")
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    (e.dataType, e.eval()) match {
+      case (ArrayType(DoubleType, _), a: ArrayData) =>
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$fn: $arg must not contain nulls")
+          a.getDouble(i)
+        }
+      case (t, v) => throw new IllegalArgumentException(
+        s"$fn: $arg must be a double-array literal, got $v: $t")
+    }
+  }
+
+  private def buildBpeSegment(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "bpe_segment takes (word, merges)")
+    val flat = foldableStringArray(children(1), "bpe_segment", "merges")
+    require(flat.length % 2 == 0,
+      "bpe_segment: merges must be a flat (left, right) pair array")
+    BpeSegmentExpr(children.head, flat.grouped(2).map(p => (p(0), p(1))).toSeq)
+  }
+
+  private def buildWordpieceSegment(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "wordpiece_segment takes (word, vocab, max_len)")
+    WordpieceSegmentExpr(children.head,
+      foldableStringArray(children(1), "wordpiece_segment", "vocab"),
+      foldableLong(children(2), "wordpiece_segment", "max_len").toInt)
+  }
+
+  private def buildUnigramViterbi(children: Seq[Expression]): Expression = {
+    require(children.length == 4,
+      "unigram_viterbi takes (word, pieces, logps, max_len)")
+    val ps = foldableStringArray(children(1), "unigram_viterbi", "pieces")
+    val lps = foldableDoubleArray(children(2), "unigram_viterbi", "logps")
+    require(ps.length == lps.length, "unigram_viterbi: pieces/logps must align")
+    UnigramViterbiExpr(children.head, ps, lps,
+      foldableLong(children(3), "unigram_viterbi", "max_len").toInt)
+  }
+
   private def info(clazz: Class[_], name: String, usage: String) =
     new ExpressionInfo(clazz.getName, null, name, usage, "")
 
@@ -210,7 +284,23 @@ object GraftFunctions {
       (FunctionIdentifier("ngram_rep_stats"),
         info(classOf[NgramRepStatsExpr], "ngram_rep_stats",
           "ngram_rep_stats(tokens, n) - struct(n_grams, top_cnt, n_distinct) of the n-grams"),
-        buildNgramRepStats))
+        buildNgramRepStats),
+      (FunctionIdentifier("sentence_pair_sims"),
+        info(classOf[SentencePairSimsExpr], "sentence_pair_sims",
+          "sentence_pair_sims(text, pattern, stopwords) - array<struct<i,j,sim>> of co-tokened sentence pairs"),
+        buildSentencePairSims),
+      (FunctionIdentifier("bpe_segment"),
+        info(classOf[BpeSegmentExpr], "bpe_segment",
+          "bpe_segment(word, merges) - BPE pieces of word under the flat (left,right) merge array"),
+        buildBpeSegment),
+      (FunctionIdentifier("wordpiece_segment"),
+        info(classOf[WordpieceSegmentExpr], "wordpiece_segment",
+          "wordpiece_segment(word, vocab, max_len) - greedy longest-match pieces of word"),
+        buildWordpieceSegment),
+      (FunctionIdentifier("unigram_viterbi"),
+        info(classOf[UnigramViterbiExpr], "unigram_viterbi",
+          "unigram_viterbi(word, pieces, logps, max_len) - struct(n_pieces, score, pieces) of the Viterbi segmentation"),
+        buildUnigramViterbi))
 
   /** Register on an already-built session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =
