@@ -111,6 +111,22 @@ object Relevance {
           .as("combined"))
   }
 
+  /** Per-document token length `(doc_id, dl)` over the shared counts
+    * frame — shared-cached because every BM25 pass needs it and the plan
+    * is identical across consumers (CacheManager dedupes to one entry).
+    */
+  private[operators] def docLenFromCounts(counts: DataFrame): DataFrame =
+    Caches.shared(counts.groupBy("doc_id").agg(sum("cnt").as("dl")))
+
+  /** The 1-row (n_docs, avgdl) BM25 scalar frame, shared-cached for the
+    * same reason as [[docLenFromCounts]].
+    */
+  private[operators] def bm25StatsFrom(docs: DataFrame, counts: DataFrame): DataFrame =
+    Caches.shared(docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
+      .select(col("n_docs"),
+        (col("tot_tokens").cast("double") / col("n_docs")).as("avgdl")))
+
   /** BM25 ranking (Okapi, with Lucene's non-negative idf form):
     * `Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) · cnt·(k1+1)/(cnt + k1·(1 − b + b·dl/avgdl))`
     * over the query terms, using raw term counts (BM25 does its own length
@@ -134,11 +150,14 @@ object Relevance {
     // on an exact rounding boundary; with ≤8 terms per doc the risk is
     // negligible (if n13 ever wobbles, round per-term contributions first).
     val counts = Caches.shared(termCounts(docs))
-    val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
-      .select(col("n_docs"),
-        (col("tot_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    // docLen and the (N, avgdl) scalars are keyword-independent corpus
+    // aggregates recomputed by every BM25 consumer (n13, x44's lexical
+    // arm, x47's lexical arm, x61's two passes) — shared-cached, the
+    // CacheManager dedupes the identical canonical plans into one entry,
+    // so the whole retrieval family builds them once per corpus (guide
+    // §2.4: two operations keyed the same way share one exchange).
+    val docLen = docLenFromCounts(counts)
+    val stats = bm25StatsFrom(docs, counts)
     val dfs = counts.where(array_contains(kwArr, col("token")))
       .groupBy("token").agg(count(lit(1)).as("df"))
     val scores = counts.where(array_contains(kwArr, col("token")))
@@ -167,11 +186,8 @@ object Relevance {
   def bm25RankFromTerms(docs: DataFrame, terms: DataFrame, k1: Double = 1.2,
                         b: Double = 0.75, topK: Int = 100): DataFrame = {
     val counts = Caches.shared(termCounts(docs))
-    val docLen = counts.groupBy("doc_id").agg(sum("cnt").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(counts.agg(sum("cnt").as("tot_tokens")))
-      .select(col("n_docs"),
-        (col("tot_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val docLen = docLenFromCounts(counts)
+    val stats = bm25StatsFrom(docs, counts)
     val matched = counts.join(broadcast(terms.select("token").distinct()), "token")
     val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
     val scores = matched

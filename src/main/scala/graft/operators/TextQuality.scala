@@ -300,8 +300,12 @@ object TextQuality {
     // Σ_occurrences ln p ≡ Σ_tokens cnt·ln p (the oracle uses the same
     // weighted form so both engines sum the identical term multiset).
     val counts = Caches.shared(graft.operators.Relevance.termCounts(docs))
-    val model = counts.groupBy("token").agg(sum("cnt").as("gcnt"))
-    val totals = model.agg(sum("gcnt").as("n_total"), count("*").as("n_vocab"))
+    // the corpus unigram model and its 1-row totals are rebuilt by every
+    // scoring consumer (x25, x31's buckets, x39/x39b's labels, x63) —
+    // shared-cached so the family builds them once per corpus
+    val model = Caches.shared(counts.groupBy("token").agg(sum("cnt").as("gcnt")))
+    val totals = Caches.shared(
+      model.agg(sum("gcnt").as("n_total"), count("*").as("n_vocab")))
     counts.join(model, "token")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
@@ -327,19 +331,42 @@ object TextQuality {
     * tiny next to the corpus. Documents with < 2 tokens have no bigrams
     * and drop out (same rule as x25's zero-token docs).
     */
-  def bigramLogprob(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-    val counts = toks.where(size(col("t")) >= 2)
+  /** Per-document distinct-bigram counts `(doc_id, w1, w2, cnt)` — the
+    * Zipf-compressed bigram event frame every bigram-LM consumer starts
+    * from (x43, x59; x79 derives its corpus model from it). Shared-cached:
+    * the explode + groupBy is the expensive half of each of those queries
+    * and the plan is identical across them.
+    */
+  private[operators] def docBigramCounts(docs: DataFrame): DataFrame =
+    Caches.shared(docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
           struct(element_at(col("t"), i + 1).as("w1"),
                  element_at(col("t"), i + 2).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
-    val biModel = counts.groupBy("w1", "w2").agg(sum("cnt").as("bcnt"))
-    val uniModel = graft.operators.Relevance.termCounts(docs)
-      .groupBy("token").agg(sum("cnt").as("ucnt"))
-      .withColumnRenamed("token", "w1")
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt")))
+
+  /** Corpus bigram model `(w1, w2, bcnt)` over [[docBigramCounts]] —
+    * shared by x43, x59 and x79.
+    */
+  private[operators] def bigramModel(docs: DataFrame): DataFrame =
+    Caches.shared(docBigramCounts(docs)
+      .groupBy("w1", "w2").agg(sum("cnt").as("bcnt")))
+
+  /** Corpus unigram counts `(token, ucnt)` — the shared base the bigram
+    * consumers rename to their join key (w1 / w2). Cached BEFORE the
+    * rename so all consumers substitute the same entry.
+    */
+  private[operators] def unigramModel(docs: DataFrame): DataFrame =
+    Caches.shared(graft.operators.Relevance.termCounts(docs)
+      .groupBy("token").agg(sum("cnt").as("ucnt")))
+
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val counts = docBigramCounts(docs)
+    val biModel = bigramModel(docs)
+    val uniModel = unigramModel(docs).withColumnRenamed("token", "w1")
     val vocab = uniModel.agg(count(lit(1)).as("n_vocab"))
     counts.join(biModel, Seq("w1", "w2"))
       .join(uniModel, "w1")
@@ -372,20 +399,11 @@ object TextQuality {
     * engine-identical.
     */
   def interpBigramLogprob(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-    val counts = toks.where(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
-          struct(element_at(col("t"), i + 1).as("w1"),
-                 element_at(col("t"), i + 2).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
-    val biModel = counts.groupBy("w1", "w2").agg(sum("cnt").as("bcnt"))
+    val counts = docBigramCounts(docs)
+    val biModel = bigramModel(docs)
     val ctx = biModel.groupBy("w1")
       .agg(sum("bcnt").as("cxt"), count(lit(1)).as("n1p"))
-    val uni = graft.operators.Relevance.termCounts(docs)
-      .groupBy("token").agg(sum("cnt").as("ucnt"))
-      .withColumnRenamed("token", "w2")
+    val uni = unigramModel(docs).withColumnRenamed("token", "w2")
     val tot = uni.agg(sum("ucnt").as("n_total"))
     val p = greatest(col("bcnt") - discount, lit(0.0d)) / col("cxt") +
       lit(discount) * col("n1p") / col("cxt") *
@@ -617,10 +635,12 @@ object TextQuality {
           struct(element_at(col("t"), i + 1).as("w1"),
                  element_at(col("t"), i + 2).as("w2")))).as(Seq("pos", "bg")))
       .select(col("doc_id"), col("pos"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biModel = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
-    val uniModel = graft.operators.Relevance.termCounts(docs)
-      .groupBy("token").agg(sum("cnt").as("ucnt"))
-      .withColumnRenamed("token", "w1")
+    // the corpus models come from the shared x43/x59 frames: counting the
+    // positional `pairs` rows per (w1, w2) equals summing the per-doc
+    // distinct-bigram counts (both count bigram occurrences), so the
+    // cached [[bigramModel]] substitutes for a private groupBy here
+    val biModel = bigramModel(docs)
+    val uniModel = unigramModel(docs).withColumnRenamed("token", "w1")
     val vocab = uniModel.agg(count(lit(1)).as("n_vocab"))
     val lp = pairs.join(biModel, Seq("w1", "w2"))
       .join(uniModel, "w1")
