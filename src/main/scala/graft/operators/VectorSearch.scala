@@ -343,7 +343,13 @@ object VectorSearch {
     lloydRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val vecs = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // shared-cached training projection (r14): every Lloyd iteration — and
+    // every other trainer over the same corpus in the session (the PQ
+    // chains, the coarse quantizers of x14/x37/x52/x55/x82/x83) — scans
+    // this narrow (vec_id, v) frame; one cache entry per corpus replaces
+    // a parquet scan + cast per iteration per trainer.
+    val vecs = Caches.shared(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .as[(Long, Array[Double])]
     var centroids = vecs.orderBy("vec_id").limit(k).map(_._2).collect()
     val dim = centroids.headOption.map(_.length).getOrElse(0)
@@ -933,9 +939,90 @@ object VectorSearch {
   /** Train the m per-subspace codebooks; returns (subDim, books) where
     * `books(s)(j)` is subspace s's j-th centroid. Model-sized driver
     * traffic only.
+    *
+    * Fused (r14): the m independent Lloyd chains run over the SAME corpus
+    * rows, so one pass per iteration accumulates all m subspaces' per-cell
+    * sums at once — `1 + iters` jobs total instead of `1 + m·(1 + iters)`
+    * (sf0.1 is job-count-bound: AQE materializes every action as its own
+    * job, and x50/x51/x88 each paid the m-chain setup per invocation).
+    * Per (subspace, cell) the additions are the same values folded in the
+    * same per-partition row order as the per-subspace chains; only the
+    * reduce-side merge tree can differ, which the per-iteration 6-dp
+    * HALF_UP rounding absorbs exactly as [[kmeansCentroids]] argues for
+    * partition-count invariance ([[pqTrainPerSubspace]] is the retained
+    * reference; equality is spec-pinned). The init collect of the k
+    * lowest vec_ids' full vectors also yields `dim`, dropping the
+    * separate size() probe job.
     */
   private[graft] def pqTrain(embeddings: DataFrame, m: Int, k: Int,
                              iters: Int): (Int, Seq[Seq[Seq[Double]]]) = {
+    lloydRuns.incrementAndGet()
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // same shared (vec_id, v) cache as [[kmeansCentroids]] — the PQ chain
+    // and the coarse quantizer train over one in-memory projection
+    val vecs = Caches.shared(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")))
+      .as[(Long, Array[Double])]
+    val init = vecs.orderBy("vec_id").limit(k).map(_._2).collect()
+    val dim = init.headOption.map(_.length).getOrElse(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    // books(s)(c) — mutable working copy, sliced from the shared init set
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => init.map(_.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val updated = vecs.rdd.mapPartitions { it =>
+        val bs = bc.value
+        val mm = bs.length
+        val kk = bs(0).length
+        val sd = bs(0)(0).length
+        val sums = Array.fill(mm * kk)(new Array[Double](sd))
+        val counts = new Array[Long](mm * kk)
+        it.foreach { case (_, v) =>
+          var s = 0
+          while (s < mm) {
+            val off = s * sd
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < kk) {
+              val cent = bs(s)(c)
+              var d = 0.0; var i = 0
+              while (i < sd) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            val acc = sums(s * kk + best)
+            var i = 0
+            while (i < sd) { acc(i) += v(off + i); i += 1 }
+            counts(s * kk + best) += 1
+            s += 1
+          }
+        }
+        Iterator.tabulate(mm * kk)(i => (i, (sums(i), counts(i))))
+      }.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        val (s1, n1) = a; val (s2, n2) = b
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, n1 + n2)
+      }.collect()
+      val next = books.map(_.map(_.clone()))
+      updated.foreach { case (i, (sms, n)) =>
+        if (n > 0) next(i / k)(i % k) = sms.map(x =>
+          BigDecimal(x / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      books = next
+    }
+    (subDim, books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** The per-subspace chain form of [[pqTrain]] — m independent
+    * [[kmeansCentroids]] runs over sliced projections. Retained as the
+    * equality-spec reference for the fused single-pass trainer.
+    */
+  private[graft] def pqTrainPerSubspace(embeddings: DataFrame, m: Int, k: Int,
+                                        iters: Int): (Int, Seq[Seq[Seq[Double]]]) = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
