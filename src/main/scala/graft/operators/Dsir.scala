@@ -101,11 +101,14 @@ object Dsir {
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         round(sum(col("cnt") * col("llr")), 6).as("log_weight"))
-    docs.select(col("doc_id"), col("source"))
+    // shared-cached (r14): x53 emits the weights whole and x54's Gumbel
+    // resample ranks them — one scoring pass per corpus (the frame is
+    // narrow: doc_id + source + two numbers)
+    Caches.shared(docs.select(col("doc_id"), col("source"))
       .join(w, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("log_weight"), lit(0.0d)).as("log_weight"))
+        coalesce(col("log_weight"), lit(0.0d)).as("log_weight")))
   }
 
   /** Gumbel-top-k resample over the importance weights: key =

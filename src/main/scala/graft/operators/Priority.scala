@@ -47,8 +47,10 @@ object Priority {
       when(col("relevance_score") >= 0.7, lit("high relevance")),
       when(col("length_score") >= 0.8, lit("comprehensive content"))))
     // text-derived scores project BEFORE the join: only (doc_id, two
-    // doubles) reach the doc_id shuffle, never the text column itself
-    docs
+    // doubles) reach the doc_id shuffle, never the text column itself.
+    // Shared-cached (r14): n8 emits this frame whole, n9 aggregates it,
+    // and the pipeline joins it — one classification pass per corpus.
+    Caches.shared(docs
       .select(col("doc_id"),
         TextFns.lengthScore(col("text")).as("length_score"),
         TextFns.keywordScore(col("text"), critical, high).as("keyword_score"))
@@ -57,7 +59,7 @@ object Priority {
       .withColumn("priority_level", TextFns.priorityLevel(col("priority_score")))
       .withColumn("reasons", reasons)
       .select("doc_id", "relevance_score", "length_score", "keyword_score",
-              "priority_score", "priority_level", "reasons")
+              "priority_score", "priority_level", "reasons"))
   }
 
   /** N29: priority-level distribution histogram. */

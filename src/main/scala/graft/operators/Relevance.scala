@@ -50,9 +50,14 @@ object Relevance {
   /** N2: max-normalized TF per (doc, term). */
   def tfMax(docs: DataFrame): DataFrame = tfMaxFromCounts(termCounts(docs))
 
+  /** Shared-cached (r14): n1, the TF-IDF chain (n3 + relevanceScores),
+    * and n12's vector-store projection all consume the identical window
+    * aggregate — one cached build per corpus (guide §2.4).
+    */
   private[operators] def tfMaxFromCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id")
-    counts.withColumn("tf", col("cnt").cast("double") / max("cnt").over(w))
+    Caches.shared(
+      counts.withColumn("tf", col("cnt").cast("double") / max("cnt").over(w)))
   }
 
   /** N4: corpus IDF per term, ln(N/(1+df)). N is carried via a broadcast
@@ -60,22 +65,28 @@ object Relevance {
     */
   def idf(docs: DataFrame): DataFrame = idfFromCounts(termCounts(docs), docs)
 
+  /** Shared-cached (r14): vocab-sized; consumed by n2, the TF-IDF chain,
+    * n12's vocabulary cut, and x61's PRF expansion.
+    */
   private[operators] def idfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("corpus_n"))
-    counts
+    Caches.shared(counts
       .groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .select(col("token"), col("df"),
-        log(col("corpus_n").cast("double") / (col("df") + 1)).as("idf"))
+        log(col("corpus_n").cast("double") / (col("df") + 1)).as("idf")))
   }
 
   /** N5: TF-IDF long form (doc_id, token, tfidf). */
   def tfidf(docs: DataFrame): DataFrame = tfidfFromCounts(termCounts(docs), docs)
 
+  /** Shared-cached (r14): the long-form TF-IDF index is consumed whole by
+    * n3 and filtered by relevanceScores' keyword arm — one cached build.
+    */
   private def tfidfFromCounts(counts: DataFrame, docs: DataFrame): DataFrame =
-    tfMaxFromCounts(counts)
+    Caches.shared(tfMaxFromCounts(counts)
       .join(idfFromCounts(counts, docs).select("token", "idf"), "token")
-      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf"))
+      .select(col("doc_id"), col("token"), (col("tf") * col("idf")).as("tfidf")))
 
   /** N6–N9: per-document relevance scores for a keyword list. Documents
     * with no tokens (or no matches) score 0 across the board, like the
@@ -96,7 +107,11 @@ object Relevance {
     val tfkw = tfidfFromCounts(counts, docs)
       .where(array_contains(kwArr, col("token")) && col("tfidf") > 0)
       .groupBy("doc_id").agg(sum(col("tfidf")).as("kw_tfidf_sum"))
-    docs.select("doc_id")
+    // shared-cached (r14): n4 emits it whole, n5 ranks it, n8/n9's
+    // classifier joins it, and the pipeline (p1/p1b/p2) consumes it via
+    // the same canonical plan — one cached build per corpus instead of a
+    // relevance pass per consumer
+    Caches.shared(docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .join(tfkw, Seq("doc_id"), "left_outer")
       .select(
@@ -108,7 +123,7 @@ object Relevance {
           coalesce(col("kw_tokens") / col("n_tokens"), lit(0.0)) * 0.3 +
           coalesce(col("kw_matched") / lit(kw.size.toDouble), lit(0.0)) * 0.4 +
           coalesce(col("kw_tfidf_sum") / lit(kw.size.toDouble), lit(0.0)) * 0.3, 6)
-          .as("combined"))
+          .as("combined")))
   }
 
   /** Per-document token length `(doc_id, dl)` over the shared counts
