@@ -344,7 +344,10 @@ object Classifier {
     // Caches.withScope
     val labels = Caches.checkpointed(
       if (quantileLabels) lmLabelsQuantile(docs) else lmLabels(docs))
-    val hashed = Caches.checkpointed(hashedFeatures(docs))
+    // shared cache rather than a per-invocation checkpoint (r14): the
+    // feature frame is label-independent, so x39 and x39b dedupe to ONE
+    // tokenize+hash+normalize build per corpus via the CacheManager
+    val hashed = Caches.shared(hashedFeatures(docs))
     val w = trainOnFeatures(hashed, labels, docs.count().toDouble, lr, iters)
     classifyFeatures(hashed, labels, w)
   }

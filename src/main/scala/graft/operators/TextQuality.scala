@@ -306,7 +306,10 @@ object TextQuality {
     val model = Caches.shared(counts.groupBy("token").agg(sum("cnt").as("gcnt")))
     val totals = Caches.shared(
       model.agg(sum("gcnt").as("n_total"), count("*").as("n_vocab")))
-    counts.join(model, "token")
+    // the per-doc scored frame itself is shared (r14): x25 emits it, x31
+    // buckets it, x39/x39b's label cuts re-derive it per arm, x49's
+    // novelty gate joins it — one scoring join per corpus
+    Caches.shared(counts.join(model, "token")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
@@ -314,7 +317,7 @@ object TextQuality {
           sum(col("cnt") *
             log((col("gcnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))) /
             sum("cnt"),
-          6).as("mean_logprob"))
+          6).as("mean_logprob")))
   }
 
   /** Bigram LM scoring — [[unigramLogprob]]'s conditional upgrade: score

@@ -186,13 +186,25 @@ object DocStream {
         if (admit) kept += d
         (d, admit)
       }
-      val keptDf = verdicts.filter(_._2).map(_._1).toSeq.toDF("doc_id")
-      bands.join(keptDf, "doc_id").write.mode("overwrite")
+      val keptIds = verdicts.filter(_._2).map(_._1)
+      val keptDf = keptIds.toSeq.toDF("doc_id")
+      // State-delta file sizing (guide §6): the join output inherits the
+      // session's shuffle partitioning, so each micro-batch would shed
+      // 3 × shuffle.partitions near-empty files into the state dir —
+      // fragmentation the compactor then pays for. Size file counts from
+      // the DRIVER-KNOWN row counts (the verdicts were just collected)
+      // at ~512k narrow rows per file; batch sizes at any scale produce
+      // a handful of well-filled deltas instead.
+      def nFiles(rows: Long): Int =
+        math.max(1L, math.min(10000L, (rows + 511999L) / 512000L)).toInt
+      val bandFiles = nFiles(keptIds.length.toLong * Dedup.NumBands)
+      bands.join(keptDf, "doc_id").coalesce(bandFiles).write.mode("overwrite")
         .parquet(s"$bandsPath/batch_id=$batchId")
-      sigs.join(keptDf, "doc_id").write.mode("overwrite")
-        .parquet(s"$sigsPath/batch_id=$batchId")
+      sigs.join(keptDf, "doc_id").coalesce(nFiles(keptIds.length.toLong))
+        .write.mode("overwrite").parquet(s"$sigsPath/batch_id=$batchId")
       val verdictsDf = verdicts.toSeq.toDF("doc_id", "kept")
-      verdictsDf.write.mode("overwrite").parquet(verdictsPath)
+      verdictsDf.coalesce(nFiles(verdicts.length.toLong))
+        .write.mode("overwrite").parquet(verdictsPath)
       fs.mkdirs(commitsDir)
       fs.createNewFile(commitMarker)
       // state maintenance AFTER the commit: this batch's result is durable
