@@ -63,6 +63,9 @@ object ServedSearch {
     val counts = Caches.shared(Relevance.termCounts(docs))
     SearchIndex.positionalIndex(docs)
       .withColumn("bucket", bucketOf(col("tok")))
+      // rebalance on the partition column (guide §6): few well-filled
+      // files per bucket directory, not one sliver per input partition
+      .hint("rebalance", col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     counts.groupBy("doc_id")
       .agg(sum("cnt").as("dl"), max("cnt").as("max_cnt"))

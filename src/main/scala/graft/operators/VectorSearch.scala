@@ -854,7 +854,9 @@ object VectorSearch {
   def writeCellPartitioned(embeddings: DataFrame, path: String,
                            nCells: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
-    assignCells(embeddings, centroids)
+    // rebalance on the partition column: few well-filled files per cell
+    // directory instead of one sliver per (cell × input partition)
+    assignCells(embeddings, centroids).hint("rebalance", col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
@@ -1247,7 +1249,7 @@ object VectorSearch {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(dir + "/centroids")
-    assignCells(embeddings, cents)
+    assignCells(embeddings, cents).hint("rebalance", col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/vectors")
   }
 
@@ -1302,6 +1304,7 @@ object VectorSearch {
     pqEncoded(withRes, subDim, books, carry = Seq("cell"))
       .select(col("vec_id") +: col("label") +: col("cell") +:
         (0 until m).map(s => col(s"code$s")): _*)
+      .hint("rebalance", col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir + "/codes")
     // everything derived from the residuals is now ON DISK — release the
     // corpus-sized checkpoint instead of parking it for the session
