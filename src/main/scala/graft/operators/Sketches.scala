@@ -70,9 +70,11 @@ object Sketches {
     * KMV sketch and the overlap matrix.
     */
   private def sourceShingles(docs: DataFrame): DataFrame =
-    Dedup.distinctShingleHashes(docs)
+    // shared-cached (r14): x56 reads it twice (sketch + exact arm), x58
+    // three times (sizes + both self-join sides) — one build per corpus
+    graft.operators.Caches.shared(Dedup.distinctShingleHashes(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
-      .select(col("source"), col("h60")).distinct()
+      .select(col("source"), col("h60")).distinct())
 
   /** Cross-source content-overlap matrix: for every source pair that
     * shares at least one shingle, the intersection size, Jaccard, and
@@ -158,9 +160,12 @@ object Sketches {
     * partition-order wobble (the x25/x59 argument).
     */
   def sourceDrift(docs: DataFrame): DataFrame = {
-    val st = Relevance.termCounts(docs)
+    // shared-cached (r14): consumed three times below (marginals + the
+    // scoring join), and x81's Zipf fit aggregates the canonically equal
+    // subtree (alias names are ignored by plan canonicalization)
+    val st = graft.operators.Caches.shared(Relevance.termCounts(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
-      .groupBy("source", "token").agg(sum("cnt").as("scnt"))
+      .groupBy("source", "token").agg(sum("cnt").as("scnt")))
     val srcTot = st.groupBy("source")
       .agg(sum("scnt").as("stot"), count(lit(1)).as("n_types"))
     val corpus = st.groupBy("token").agg(sum("scnt").as("ccnt"))
@@ -186,9 +191,10 @@ object Sketches {
     */
   def termZipf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val st = Relevance.termCounts(docs)
+    // same shared (source, token) sum frame as [[sourceDrift]]
+    val st = graft.operators.Caches.shared(Relevance.termCounts(docs)
       .join(docs.select("doc_id", "source"), "doc_id")
-      .groupBy("source", "token").agg(sum("cnt").as("c"))
+      .groupBy("source", "token").agg(sum("cnt").as("c")))
     val top = Window.partitionBy("source").orderBy(desc("c"), asc("token"))
     st.withColumn("rk", row_number().over(top))
       .groupBy("source")
