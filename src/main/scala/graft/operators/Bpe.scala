@@ -188,12 +188,15 @@ object Bpe {
     val segVocab = wordTable(docs).select(col("word"),
       size(org.apache.spark.sql.graftext.BpeSegmentExpr
         .bpeSegment(col("word"), merges)).cast("long").as("n_pieces"))
-    docWords.join(segVocab, "word")
+    // shared-cached (r14): x48 emits this frame and x75's bake-off
+    // aggregates the canonically equal plan (the merge table is memoized,
+    // so both invocations embed identical kernel literals)
+    Caches.shared(docWords.join(segVocab, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         round(col("n_subwords").cast("double") / col("n_words"), 6)
-          .as("fertility"))
+          .as("fertility")))
   }
 
   // --- query entries ---

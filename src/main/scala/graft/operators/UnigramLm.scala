@@ -145,10 +145,15 @@ object UnigramLm {
     */
   private def viterbiFused(words: DataFrame, model: Seq[(String, Double)],
                            maxLen: Int): DataFrame =
-    words.select(col("word"), col("cnt"),
+    // shared-cached (r14): the seeded-model pass is consumed by x74's
+    // per-doc stats, x75's bake-off, and TWICE by x80's EM step (the
+    // E-step recount and the iteration-0 summary) — one vocabulary-sized
+    // DP pass per (corpus, model); distinct models (x80's re-estimated
+    // iteration 1) get their own entries
+    Caches.shared(words.select(col("word"), col("cnt"),
         org.apache.spark.sql.graftext.UnigramViterbiExpr
           .unigramViterbi(col("word"), model, maxLen).as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull))
 
   /** The Viterbi-optimal PIECES per word: the backwalk over the dp array.
     * From consumed length p, take the SMALLEST l whose candidate
@@ -207,16 +212,19 @@ object UnigramLm {
         modelSeq(docs, vocabSize, maxLen), maxLen)
       .select(col("word"), col("v.n_pieces").as("n_pieces"),
         col("v.score").as("score"))
-    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-      .where(length(col("word")) <= MaxWordLen)
-      .join(solved, "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"),
-        sum("score").as("sumscore"))
-      .select(col("doc_id"), col("n_words"), col("n_subwords"),
-        round(col("n_subwords").cast("double") / col("n_words"), 6)
-          .as("fertility"),
-        round(col("sumscore") / col("n_words"), 6).as("avg_logprob"))
+    // shared-cached (r14): x74 emits this frame and x75's bake-off
+    // aggregates the canonically equal plan (the model is memoized)
+    Caches.shared(
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+        .where(length(col("word")) <= MaxWordLen)
+        .join(solved, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"),
+          sum("score").as("sumscore"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("sumscore") / col("n_words"), 6).as("avg_logprob")))
   }
 
   def qUnigramViterbi(spark: SparkSession, sfDir: String): DataFrame =

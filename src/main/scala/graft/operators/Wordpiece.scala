@@ -133,13 +133,16 @@ object Wordpiece {
       size(org.apache.spark.sql.graftext.WordpieceSegmentExpr
         .wordpieceSegment(col("word"), vocabPieces(docs, vocabSize, maxLen),
           maxLen)).cast("long").as("n_pieces"))
-    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
-      .join(segVocab, "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))
-      .select(col("doc_id"), col("n_words"), col("n_subwords"),
-        round(col("n_subwords").cast("double") / col("n_words"), 6)
-          .as("fertility"))
+    // shared-cached (r14): x73 emits this frame and x75's bake-off
+    // aggregates the canonically equal plan (the piece vocab is memoized)
+    Caches.shared(
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+        .join(segVocab, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility")))
   }
 
   def qWordpieceVocab(spark: SparkSession, sfDir: String): DataFrame =
