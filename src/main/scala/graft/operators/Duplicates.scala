@@ -395,8 +395,16 @@ object Duplicates {
     */
   private def expandRepLabels(docs: DataFrame, members: DataFrame,
                               repDocs: DataFrame, repLabels: DataFrame): DataFrame = {
-    val termedReps = Relevance.termCounts(repDocs)
-      .select(col("doc_id").as("rep_id")).distinct()
+    // a rep has ≥1 term row iff it has ≥1 term row in the FULL corpus
+    // counts (tokenization is per-document), so intersect the shared
+    // corpus termCounts cache with the rep ids instead of tokenizing the
+    // rep-restricted corpus again — on the memo-hit serve path this was
+    // the one remaining full tokenize per consumer (r14; p1/p1b/p2 and
+    // n10/n11 all walk it)
+    val termedReps = Caches.shared(Relevance.termCounts(docs)
+        .select(col("doc_id")).distinct())
+      .join(repDocs.select(col("doc_id")), "doc_id")
+      .select(col("doc_id").as("rep_id"))
     val linked = members.join(termedReps, "rep_id")
       .join(repLabels.withColumnRenamed("doc_id", "rep_id"), "rep_id")
       .select(col("doc_id"), col("component"))
