@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.PlanDump <outDir> <suffix> <name1,name2,...> [sfDir]")
+      sys.exit(1)
+    }
     val outDir = args(0)
     val suffix = args(1)
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)

@@ -967,7 +967,15 @@ object VectorSearch {
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v")))
       .as[(Long, Array[Double])]
     val init = vecs.orderBy("vec_id").limit(k).map(_._2).collect()
-    val dim = init.headOption.map(_.length).getOrElse(0)
+    // Fail fast on the driver: an empty corpus would otherwise surface as
+    // an executor-side ArrayIndexOutOfBounds inside the iteration tasks.
+    require(init.nonEmpty, "pqTrain: embeddings corpus is empty")
+    // A corpus with fewer than k vectors yields a short codebook
+    // (init.length < k); every decode below must use the ACTUAL codebook
+    // size, not the requested k, or the (subspace, cell) unflattening
+    // writes to the wrong cell.
+    val kk = init.length
+    val dim = init.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     // books(s)(c) — mutable working copy, sliced from the shared init set
@@ -1011,7 +1019,7 @@ object VectorSearch {
       }.collect()
       val next = books.map(_.map(_.clone()))
       updated.foreach { case (i, (sms, n)) =>
-        if (n > 0) next(i / k)(i % k) = sms.map(x =>
+        if (n > 0) next(i / kk)(i % kk) = sms.map(x =>
           BigDecimal(x / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       books = next

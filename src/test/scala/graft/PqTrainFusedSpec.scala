@@ -38,4 +38,30 @@ class PqTrainFusedSpec extends SparkSpec {
     assert(sdF == sdR)
     assert(fused == ref)
   }
+
+  test("fused pqTrain with fewer vectors than k yields the short codebook of the reference") {
+    import spark.implicits._
+    // n=3 < k=5: the init collect returns a short codebook; the fused
+    // decode must unflatten (subspace, cell) by the ACTUAL codebook size
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Array(5.0f, 5.0f, -1.0f, 2.0f)),
+      (2L, Array(9.0f, 1.0f, 3.0f, 3.0f)))
+    val emb = rows.toDF("vec_id", "embedding").withColumn("label", lit("t"))
+    val (sdF, fused) = VectorSearch.pqTrain(emb, m = 2, k = 5, iters = 3)
+    val (sdR, ref) = VectorSearch.pqTrainPerSubspace(emb, m = 2, k = 5, iters = 3)
+    assert(sdF == sdR)
+    assert(fused.map(_.length) == Seq(3, 3))
+    assert(fused == ref)
+  }
+
+  test("fused pqTrain fails fast on the driver for an empty corpus") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .withColumn("label", lit("t"))
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.pqTrain(emb, m = 2, k = 4, iters = 2)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
