@@ -503,14 +503,21 @@ object Duplicates {
         .join(labels.withColumnRenamed("doc_id", "id2"), "id2")
         .groupBy(col("id1").as("doc_id"))
         .agg(min("component").as("nbr_component"))
-      val next = Caches.checkpointed(labels.join(nbrMin, Seq("doc_id"), "left_outer")
+      // One checkpointed step frame carries the new label AND the change
+      // flag (labels only ever decrease, so changed ⟺ nbr_component <
+      // component): the convergence test is then a narrow count over the
+      // just-materialized checkpoint instead of a second full equi-join of
+      // `next` against the previous labels — one fewer corpus-keyed
+      // shuffle join per iteration.
+      val step = Caches.checkpointed(labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component")))
-      changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .where(col("component") =!= col("old")).count()
+            .as("component"),
+          (coalesce(col("nbr_component"), col("component")) < col("component"))
+            .as("chg")))
+      changed = step.where(col("chg")).count()
       Caches.releaseCheckpoint(labels) // superseded iterate — free it now
-      labels = next
+      labels = step.select("doc_id", "component")
       iter += 1
     }
     Caches.releaseCheckpoint(edges) // final labels are concrete past here
