@@ -57,7 +57,11 @@ object CorpusPrep {
   private def decontaminateGrams(corpusGrams: DataFrame,
                                  evalGrams: DataFrame): DataFrame = {
     val evalHashes = evalGrams.select("h").distinct()
-    val sizes = corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams"))
+    // shared-cached: the exact (x19) and bloom (x34) paths aggregate the
+    // identical per-doc gram counts over the same gram frame — one cached
+    // doc-keyed build serves both and every warm re-run
+    val sizes = Caches.shared(
+      corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams")))
     corpusGrams.join(broadcast(evalHashes), "h")
       .groupBy("doc_id").agg(count("*").as("n_hits"))
       .join(sizes, "doc_id")
@@ -91,9 +95,14 @@ object CorpusPrep {
                                              numBits: Long): DataFrame = {
     import org.apache.spark.sql.graftext.BloomFns
     val evalHashes = evalGrams.select("h").distinct()
-    val sketch = evalHashes.agg(
-      BloomFns.bloomAgg(col("h"), expectedItems, numBits).as("bf"))
-    val sizes = corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams"))
+    // The built filter is derived model state (the trained-centroids
+    // pattern): one binary row per (eval set, sizing) — shared-cached so
+    // a session probes the SAME sketch instead of re-folding the eval
+    // hashes into a fresh bitset per query run.
+    val sketch = Caches.shared(evalHashes.agg(
+      BloomFns.bloomAgg(col("h"), expectedItems, numBits).as("bf")))
+    val sizes = Caches.shared(
+      corpusGrams.groupBy("doc_id").agg(count("*").as("n_ngrams")))
     val candidates = corpusGrams
       // might_contain requires a constant/scalar-subquery sketch — the
       // same plan shape the optimizer's own runtime filters use
