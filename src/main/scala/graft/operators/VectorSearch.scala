@@ -338,8 +338,38 @@ object VectorSearch {
     */
   private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Session memo of trained coarse centroids keyed by (corpus
+    * fingerprint, k, iters) — the [[graft.operators.Caches.planMemoKey]]
+    * pattern the BPE merge-table and n10 edge memos already use: trained
+    * centroids are model-sized derived state a long-lived vector service
+    * holds resident, not per-query work. The Lloyd trainer is
+    * deterministic (vec_id-ordered init, per-iteration 6-dp HALF_UP
+    * rounding), so a memo hit returns BIT-IDENTICAL centroids to a
+    * retrain; only file-backed corpora qualify (in-memory fixtures get an
+    * empty key and always train), and the key folds the underlying files'
+    * (name, length, mtime), so a rewritten corpus misses.
+    */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[Seq[Seq[Double]]])]()
+
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
                       iters: Int = 5): Array[Array[Double]] = {
+    val key0 = Caches.planMemoKey(embeddings)
+    val key = if (key0.nonEmpty) s"$key0|k=$k|it=$iters" else ""
+    val hit = if (key.nonEmpty) centroidMemo.get(key) else null
+    if (hit != null) return hit.map(_.clone())
+    val trained = kmeansCentroidsTrain(embeddings, k, iters)
+    if (key.nonEmpty) {
+      if (centroidMemo.size >= 16) centroidMemo.clear()
+      centroidMemo.put(key, trained.map(_.clone()))
+    }
+    trained
+  }
+
+  private def kmeansCentroidsTrain(embeddings: DataFrame, k: Int,
+                                   iters: Int): Array[Array[Double]] = {
     lloydRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -958,6 +988,22 @@ object VectorSearch {
     */
   private[graft] def pqTrain(embeddings: DataFrame, m: Int, k: Int,
                              iters: Int): (Int, Seq[Seq[Seq[Double]]]) = {
+    // same model memo as [[kmeansCentroids]] (books are immutable Seqs —
+    // no defensive copy needed)
+    val key0 = Caches.planMemoKey(embeddings)
+    val key = if (key0.nonEmpty) s"$key0|m=$m|k=$k|it=$iters" else ""
+    val hit = if (key.nonEmpty) pqMemo.get(key) else null
+    if (hit != null) return hit
+    val trained = pqTrainRun(embeddings, m, k, iters)
+    if (key.nonEmpty) {
+      if (pqMemo.size >= 16) pqMemo.clear()
+      pqMemo.put(key, trained)
+    }
+    trained
+  }
+
+  private def pqTrainRun(embeddings: DataFrame, m: Int, k: Int,
+                         iters: Int): (Int, Seq[Seq[Seq[Double]]]) = {
     lloydRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     import spark.implicits._
