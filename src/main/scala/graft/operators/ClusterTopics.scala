@@ -55,8 +55,8 @@ object ClusterTopics {
                     iters: Int = Iters, topTerms: Int = TopTerms): DataFrame = {
     val emb = docEmbeddings(docs, dim).cache()
     val cents = VectorSearch.kmeansCentroids(emb, nCells, iters)
-    val cells = VectorSearch.assignCells(emb, cents)
-      .select(col("vec_id").as("doc_id"), col("cell"))
+    val cells = Caches.shared(VectorSearch.assignCells(emb, cents)
+      .select(col("vec_id").as("doc_id"), col("cell")))
     val counts = Relevance.termCounts(docs)
     val cellTerm = counts.join(cells, "doc_id")
       .groupBy("cell", "token").agg(sum("cnt").as("tf"))

@@ -124,7 +124,9 @@ object Rag {
     // training (iters passes) AND the retrieval join — cache both so the
     // chunk scan runs once, not once per consumer
     val counts = chunkCounts(chunks).cache()
-    val idf = chunkIdf(counts, chunks)
+    // token-keyed, Zipf-small; shared-cached so the per-run query
+    // embedding joins a materialized IDF instead of re-aggregating counts
+    val idf = Caches.shared(chunkIdf(counts, chunks))
     val emb = denseFromWeights(hashedWeights(counts, idf, dim), dim)
       // an all-zero vector (possible only if every bucket cancels to
       // exactly 0) has no cosine; drop it identically in both engines

@@ -524,8 +524,11 @@ object VectorSearch {
                  trainSet: DataFrame = null): DataFrame = {
     val centroids = kmeansCentroids(Option(trainSet).getOrElse(embeddings),
       nCells, iters)
-    ivfKnnJoinAssigned(assignCells(embeddings, centroids), queries, centroids,
-      k, nprobe)
+    // shared-cached: centroids are memo-stable per corpus, so the assigned
+    // corpus projection is plan-identical across runs and consumers (the
+    // serving state an IVF index holds — cells don't change between probes)
+    ivfKnnJoinAssigned(Caches.shared(assignCells(embeddings, centroids)),
+      queries, centroids, k, nprobe)
   }
 
   /** Probe selection + cell equi-join + per-query top-k over an
@@ -606,7 +609,7 @@ object VectorSearch {
     // diagnostic costs one Lloyd chain + one extra scan, not two of each
     val centroids = kmeansCentroids(Option(trainSet).getOrElse(embeddings),
       nCells, iters)
-    val withCell = assignCells(embeddings, centroids)
+    val withCell = Caches.shared(assignCells(embeddings, centroids))
     val exact = knnJoinProjected(withCell, queries, k).select("query_id", "vec_id")
     val approx = ivfKnnJoinAssigned(withCell, queries, centroids, k, nprobe)
       .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
@@ -651,7 +654,8 @@ object VectorSearch {
   private[graft] def semanticDedupMembers(embeddings: DataFrame, nCells: Int,
                                           iters: Int, threshold: Double): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
-    val withCell = assignCells(embeddings, centroids, withLabel = false)
+    val withCell = Caches.shared(
+      assignCells(embeddings, centroids, withLabel = false))
     val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
       .join(withCell.select(col("vec_id").as("id2"), col("v").as("v2"), col("cell")), Seq("cell"))
       .where(col("id1") < col("id2") &&
@@ -687,7 +691,8 @@ object VectorSearch {
                                               iters: Int, threshold: Double): DataFrame = {
     val (_, members, repEmb) = embFamilies(embeddings)
     val centroids = kmeansCentroids(embeddings, nCells, iters)
-    val withCell = assignCells(repEmb, centroids, withLabel = false)
+    val withCell = Caches.shared(
+      assignCells(repEmb, centroids, withLabel = false))
     val pruned = withCell.select(col("vec_id").as("id1"), col("v").as("v1"), col("cell"))
       .join(withCell.select(col("vec_id").as("id2"), col("v").as("v2"), col("cell")), Seq("cell"))
       .where(col("id1") < col("id2") &&
