@@ -155,8 +155,13 @@ object DocStream {
       import spark.implicits._
       import graft.operators.Dedup
       val docs = batch.select("doc_id", "text")
-      val sigs = Dedup.minhashSignatures(docs)
-      val bands = Dedup.bandRows(sigs)
+      // shared-cached up front (released at the scope exit below): the
+      // batch's signatures and band rows are read by the state join, the
+      // within-batch pair join, AND both state-delta writes — without the
+      // cache each consumer re-reads the batch files and recomputes the
+      // signature kernel
+      val sigs = graft.operators.Caches.shared(Dedup.minhashSignatures(docs))
+      val bands = graft.operators.Caches.shared(Dedup.bandRows(sigs))
       val bandsPath = s"$stateDir/bands"
       val sigsPath = s"$stateDir/sigs"
       val extColl: Set[Long] = committedState(spark, fs, stateDir, batchId)
@@ -178,6 +183,8 @@ object DocStream {
       val internal = Dedup.minhashLshPairs(docs, minEstJaccard)
         .select("id1", "id2").as[(Long, Long)].collect()
       val smaller = internal.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+      // NOT derivable from sigs: a null-text doc has no signature row but
+      // must still receive a verdict (admitted — nothing to collide with)
       val ids = docs.select("doc_id").as[Long].collect().sorted
       val kept = scala.collection.mutable.Set.empty[Long]
       val verdicts = ids.map { d =>
