@@ -245,11 +245,14 @@ object Relevance {
     val kw = keywords.map(_.toLowerCase)
     val fb = bm25Rank(docs, keywords, k1, b, fbDocs).where(col("bm25") > 0)
     val counts = Caches.shared(termCounts(docs))
-    val exp = counts.join(fb.select("doc_id"), "doc_id")
+    // the expanded term set is derived model state (deterministic: 6-dp
+    // weights, term tie-break) — shared-cached so re-runs skip the whole
+    // feedback pass and re-rank against the materialized 5-row term frame
+    val exp = Caches.shared(counts.join(fb.select("doc_id"), "doc_id")
       .join(idfFromCounts(counts, docs).select("token", "idf"), "token")
       .where(!col("token").isin(kw: _*))
       .groupBy("token").agg(round(sum(col("cnt") * col("idf")), 6).as("w"))
-      .orderBy(desc("w"), asc("token")).limit(expandTerms)
+      .orderBy(desc("w"), asc("token")).limit(expandTerms))
     val allTerms = exp.select("token").unionByName(kw.toDF("token")).distinct()
     bm25RankFromTerms(docs, allTerms, k1, b, topK)
   }
