@@ -23,18 +23,46 @@ object Pipeline {
               keywords: Seq[String] = Relevance.Keywords,
               dupThreshold: Double = 0.8,
               summarySentences: Int = 3): DataFrame = {
+    // the graded columns ride the shared frame (p1/p1b/p2 all read it);
+    // only the TextRank summary — the one column p1b/p2 never touch — is
+    // computed here and re-attached by doc_id. The summary row set is the
+    // graded frame's own doc_id spine (= docs⋈unique, by construction)
+    // joined back to docs for the full text, so the unique-document
+    // selection is never recomputed. Joins are all inner 1:1 on doc_id, so
+    // the row set and every column value equal the single-DAG form exactly
+    // (column order restored by the final select).
+    val graded = gradedResults(docs, keywords, dupThreshold)
+    val summaries = docs
+      .join(graded.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        Summarizer.summarizeUdf(col("text"), lit(summarySentences)).as("summary"))
+    graded
+      .join(summaries, "doc_id")
+      .select(col("doc_id"), col("text"), col("relevance_score"),
+        col("summary"), col("priority_score"), col("priority_level"))
+  }
+
+  /** The summary-free pipeline result — every `process` column except the
+    * TextRank summary. Shared-cached (r15): p1 joins the summary onto it,
+    * p1b emits it as-is, p2 aggregates it — one relevance+dedup+priority
+    * assembly per corpus instead of three (the x45 family-table pattern:
+    * a frame consumed by several registered rows is built by its first
+    * consumer and substituted by CacheManager for the rest).
+    */
+  private[graft] def gradedResults(docs: DataFrame,
+                                   keywords: Seq[String] = Relevance.Keywords,
+                                   dupThreshold: Double = 0.8): DataFrame = {
     val rel = Caches.shared(Relevance.relevanceScores(docs, keywords))
     val unique = Duplicates.uniqueDocuments(docs, dupThreshold)
-    docs.join(unique, "doc_id")
+    Caches.shared(docs.join(unique, "doc_id")
       .join(rel, "doc_id")
       .select(
         col("doc_id"),
         substring(col("text"), 1, 500).as("text"),
-        col("combined").as("relevance_score"),
-        Summarizer.summarizeUdf(col("text"), lit(summarySentences)).as("summary"))
+        col("combined").as("relevance_score"))
       .join(Priority.classify(docs, keywords, precomputedRelevance = Some(rel))
               .select(col("doc_id"), col("priority_score"), col("priority_level")),
-            "doc_id")
+            "doc_id"))
   }
 
   /** Corpus-level statistics of a pipeline run
@@ -78,15 +106,17 @@ object Pipeline {
     process(Tables.documents(spark, sfDir))
 
   def qPipelineStats(spark: SparkSession, sfDir: String): DataFrame =
-    statistics(process(Tables.documents(spark, sfDir)).drop("summary"))
+    statistics(gradedResults(Tables.documents(spark, sfDir)))
 
   /** The graded pipeline form: every `p1` column except the TextRank
-    * summary (column pruning removes the UDF from the plan), so the
-    * flagship composition is hash-checked end-to-end and only the
-    * fixpoint column stays rows-only.
+    * summary, so the flagship composition is hash-checked end-to-end and
+    * only the fixpoint column stays rows-only. Reads [[gradedResults]]
+    * directly (r15) — identical rows and column order to
+    * `process(...).drop("summary")`, without the summary join the drop
+    * would leave in the plan.
     */
   def qPipelineGraded(spark: SparkSession, sfDir: String): DataFrame =
-    process(Tables.documents(spark, sfDir)).drop("summary")
+    gradedResults(Tables.documents(spark, sfDir))
 
   /** p4: the daily-ingest admission capstone — what actually runs when a
     * new shard arrives at a curated 100 TB corpus. Per arriving (delta)

@@ -126,6 +126,11 @@ object Sketches {
     * partial-combine shape as a word count.
     */
   def noveltyCurve(docs: DataFrame, shardWidth: Long = 50L): DataFrame = {
+    // NOT shared-cached (r15, measured): both aggregations below consume
+    // this frame, but materializing the shingle-scale (shard, h60) rows
+    // costs more than the two map-side aggs it would save — x67 read
+    // 0.82 s warm re-deriving from the already-cached shingle frame vs
+    // 1.04 s through a cache of this subtree
     val sh = Dedup.distinctShingleHashes(docs)
       .select(expr(s"doc_id div ${shardWidth}L").as("shard"), col("h60"))
       .distinct()

@@ -93,6 +93,21 @@ class ClassifierSpec extends SparkSpec {
       Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
   }
 
+  test("trained-weights memo serves repeat distillations bit-identically") {
+    // file-backed corpus → memoizable key; first call may train or hit a
+    // memo warmed by an earlier test — either way the SECOND call must be
+    // a pure memo hit (no GD run) and produce the identical output
+    val first = Classifier.qualityDistill(docs)
+      .orderBy("doc_id").collect().toSeq
+    val runsBefore = Classifier.gdRuns.get()
+    val second = Classifier.qualityDistill(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(Classifier.gdRuns.get() == runsBefore,
+      "second distillation on an unchanged corpus must not retrain")
+    assert(second == first,
+      "memoized weights must reproduce the trained output exactly")
+  }
+
   test("zero-token documents still score via the bias feature") {
     val mixed = Seq((0L, "alpha beta gamma delta epsilon words enough here"),
       (1L, ""), (2L, "12 34 !!")).toDF("doc_id", "text")
