@@ -88,6 +88,21 @@ object Duplicates {
     * cost dispatch below, and the equality reference the digest-first arm
     * is spec-checked against.
     */
+  /** Session memo of the shared pair frames, keyed by (TF-plan
+    * fingerprint, threshold, df cap). The pairs cache below has always
+    * been meant to serve every consumer of a corpus's edge list — but the
+    * kernel strategy's output is a `mapPartitions` over a fresh closure
+    * per invocation, which plan canonicalization treats as distinct, so
+    * CacheManager could never substitute one invocation's cache into the
+    * next (each call silently registered a new, never-hit entry).
+    * Returning the SAME DataFrame object fixes the sharing mechanism; a
+    * hit re-registers the cache (idempotent) so a `clearCache()` between
+    * consumers degrades to a rebuild, never a stale read. Session-guarded:
+    * a frame from a stopped/foreign session misses.
+    */
+  private val pairsFrameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def pairSimilaritiesMembers(docs: DataFrame,
                                              threshold: Double = 0.8,
                                              dfCapFraction: Double = 1.0): DataFrame = {
@@ -95,6 +110,12 @@ object Duplicates {
     // strategy wins (the kernel alone needs two more passes over tf —
     // vocabulary and vectors — so the cache pays for itself immediately).
     val tf = Caches.shared(tfSum(docs))
+    val memoKey0 = planMemoKey(tf)
+    val memoKey =
+      if (memoKey0.nonEmpty) s"$memoKey0|t=$threshold|cap=$dfCapFraction" else ""
+    val memoHit = if (memoKey.nonEmpty) pairsFrameMemo.get(memoKey) else null
+    if (memoHit != null && (memoHit.sparkSession eq docs.sparkSession))
+      return Caches.shared(memoHit)
     val stats = tf.agg(
       countDistinct(col("token")).as("vocab"),
       countDistinct(col("doc_id")).as("docs")).head()
@@ -108,7 +129,12 @@ object Duplicates {
     // it. Persisting lets Spark's CacheManager substitute the materialized
     // result into any later plan that canonically matches (the reference
     // caches its IDF corpus and TF vectors for the same reason).
-    Caches.shared(pairs)
+    val shared = Caches.shared(pairs)
+    if (memoKey.nonEmpty) {
+      if (pairsFrameMemo.size >= 8) pairsFrameMemo.clear()
+      pairsFrameMemo.put(memoKey, shared)
+    }
+    shared
   }
 
   /** [[pairSimilarities]]' digest-first arm (the [[Dedup]] x2/x3 move

@@ -134,13 +134,32 @@ object VectorSearch {
     * over the suite-shared digest frame decides whether the byte-twin
     * collapse pays before any signatures/blocks/cells are built.
     */
+  /** Session memo of the vector dup-mass verdict — the
+    * [[Dedup.digestArmUncapped]] memo in embedding space: the probe
+    * statistic is a corpus property, so the per-invocation aggregate job
+    * (r13 VERDICT finding #2: 0.1–0.25 s on every sub-second x-vec row)
+    * runs once per corpus fingerprint. Env-forced arms bypass the memo.
+    */
+  private val embArmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[graft] def embDigestArm(embeddings: DataFrame): Boolean =
     Dedup.pairsArmForced.getOrElse {
-      val (fams, _, _) = embFamilies(embeddings)
-      val row = fams.agg(count(lit(1)), sum("fam_n")).head()
-      val nFams = row.getLong(0)
-      val nVecs = if (row.isNullAt(1)) 0L else row.getLong(1)
-      nVecs > 0 && 1.0 - nFams.toDouble / nVecs >= 0.05
+      val key = Caches.planMemoKey(embeddings)
+      val hit = if (key.nonEmpty) embArmMemo.get(key) else null
+      if (hit != null) hit.booleanValue()
+      else {
+        val (fams, _, _) = embFamilies(embeddings)
+        val row = fams.agg(count(lit(1)), sum("fam_n")).head()
+        val nFams = row.getLong(0)
+        val nVecs = if (row.isNullAt(1)) 0L else row.getLong(1)
+        val verdict = nVecs > 0 && 1.0 - nFams.toDouble / nVecs >= 0.05
+        if (key.nonEmpty) {
+          if (embArmMemo.size >= 32) embArmMemo.clear()
+          embArmMemo.put(key, verdict)
+        }
+        verdict
+      }
     }
 
   /** [[nearDuplicatePairsBlocked]]'s digest-first arm (the n6 r12 move in
