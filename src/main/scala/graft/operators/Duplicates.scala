@@ -375,6 +375,20 @@ object Duplicates {
     * labels agree because every family's minimum id IS its
     * representative, so min-over-members ≡ min-over-reps.
     */
+  /** Session memo of the expanded component-label frames — the
+    * [[pairsFrameMemo]] move for [[components]]: the collect arm's label
+    * join embeds a fresh driver-data LocalRelation per invocation, which
+    * plan canonicalization treats as distinct, so the n10/n11/p-family
+    * consumers each re-ran the full expansion even with the EDGE list
+    * memoized. A hit returns the same DataFrame (re-registered in the
+    * cache) and restores the dispatch-path flag the specs observe. Keyed
+    * by (corpus fingerprint, threshold, collect cap) — the cap changes
+    * which arm builds the frame, and an explicit cap is a dispatch
+    * request, so capped and uncapped frames memoize separately.
+    */
+  private val labelsFrameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, String)]()
+
   def components(docs: DataFrame, threshold: Double = 0.8,
                  maxCollectEdges: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
@@ -382,13 +396,25 @@ object Duplicates {
     val key0 = planMemoKey(docs)
     // v2: the memo holds REP-level edges (digest-first), not member edges
     val key = if (key0.nonEmpty) s"$key0|t=$threshold|v2" else ""
+    val frameKey = if (key.nonEmpty) s"$key|cap=$maxCollectEdges" else ""
+    val frameHit = if (frameKey.nonEmpty) labelsFrameMemo.get(frameKey) else null
+    if (frameHit != null && (frameHit._1.sparkSession eq docs.sparkSession)) {
+      lastComponentsPath = frameHit._2
+      return Caches.shared(frameHit._1)
+    }
     val (_, members, repDocs) = Dedup.digestFamilies(docs)
     val hit = if (key.nonEmpty) edgeMemo.get(key) else null
     // honor the caller's cap even on a memo hit: an explicit small cap is
     // a request to avoid the driver path, not just a cost heuristic
     if (hit != null && hit.length <= maxCollectEdges) {
       lastComponentsPath = "collect"
-      return expandRepLabels(docs, members, repDocs, unionFindLabels(repDocs, hit))
+      val expanded = Caches.shared(
+        expandRepLabels(docs, members, repDocs, unionFindLabels(repDocs, hit)))
+      if (frameKey.nonEmpty) {
+        if (labelsFrameMemo.size >= 8) labelsFrameMemo.clear()
+        labelsFrameMemo.put(frameKey, (expanded, lastComponentsPath))
+      }
+      return expanded
     }
     // repDocs are already digest-collapsed — call the member arm directly
     // rather than re-probing dup mass over the rep corpus
@@ -407,7 +433,11 @@ object Duplicates {
         lastComponentsPath = "iterative"
         propagateMinLabels(repDocs, pairs)
       }
-    val result = expandRepLabels(docs, members, repDocs, repLabels)
+    val result = Caches.shared(expandRepLabels(docs, members, repDocs, repLabels))
+    if (frameKey.nonEmpty) {
+      if (labelsFrameMemo.size >= 8) labelsFrameMemo.clear()
+      labelsFrameMemo.put(frameKey, (result, lastComponentsPath))
+    }
     // both arms are concrete past this point (collected edge list /
     // checkpointed label frame) — the pair checkpoint can go now
     Caches.releaseCheckpoint(pairs)
